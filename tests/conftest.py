@@ -1,0 +1,19 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Tests never touch the real TPU: they run on an 8-device virtual CPU mesh so
+sharding tests exercise real collectives (the driver separately dry-runs the
+multi-chip path; see ``__graft_entry__.py``). The environment's axon
+sitecustomize registers the TPU backend at interpreter start, so we both set
+the env vars and override ``jax_platforms`` in-process.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

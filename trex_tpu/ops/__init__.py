@@ -1,0 +1,39 @@
+"""Compute kernels: exact Sankoff DP, Pallas fused variants, soft costs, relaxations."""
+
+from trex_tpu.ops.sankoff import (
+    sankoff_score,
+    sankoff_reconstruct,
+    sankoff_tables,
+    batched_sankoff_score,
+    run_sankoff,
+)
+from trex_tpu.ops.costs import (
+    surrogate_cost,
+    soft_parsimony_cost,
+    exact_cost,
+)
+from trex_tpu.ops.relax import (
+    soft_topology,
+    soft_sequences,
+    discretize_topology,
+    binary_tree_penalty,
+    joint_loss,
+    straight_through,
+)
+
+__all__ = [
+    "sankoff_score",
+    "sankoff_reconstruct",
+    "sankoff_tables",
+    "batched_sankoff_score",
+    "run_sankoff",
+    "surrogate_cost",
+    "soft_parsimony_cost",
+    "exact_cost",
+    "soft_topology",
+    "soft_sequences",
+    "discretize_topology",
+    "binary_tree_penalty",
+    "joint_loss",
+    "straight_through",
+]
