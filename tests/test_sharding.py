@@ -1,0 +1,98 @@
+"""Multi-device sharding on the 8-device virtual CPU mesh.
+
+Validates that sharded programs produce the same numbers as single-device
+runs — the collectives (psum over sites, tree-batch data parallelism) must be
+numerically transparent.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trex_tpu.models.mutation_tree import generate_groundtruth
+from trex_tpu.ops.sankoff import batched_sankoff_score
+from trex_tpu.parallel.mesh import SITE_AXIS, TREE_AXIS, make_mesh
+from trex_tpu.parallel.sharded import make_sharded_joint_step, sharded_batch_scores
+from trex_tpu.search.optimizers import make_optimizer
+from trex_tpu.topology import random_topologies
+from trex_tpu.types import CostModel
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+    return make_mesh(tree_parallelism=2)  # 2 x 4 (tree x site)
+
+
+def test_mesh_shape(mesh):
+    assert mesh.shape[TREE_AXIS] == 2
+    assert mesh.shape[SITE_AXIS] == 4
+
+
+def test_sharded_scores_match_single_device(mesh):
+    n_leaves, q, length, batch = 8, 4, 64, 16
+    topos = random_topologies(jax.random.PRNGKey(0), n_leaves, batch)
+    leaf = jax.random.randint(jax.random.PRNGKey(1), (n_leaves, length), 0, q)
+    cost = CostModel.hamming(q).matrix
+
+    single = batched_sankoff_score(topos, cost, leaf)
+    sharded = sharded_batch_scores(mesh, topos, cost, leaf)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
+
+
+def test_sharded_joint_step_matches_single_device(mesh):
+    """One sharded optimizer step == one unsharded step (same numbers)."""
+    n_leaves, length, q = 4, 32, 4
+    n_all = 2 * n_leaves - 1
+    gt = generate_groundtruth(n_leaves, q, 2, length, seed=0)
+    leaf_tensor = jnp.zeros((n_all, length, q))
+    leaf_tensor = leaf_tensor.at[:n_leaves].set(
+        jax.nn.one_hot(gt.all_sequences[:n_leaves].astype(jnp.int32), q)
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    params = {
+        "tree_params": jax.random.normal(k1, (n_all - 1, n_leaves - 1)),
+        "ancestors": jax.random.normal(k2, (n_leaves - 1, length, q)),
+    }
+    optimizer = make_optimizer("adam", 0.01, clip_global_norm=None)
+    opt_state = optimizer.init(params)
+
+    # Single-device oracle step.
+    from trex_tpu.ops.costs import surrogate_cost
+    from trex_tpu.ops.relax import binary_tree_penalty, soft_sequences, soft_topology
+    import optax
+
+    step_key = jax.random.PRNGKey(9)
+
+    def loss_fn(p):
+        seqs = soft_sequences(p["ancestors"], leaf_tensor, n_leaves, 1.0)
+        tree = soft_topology(step_key, p["tree_params"])
+        return surrogate_cost(seqs, tree) + 1.0 * binary_tree_penalty(tree, 10.0)
+
+    loss_ref, grads = jax.value_and_grad(loss_fn)(params)
+    updates, _ = optimizer.update(grads, opt_state, params)
+    params_ref = optax.apply_updates(params, updates)
+
+    step = make_sharded_joint_step(mesh, optimizer, n_leaves, constraint_scale=10.0)
+    params_out, _, loss_out = step(
+        params, opt_state, leaf_tensor, step_key, jnp.asarray(1.0)
+    )
+
+    assert float(loss_out) == pytest.approx(float(loss_ref), rel=1e-5)
+    for name in ("tree_params", "ancestors"):
+        np.testing.assert_allclose(
+            np.asarray(params_out[name]), np.asarray(params_ref[name]),
+            atol=1e-5,
+        )
+
+
+def test_scaling_more_trees_than_devices(mesh):
+    """Batches larger than the tree axis shard in blocks and still agree."""
+    n_leaves, q, length, batch = 4, 2, 32, 64
+    topos = random_topologies(jax.random.PRNGKey(5), n_leaves, batch)
+    leaf = jax.random.randint(jax.random.PRNGKey(6), (n_leaves, length), 0, q)
+    cost = CostModel.hamming(q).matrix
+    single = batched_sankoff_score(topos, cost, leaf)
+    sharded = sharded_batch_scores(mesh, topos, cost, leaf)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)

@@ -1,0 +1,19 @@
+"""Multi-chip scaling: device meshes, sharded scoring, distributed init."""
+
+from trex_tpu.parallel.mesh import make_mesh, TREE_AXIS, SITE_AXIS
+from trex_tpu.parallel.sharded import (
+    sharded_batch_scores,
+    sharded_joint_step,
+    make_sharded_joint_step,
+)
+from trex_tpu.parallel.distributed import initialize_distributed
+
+__all__ = [
+    "make_mesh",
+    "TREE_AXIS",
+    "SITE_AXIS",
+    "sharded_batch_scores",
+    "sharded_joint_step",
+    "make_sharded_joint_step",
+    "initialize_distributed",
+]

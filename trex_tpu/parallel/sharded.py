@@ -1,0 +1,163 @@
+"""Sharded candidate scoring and training steps (shard_map + collectives).
+
+Explicit-collective formulations of the engine's two distributed workloads.
+Nothing here exists in the reference (it is single-device; SURVEY.md §2) —
+these are the TPU-native scaling components the north star demands.
+
+Key fact making both cheap: every objective in this engine is a *sum over
+sites* (Sankoff total = site-sum of root minima, ``ops/sankoff.py``;
+surrogate/soft costs = site-sum of quadratic forms, ``ops/costs.py``). So a
+site-sharded loss is ``psum`` of per-shard losses, and gradients w.r.t.
+site-sharded parameters (ancestor logits) need *no* communication at all —
+only the replicated topology logits' gradients are psum-merged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from trex_tpu.ops.costs import surrogate_cost
+from trex_tpu.ops.relax import binary_tree_penalty, soft_sequences, soft_topology
+from trex_tpu.ops.sankoff import sankoff_score
+from trex_tpu.parallel.mesh import SITE_AXIS, TREE_AXIS
+from trex_tpu.topology import Topology
+
+
+def sharded_batch_scores(
+    mesh: Mesh,
+    topologies: Topology,
+    cost_matrix: jax.Array,
+    leaf_sequences: jax.Array,
+) -> jax.Array:
+    """Score a candidate-tree batch across the whole mesh.
+
+    Layout: topology batch sharded over ``tree``; alignment sites sharded over
+    ``site`` (leaves replicated over ``tree``). Each device runs the DP on its
+    (trees x sites) tile; per-tree site-partial scores merge with one
+    ``psum`` over ``site``.
+
+    Args:
+        topologies: batched ``Topology`` (leading axis divisible by the tree
+            axis size).
+        leaf_sequences: (n_leaves, L) with L divisible by the site axis size.
+
+    Returns:
+        (batch,) scores, sharded over ``tree`` (replicated over ``site``).
+    """
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            Topology(children=P(TREE_AXIS), parents=P(TREE_AXIS)),
+            P(),
+            P(None, SITE_AXIS),
+        ),
+        out_specs=P(TREE_AXIS),
+        check_rep=False,
+    )
+    def score_shard(topos, cost, leaf_shard):
+        partial_scores = jax.vmap(sankoff_score, in_axes=(0, None, None))(
+            topos, cost, leaf_shard
+        )
+        return jax.lax.psum(partial_scores, SITE_AXIS)
+
+    return score_shard(topologies, cost_matrix, leaf_sequences)
+
+
+def _local_joint_loss(params, leaf_shard, step_key, temperature, constraint_scale,
+                      n_leaves, site_weight):
+    """Per-shard joint loss: local surrogate + (weighted) constraint penalty.
+
+    ``site_weight`` = 1/n_site_shards so the replicated penalty isn't
+    multiply-counted by the loss psum.
+    """
+    seqs = soft_sequences(params["ancestors"], leaf_shard, n_leaves, temperature)
+    tree = soft_topology(step_key, params["tree_params"])
+    penalty = temperature * binary_tree_penalty(tree, constraint_scale)
+    return surrogate_cost(seqs, tree) + site_weight * penalty
+
+
+def make_sharded_joint_step(
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation,
+    n_leaves: int,
+    constraint_scale: float = 10.0,
+):
+    """Build a jitted multi-chip training step for the joint search.
+
+    Sharding: ancestor logits and the leaf tensor are sharded over ``site``
+    (axis 1 = L) and over ``tree`` on the restart batch axis (axis 0 of the
+    restart-batched params); topology logits are replicated within a restart.
+    The step: each device takes grad of its local loss; ancestor grads are
+    already exact (site-local params), topology grads psum over ``site``.
+    The loss returned is the psum over sites (the true global loss).
+
+    Returns a function
+    ``step(params, opt_state, leaf_tensor, key, temperature) ->
+    (params, opt_state, loss)`` operating on ONE restart; vmap it over a
+    restart batch sharded on ``tree``.
+    """
+    n_site = mesh.shape[SITE_AXIS]
+
+    def local_step(params, opt_state, leaf_shard, step_key, temperature):
+        def loss_fn(p):
+            return _local_joint_loss(
+                p, leaf_shard, step_key, temperature, constraint_scale,
+                n_leaves, 1.0 / n_site,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.psum(loss, SITE_AXIS)
+        # Ancestor logits are site-local parameters: their grads are exact.
+        # Topology logits are replicated across site shards: merge grads.
+        grads = {
+            "ancestors": grads["ancestors"],
+            "tree_params": jax.lax.psum(grads["tree_params"], SITE_AXIS),
+        }
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    params_spec = {"ancestors": P(None, SITE_AXIS, None), "tree_params": P()}
+
+    def step(params, opt_state, leaf_tensor, key, temperature):
+        opt_spec = jax.tree_util.tree_map(
+            lambda x: params_spec["ancestors"]
+            if (hasattr(x, "ndim") and x.ndim == 3)
+            else P(),
+            opt_state,
+            is_leaf=lambda x: hasattr(x, "ndim"),
+        )
+        sharded = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(params_spec, opt_spec, P(None, SITE_AXIS, None), P(), P()),
+            out_specs=(params_spec, opt_spec, P()),
+            check_rep=False,
+        )
+        return sharded(params, opt_state, leaf_tensor, key, temperature)
+
+    return step
+
+
+def sharded_joint_step(
+    mesh: Mesh,
+    params,
+    opt_state,
+    leaf_tensor,
+    key,
+    temperature,
+    optimizer,
+    n_leaves,
+    constraint_scale: float = 10.0,
+):
+    """One-shot convenience wrapper around ``make_sharded_joint_step``."""
+    step = make_sharded_joint_step(mesh, optimizer, n_leaves, constraint_scale)
+    return step(params, opt_state, leaf_tensor, key, temperature)
