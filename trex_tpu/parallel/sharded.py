@@ -60,7 +60,7 @@ def sharded_batch_scores(
             P(None, SITE_AXIS),
         ),
         out_specs=P(TREE_AXIS),
-        check_rep=False,
+        check_vma=False,
     )
     def score_shard(topos, cost, leaf_shard):
         partial_scores = jax.vmap(sankoff_score, in_axes=(0, None, None))(
@@ -140,7 +140,7 @@ def make_sharded_joint_step(
             mesh=mesh,
             in_specs=(params_spec, opt_spec, P(None, SITE_AXIS, None), P(), P()),
             out_specs=(params_spec, opt_spec, P()),
-            check_rep=False,
+            check_vma=False,
         )
         return sharded(params, opt_state, leaf_tensor, key, temperature)
 
