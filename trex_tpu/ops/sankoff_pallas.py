@@ -1,0 +1,226 @@
+"""Fused Pallas TPU kernel for batched Sankoff scoring.
+
+The tree-search hot path: score B candidate topologies against one alignment.
+The lax formulation (``ops/sankoff.py``) round-trips the (n_all, Q, L) DP
+table through HBM on every ancestor step; this kernel keeps the entire DP
+resident in VMEM per (tree, site-block) tile, so HBM traffic collapses to
+"leaf sequences in, per-site root minima out".
+
+Layout / schedule:
+  - grid = (B, L // L_BLK); one kernel instance owns one tree x site-block.
+  - DP scratch: (n_all * Q_pad, L_BLK) f32 in VMEM — states padded to the
+    8-sublane f32 tile, sites on the 128-wide lanes.
+  - child indices: (1, n_anc, 2) int32 block in SMEM (per-tree slice of the
+    topology batch); read as scalars inside the ancestor loop.
+  - min-plus inner product per ancestor on the VPU. Two paths:
+      * general (Q_real x Q_real) cost: unrolled per parent state,
+        ``min(costT[:, s] + child_dp)`` — O(Q^2) per node;
+      * Hamming closed form (cost = ones - eye):
+        ``msg = min(d, 1 + min_s d)`` — O(Q) per node. Padded states carry
+        BIG_COST through leaf init, and under the closed form a padded row
+        can exceed the true minimum by at most +1 per child, never below the
+        best real row, so root minima are exact (proof in ``_hamming_msg``).
+
+Numerics match the lax oracle bit-for-bit: f32, 1e5 sentinel, per-site min
+at the root then site-sum outside the kernel (same reduction order as the
+reference, ``/root/reference/src/trex/sankoff.py:187``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trex_tpu.topology import Topology
+from trex_tpu.types import BIG_COST
+
+_LANES = 128
+_SUBLANES_F32 = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _hamming_msg(child_dp: jax.Array) -> jax.Array:
+    """Closed-form Hamming min-plus message.
+
+    msg[s] = min_{s'} (C[s,s'] + d[s']) with C = ones - eye
+           = min(d[s], 1 + min_{s'} d[s']).
+    Padded state rows hold values >= the row minimum, so min over all rows
+    (including padded) equals the min over real rows; a padded row's message
+    (1 + min) never undercuts the best real row of the *parent* either, since
+    the parent's best real row is <= (sum of per-child row minima) + 1.
+    """
+    return jnp.minimum(child_dp, 1.0 + jnp.min(child_dp, axis=0, keepdims=True))
+
+
+def _sankoff_kernel(
+    children_ref,  # SMEM (1, n_anc, 2) int32
+    seq_ref,  # VMEM (n_leaves, L_BLK) int32
+    cost_t_ref,  # VMEM (Q_pad, Q_pad) f32 (transposed cost, BIG at pads)
+    out_ref,  # VMEM (1, L_BLK) f32 — per-site root minima
+    dp_ref,  # VMEM scratch (n_all * Q_pad, L_BLK) f32
+    *,
+    n_leaves: int,
+    n_states: int,
+    q_pad: int,
+    hamming: bool,
+):
+    n_all = 2 * n_leaves - 1
+    n_anc = n_leaves - 1
+    l_blk = seq_ref.shape[-1]
+
+    # Leaf initialization: 0 at the observed state, BIG elsewhere. One
+    # (Q_pad, L_BLK) compare per leaf against a state iota on the sublanes.
+    state_iota = jax.lax.broadcasted_iota(jnp.int32, (q_pad, l_blk), 0)
+
+    def init_leaf(i, _):
+        observed = seq_ref[pl.ds(i, 1), :]  # (1, L_BLK)
+        dp_ref[pl.ds(i * q_pad, q_pad), :] = jnp.where(
+            state_iota == observed, 0.0, BIG_COST
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_leaves, init_leaf, 0, unroll=True)
+
+    # Ancestor recursion: dp[parent] = sum over children of min-plus message.
+    def visit(a, _):
+        c1 = children_ref[0, a, 0]
+        c2 = children_ref[0, a, 1]
+        d1 = dp_ref[pl.ds(c1 * q_pad, q_pad), :]
+        d2 = dp_ref[pl.ds(c2 * q_pad, q_pad), :]
+        if hamming:
+            total = _hamming_msg(d1) + _hamming_msg(d2)
+        else:
+            # General cost: per parent state s, min over child states of
+            # (cost[s, s'] + d[s']). costT column s broadcasts over lanes.
+            def msg(d):
+                rows = []
+                for s in range(q_pad):
+                    col = cost_t_ref[:, pl.ds(s, 1)]  # (Q_pad, 1)
+                    rows.append(jnp.min(col + d, axis=0, keepdims=True))
+                return jnp.concatenate(rows, axis=0)
+
+            total = msg(d1) + msg(d2)
+        dp_ref[pl.ds((n_leaves + a) * q_pad, q_pad), :] = total
+        return 0
+
+    jax.lax.fori_loop(0, n_anc, visit, 0)
+
+    root_dp = dp_ref[pl.ds((n_all - 1) * q_pad, q_pad), :]
+    out_ref[0, :] = jnp.min(root_dp, axis=0)
+
+
+def batched_sankoff_score_pallas(
+    topologies: Topology,
+    cost_matrix: jax.Array,
+    leaf_sequences: jax.Array,
+    *,
+    hamming: bool | None = None,
+    site_block: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Score a batch of candidate trees with the fused kernel.
+
+    Args:
+        topologies: batched ``Topology`` with leading axis B.
+        cost_matrix: (Q, Q) substitution costs.
+        leaf_sequences: (n_leaves, L) int states; L must be lane-aligned
+            (pad with ``trex_tpu.padding.pad_sites`` + mask the score
+            contribution of padded sites upstream — padded state-0 sites add
+            a constant 0 under Hamming only if all leaves agree, so pad
+            *sequences with state 0 on every leaf*, which costs 0).
+        hamming: force/deny the closed-form path; default auto-detects
+            (host-side) whether ``cost_matrix`` equals ones - eye.
+        site_block: VMEM site tile; default min(L, 2048).
+
+    Returns:
+        (B,) f32 parsimony scores.
+    """
+    if hamming is None:
+        # Auto-detect only on concrete arrays (outside jit); a traced cost
+        # matrix conservatively takes the general path.
+        q = cost_matrix.shape[-1]
+        try:
+            import numpy as _np
+
+            hamming = bool(
+                _np.array_equal(
+                    _np.asarray(cost_matrix), _np.ones((q, q)) - _np.eye(q)
+                )
+            )
+        except jax.errors.TracerArrayConversionError:
+            hamming = False
+    return _batched_scores_pallas_impl(
+        topologies,
+        cost_matrix,
+        leaf_sequences,
+        hamming=hamming,
+        site_block=site_block,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hamming", "site_block", "interpret")
+)
+def _batched_scores_pallas_impl(
+    topologies: Topology,
+    cost_matrix: jax.Array,
+    leaf_sequences: jax.Array,
+    *,
+    hamming: bool,
+    site_block: int | None,
+    interpret: bool,
+) -> jax.Array:
+    batch = topologies.children.shape[0]
+    n_anc = topologies.children.shape[-2]
+    n_leaves = n_anc + 1
+    n_all = 2 * n_leaves - 1
+    n_states = cost_matrix.shape[-1]
+    length = leaf_sequences.shape[-1]
+    q_pad = _round_up(n_states, _SUBLANES_F32)
+
+    if site_block is None:
+        site_block = min(length, 2048)
+    if length % site_block != 0:
+        raise ValueError(f"L={length} not divisible by site_block={site_block}")
+    n_blocks = length // site_block
+
+    # Transposed, BIG-padded cost so padded states never win.
+    cost_t = jnp.full((q_pad, q_pad), BIG_COST, dtype=jnp.float32)
+    cost_t = cost_t.at[:n_states, :n_states].set(cost_matrix.T.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _sankoff_kernel,
+        n_leaves=n_leaves,
+        n_states=n_states,
+        q_pad=q_pad,
+        hamming=hamming,
+    )
+
+    per_site_root_min = pl.pallas_call(
+        kernel,
+        grid=(batch, n_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_anc, 2), lambda b, l: (b, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((n_leaves, site_block), lambda b, l: (0, l)),
+            pl.BlockSpec((q_pad, q_pad), lambda b, l: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, site_block), lambda b, l: (b, l)),
+        out_shape=jax.ShapeDtypeStruct((batch, length), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_all * q_pad, site_block), jnp.float32)],
+        interpret=interpret,
+    )(
+        topologies.children.astype(jnp.int32),
+        leaf_sequences.astype(jnp.int32),
+        cost_t,
+    )
+    return jnp.sum(per_site_root_min, axis=-1)

@@ -5,6 +5,7 @@ from trex_tpu.parallel.sharded import (
     sharded_batch_scores,
     sharded_joint_step,
     make_sharded_joint_step,
+    make_sharded_restart_joint_step,
 )
 from trex_tpu.parallel.distributed import initialize_distributed
 
@@ -15,5 +16,6 @@ __all__ = [
     "sharded_batch_scores",
     "sharded_joint_step",
     "make_sharded_joint_step",
+    "make_sharded_restart_joint_step",
     "initialize_distributed",
 ]

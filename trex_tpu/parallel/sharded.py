@@ -147,6 +147,77 @@ def make_sharded_joint_step(
     return step
 
 
+def make_sharded_restart_joint_step(
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation,
+    n_leaves: int,
+    constraint_scale: float = 10.0,
+):
+    """Full training step over a restart batch: dp x sp over the whole mesh.
+
+    Sharding layout (the engine's production configuration):
+      - restart batch axis  -> ``tree``  (data parallel; no cross-talk)
+      - alignment site axis -> ``site``  (sequence parallel; loss/grads psum)
+      - topology logits replicated across ``site`` within each restart.
+
+    ``params`` carry a leading restart axis: ``ancestors (R, n_anc, L, Q)``
+    sharded P(tree, None, site, None); ``tree_params (R, n_all-1, n_anc)``
+    sharded P(tree). Returns per-restart losses (R,).
+    """
+    n_site = mesh.shape[SITE_AXIS]
+
+    def local_step(params, opt_state, leaf_shard, step_keys, temperature):
+        def one_restart_loss(p, step_key):
+            return _local_joint_loss(
+                p, leaf_shard, step_key, temperature, constraint_scale,
+                n_leaves, 1.0 / n_site,
+            )
+
+        def batched_loss(p):
+            losses = jax.vmap(one_restart_loss)(p, step_keys)
+            return jnp.sum(losses), losses
+
+        grads, losses = jax.grad(batched_loss, has_aux=True)(params)
+        losses = jax.lax.psum(losses, SITE_AXIS)
+        grads = {
+            "ancestors": grads["ancestors"],
+            "tree_params": jax.lax.psum(grads["tree_params"], SITE_AXIS),
+        }
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    params_spec = {
+        "ancestors": P(TREE_AXIS, None, SITE_AXIS, None),
+        "tree_params": P(TREE_AXIS),
+    }
+
+    def step(params, opt_state, leaf_tensor, step_keys, temperature):
+        opt_spec = jax.tree_util.tree_map(
+            lambda x: params_spec["ancestors"]
+            if (hasattr(x, "ndim") and x.ndim == 4)
+            else (params_spec["tree_params"] if hasattr(x, "ndim") and x.ndim == 3 else P()),
+            opt_state,
+            is_leaf=lambda x: hasattr(x, "ndim"),
+        )
+        sharded = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(
+                params_spec,
+                opt_spec,
+                P(None, SITE_AXIS, None),
+                P(TREE_AXIS),
+                P(),
+            ),
+            out_specs=(params_spec, opt_spec, P(TREE_AXIS)),
+            check_vma=False,
+        )
+        return sharded(params, opt_state, leaf_tensor, step_keys, temperature)
+
+    return step
+
+
 def sharded_joint_step(
     mesh: Mesh,
     params,
