@@ -1,0 +1,77 @@
+"""Utility layer: chunked map, timers, checkpointing, metrics, CLI smoke."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trex_tpu.utils.chunking import chunked_map
+from trex_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from trex_tpu.utils.metrics import MetricsLogger
+from trex_tpu.utils.profiling import Timer, timed
+
+
+def test_chunked_map_matches_vmap():
+    xs = jnp.arange(24.0).reshape(12, 2)
+    fn = lambda x: jnp.sum(x ** 2)
+    np.testing.assert_allclose(
+        np.asarray(chunked_map(fn, xs, batch_size=4)),
+        np.asarray(jax.vmap(fn)(xs)),
+    )
+
+
+def test_timed_returns_mean_and_result():
+    f = jax.jit(lambda x: x * 2)
+    mean_s, out = timed(f, jnp.ones(8), warmup=1, reps=3)
+    assert mean_s > 0
+    np.testing.assert_array_equal(np.asarray(out), 2 * np.ones(8))
+
+
+def test_timer_accumulates():
+    t = Timer()
+    x = jnp.ones(4)
+    with t.time(x):
+        _ = x + 1
+    assert t.count == 1 and t.total >= 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "step": jnp.asarray(7),
+    }
+    path = os.path.join(tmp_path, "ckpt")
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"])
+    )
+    assert int(restored["step"]) == 7
+
+
+def test_metrics_logger(tmp_path):
+    path = os.path.join(tmp_path, "metrics.jsonl")
+    with MetricsLogger(path, echo=False) as log:
+        log.log(0, loss=jnp.asarray(1.5), note="a")
+        log.log(1, loss=0.5)
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["loss"] == 1.5 and lines[0]["note"] == "a"
+    assert lines[1]["step"] == 1
+
+
+def test_cli_score_smoke(capsys):
+    from trex_tpu.cli import main
+
+    main(["score", "--leaves", "4", "--sites", "16", "--mutations", "2"])
+    out = json.loads(capsys.readouterr().out)
+    assert "parsimony_score" in out and out["parsimony_score"] >= 0
+
+
+def test_cli_bench_smoke(capsys):
+    from trex_tpu.cli import main
+
+    main(["bench", "--leaves", "8", "--sites", "32", "--batch", "8", "--reps", "2"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["value"] > 0

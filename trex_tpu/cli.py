@@ -1,0 +1,272 @@
+"""Command-line drivers: ``python -m trex_tpu.cli <command>``.
+
+Commands
+--------
+score       Exact Sankoff scoring of random/generated data (single or batch).
+search      Joint topology + sequence optimization with restarts.
+asr         Gradient ASR on a fixed topology, accuracy vs exact Sankoff.
+bench       Throughput benchmark (same metric as bench.py, more knobs).
+nk-bench    The reference's accuracy benchmark: NK data, Sankoff vs gradient
+            ASR across lambda values (``evals/benchmark.py:902-1048``).
+
+The reference has no CLI at all (SURVEY.md §1); flags here use a plain
+argparse tree so the module stays dependency-free.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--leaves", type=int, default=16)
+    p.add_argument("--sites", type=int, default=128)
+    p.add_argument("--states", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--metrics-file", type=str, default=None)
+
+
+def cmd_score(args) -> None:
+    from trex_tpu.models.mutation_tree import generate_groundtruth
+    from trex_tpu.ops.sankoff import sankoff_reconstruct
+    from trex_tpu.topology import balanced_topology
+    from trex_tpu.types import CostModel
+
+    gt = generate_groundtruth(
+        args.leaves, args.states, args.mutations, args.sites, seed=args.seed
+    )
+    cost = CostModel.hamming(args.states).matrix
+    leaf = gt.all_sequences[: args.leaves].astype(jnp.int32)
+    recon, _, score = sankoff_reconstruct(
+        balanced_topology(args.leaves), cost, leaf
+    )
+    acc = float(
+        jnp.mean(recon[args.leaves :] == gt.all_sequences[args.leaves :])
+    )
+    print(
+        json.dumps(
+            {
+                "parsimony_score": float(score),
+                "ancestor_identity_vs_truth": acc,
+            }
+        )
+    )
+
+
+def cmd_search(args) -> None:
+    from trex_tpu.models.mutation_tree import generate_groundtruth
+    from trex_tpu.ops.sankoff import sankoff_score
+    from trex_tpu.search.joint import JointConfig, joint_search
+    from trex_tpu.topology import balanced_topology
+    from trex_tpu.types import CostModel
+    from trex_tpu.utils.metrics import MetricsLogger
+
+    gt = generate_groundtruth(
+        args.leaves, args.states, args.mutations, args.sites, seed=args.seed
+    )
+    cost = CostModel.hamming(args.states).matrix
+    leaf = gt.all_sequences[: args.leaves].astype(jnp.int32)
+    n_all = 2 * args.leaves - 1
+    leaf_tensor = jnp.zeros((n_all, args.sites, args.states))
+    leaf_tensor = leaf_tensor.at[: args.leaves].set(
+        jax.nn.one_hot(leaf, args.states)
+    )
+    oracle = sankoff_score(balanced_topology(args.leaves), cost, leaf)
+
+    cfg = JointConfig(n_iterations=args.iterations, learning_rate=args.lr)
+    params, losses, score = joint_search(
+        jax.random.PRNGKey(args.seed), leaf_tensor, cost, cfg,
+        n_restarts=args.restarts,
+    )
+    with MetricsLogger(args.metrics_file) as log:
+        log.log(
+            args.iterations,
+            loss=float(losses[-1]),
+            best_discrete_score=float(score),
+            sankoff_oracle=float(oracle),
+        )
+    print(
+        json.dumps(
+            {
+                "best_discrete_score": float(score),
+                "sankoff_oracle_on_true_tree": float(oracle),
+                "final_loss": float(losses[-1]),
+            }
+        )
+    )
+
+
+def cmd_asr(args) -> None:
+    from trex_tpu.models.mutation_tree import generate_groundtruth
+    from trex_tpu.ops.sankoff import sankoff_reconstruct
+    from trex_tpu.search.asr import reconstruct_ancestors
+    from trex_tpu.topology import balanced_topology
+    from trex_tpu.types import CostModel
+
+    gt = generate_groundtruth(
+        args.leaves, args.states, args.mutations, args.sites, seed=args.seed
+    )
+    cost = CostModel.hamming(args.states).matrix
+    leaf = gt.all_sequences[: args.leaves].astype(jnp.int32)
+    n_all = 2 * args.leaves - 1
+    sankoff_recon, _, _ = sankoff_reconstruct(
+        balanced_topology(args.leaves), cost, leaf
+    )
+    learned = reconstruct_ancestors(
+        leaf,
+        n_all,
+        args.states,
+        gt.adjacency,
+        jax.random.PRNGKey(args.seed),
+        n_iterations=args.iterations,
+        learning_rate=args.lr,
+    )
+    truth = gt.all_sequences[args.leaves :].astype(jnp.int32)
+    print(
+        json.dumps(
+            {
+                "sankoff_identity": float(
+                    jnp.mean(sankoff_recon[args.leaves :] == truth)
+                ),
+                "gradient_asr_identity": float(jnp.mean(learned == truth)),
+            }
+        )
+    )
+
+
+def cmd_bench(args) -> None:
+    from trex_tpu.ops.dispatch import batched_scores_fastest
+    from trex_tpu.topology import random_topologies
+    from trex_tpu.types import CostModel
+    from trex_tpu.utils.profiling import timed
+
+    topos = random_topologies(
+        jax.random.PRNGKey(args.seed), args.leaves, args.batch
+    )
+    cost = CostModel.hamming(args.states).matrix
+    leaf = jax.random.randint(
+        jax.random.PRNGKey(args.seed + 1),
+        (args.leaves, args.sites),
+        0,
+        args.states,
+    )
+    fn = jax.jit(batched_scores_fastest)
+    mean_s, _ = timed(fn, topos, cost, leaf, reps=args.reps)
+    print(
+        json.dumps(
+            {
+                "metric": f"tree evals/s ({args.leaves} taxa, {args.sites} sites)",
+                "value": round(args.batch / mean_s, 1),
+                "unit": "trees/s",
+                "batch": args.batch,
+                "ms_per_batch": round(mean_s * 1e3, 3),
+            }
+        )
+    )
+
+
+def cmd_nk_bench(args) -> None:
+    """NK accuracy benchmark: Sankoff vs gradient ASR over lambda values."""
+    from trex_tpu.models.nk import evolve_tree, make_landscape
+    from trex_tpu.ops.sankoff import sankoff_reconstruct
+    from trex_tpu.search.asr import (
+        reconstruct_ancestors,
+        reconstruct_ancestors_landscape_aware,
+    )
+    from trex_tpu.topology import balanced_topology, topology_to_adjacency
+    from trex_tpu.types import CostModel
+
+    key = jax.random.PRNGKey(args.seed)
+    results: dict[str, object] = {}
+    topo = balanced_topology(args.leaves)
+    adjacency = topology_to_adjacency(topo)
+    n_all = 2 * args.leaves - 1
+    cost = CostModel.hamming(2).matrix
+
+    for k_epi in args.k_values:
+        key, k_land, k_root, k_tree, k_opt = jax.random.split(key, 5)
+        landscape = make_landscape(args.sites, k_epi, k_land, n_states=2)
+        root = jax.random.randint(k_root, (args.sites,), 0, 2)
+        seqs = evolve_tree(
+            landscape, topo, root, args.mutation_rate, k_tree,
+            branch_length=args.branch_length,
+        )
+        leaf = seqs[: args.leaves].astype(jnp.int32)
+        truth = seqs[args.leaves :].astype(jnp.int32)
+
+        recon, _, _ = sankoff_reconstruct(topo, cost, leaf)
+        entry = {
+            "sankoff": float(jnp.mean(recon[args.leaves :] == truth))
+        }
+        for lam in args.lambdas:
+            if lam == 0.0:
+                learned = reconstruct_ancestors(
+                    leaf, n_all, 2, adjacency, k_opt,
+                    n_iterations=args.iterations,
+                )
+            else:
+                learned = reconstruct_ancestors_landscape_aware(
+                    leaf, n_all, 2, landscape, lam, adjacency, k_opt,
+                    n_iterations=args.iterations,
+                )
+            entry[f"gradient_asr(lambda={lam})"] = float(
+                jnp.mean(learned == truth)
+            )
+        results[f"K={k_epi}"] = entry
+        print(json.dumps({f"K={k_epi}": entry}), file=sys.stderr)
+    print(json.dumps(results))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="trex_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("score", help="exact Sankoff scoring + reconstruction")
+    _add_common(p)
+    p.add_argument("--mutations", type=int, default=3)
+    p.set_defaults(fn=cmd_score)
+
+    p = sub.add_parser("search", help="joint topology+sequence search")
+    _add_common(p)
+    p.add_argument("--mutations", type=int, default=3)
+    p.add_argument("--iterations", type=int, default=5000)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--restarts", type=int, default=8)
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("asr", help="gradient ASR vs Sankoff oracle")
+    _add_common(p)
+    p.add_argument("--mutations", type=int, default=3)
+    p.add_argument("--iterations", type=int, default=3000)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.set_defaults(fn=cmd_asr)
+
+    p = sub.add_parser("bench", help="batched scoring throughput")
+    _add_common(p)
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--reps", type=int, default=20)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("nk-bench", help="NK accuracy benchmark")
+    _add_common(p)
+    p.add_argument("--k-values", type=int, nargs="+", default=[1, 2, 5])
+    p.add_argument("--lambdas", type=float, nargs="+", default=[0.0, 0.3, 3.0])
+    p.add_argument("--mutation-rate", type=float, default=0.1)
+    p.add_argument("--branch-length", type=int, default=1)
+    p.add_argument("--iterations", type=int, default=10000)
+    p.set_defaults(fn=cmd_nk_bench)
+    return parser
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 # beyond the smallest sizes; node buckets cover 2^k-leaf binary trees.
 SITE_BUCKETS: tuple[int, ...] = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
 K_BUCKETS: tuple[int, ...] = (2, 4, 8)
-NODE_BUCKETS: tuple[int, ...] = (15, 31, 63, 127, 255, 511, 1023, 2047)
+NODE_BUCKETS: tuple[int, ...] = (15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383, 32767, 65535)
 
 
 def next_bucket(value: int, buckets: tuple[int, ...] = SITE_BUCKETS) -> int:
