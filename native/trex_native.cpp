@@ -1,0 +1,454 @@
+// trex_tpu native runtime: tree I/O and host-side search-move generation.
+//
+// The TPU owns the numerics (Sankoff DP, gradients); this library owns the
+// irregular, pointer-chasing host work that XLA is bad at:
+//   - Newick parsing/serialization into the engine's node-order contract
+//     (leaves 0..n_leaves-1, ancestors above, root last, children always
+//     below their parent — see trex_tpu/topology.py),
+//   - batched coalescent sampling of random rooted binary topologies,
+//   - NNI / SPR neighborhood enumeration with canonical relabeling, feeding
+//     candidate-tree batches to the vmapped/Pallas scoring path.
+//
+// Exposed as a C ABI consumed via ctypes (trex_tpu/io/native.py). All
+// topology buffers are int32: children has shape (n_anc, 2) flattened
+// row-major, parents has shape (n_all,).
+
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Tree {
+  int n_leaves = 0;
+  std::vector<int32_t> children;  // (n_anc, 2)
+  std::vector<int32_t> parents;   // (n_all)
+  int n_anc() const { return n_leaves - 1; }
+  int n_all() const { return 2 * n_leaves - 1; }
+};
+
+// Renumber ancestors so every parent index exceeds its children's
+// (post-order), keeping leaf indices fixed. Input: per-node child lists in
+// *any* ancestor numbering; output: canonical children/parents arrays.
+Tree canonicalize(int n_leaves, const std::vector<std::vector<int32_t>>& kids,
+                  int root) {
+  const int n_all = 2 * n_leaves - 1;
+  std::vector<int32_t> relabel(n_all, -1);
+  for (int i = 0; i < n_leaves; ++i) relabel[i] = i;
+  int next_id = n_leaves;
+  // Iterative post-order from the root.
+  std::vector<int32_t> stack = {root};
+  std::vector<int32_t> order;
+  order.reserve(n_all);
+  while (!stack.empty()) {
+    int32_t node = stack.back();
+    stack.pop_back();
+    order.push_back(node);
+    for (int32_t c : kids[node]) stack.push_back(c);
+  }
+  // Reverse of a preorder (parent-before-child) visits children first.
+  for (auto it = order.rbegin(); it != order.rend(); ++it) {
+    if (*it >= n_leaves || kids[*it].size() == 2) {
+      if (relabel[*it] == -1) relabel[*it] = next_id++;
+    }
+  }
+  Tree out;
+  out.n_leaves = n_leaves;
+  out.children.assign(2 * (n_leaves - 1), -1);
+  out.parents.assign(n_all, -1);
+  for (int node = 0; node < n_all; ++node) {
+    if (kids[node].empty()) continue;
+    int32_t p = relabel[node];
+    int32_t a = p - n_leaves;
+    int32_t c0 = relabel[kids[node][0]];
+    int32_t c1 = relabel[kids[node][1]];
+    if (c0 > c1) std::swap(c0, c1);
+    out.children[2 * a] = c0;
+    out.children[2 * a + 1] = c1;
+    out.parents[c0] = p;
+    out.parents[c1] = p;
+  }
+  out.parents[n_all - 1] = n_all - 1;
+  return out;
+}
+
+// Child lists (indexed by node id) from canonical children array.
+std::vector<std::vector<int32_t>> child_lists(const int32_t* children,
+                                              int n_leaves) {
+  const int n_all = 2 * n_leaves - 1;
+  std::vector<std::vector<int32_t>> kids(n_all);
+  for (int a = 0; a < n_leaves - 1; ++a) {
+    kids[n_leaves + a] = {children[2 * a], children[2 * a + 1]};
+  }
+  return kids;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Newick parsing.
+//
+// Supports rooted binary newick with optional labels and branch lengths,
+// e.g. "((A:0.1,B:0.2):0.3,(C,D));". Leaves are numbered in order of
+// appearance. Returns 0 on success, negative error codes otherwise:
+//   -1 malformed input, -2 non-binary node, -3 buffer too small.
+// names_out receives the leaf labels joined by '\n' (may be empty labels).
+int trex_parse_newick(const char* s, int32_t* children_out,
+                      int32_t* parents_out, double* branch_lengths_out,
+                      char* names_out, int names_cap, int32_t* n_leaves_out) {
+  if (!s) return -1;
+  const std::string str(s);
+  size_t pos = 0;
+  struct Node {
+    std::vector<int> kids;
+    std::string label;
+    double blen = 0.0;
+    bool is_leaf = false;
+  };
+  std::vector<Node> nodes;
+
+  // Recursive-descent parse.
+  struct Parser {
+    const std::string& str;
+    size_t& pos;
+    std::vector<Node>& nodes;
+    bool failed = false;
+
+    void skip_ws() {
+      while (pos < str.size() && isspace((unsigned char)str[pos])) ++pos;
+    }
+
+    int parse_clade() {  // returns node index or -1
+      skip_ws();
+      if (failed || pos >= str.size()) return fail();
+      int idx;
+      if (str[pos] == '(') {
+        ++pos;
+        nodes.push_back(Node{});
+        idx = (int)nodes.size() - 1;
+        while (true) {
+          int child = parse_clade();
+          if (child < 0) return -1;
+          nodes[idx].kids.push_back(child);
+          skip_ws();
+          if (pos < str.size() && str[pos] == ',') {
+            ++pos;
+            continue;
+          }
+          break;
+        }
+        skip_ws();
+        if (pos >= str.size() || str[pos] != ')') return fail();
+        ++pos;
+      } else {
+        nodes.push_back(Node{});
+        idx = (int)nodes.size() - 1;
+        nodes[idx].is_leaf = true;
+      }
+      // Optional label.
+      size_t start = pos;
+      while (pos < str.size() && str[pos] != ':' && str[pos] != ',' &&
+             str[pos] != ')' && str[pos] != ';' && str[pos] != '(' &&
+             !isspace((unsigned char)str[pos]))
+        ++pos;
+      nodes[idx].label = str.substr(start, pos - start);
+      // Optional branch length.
+      skip_ws();
+      if (pos < str.size() && str[pos] == ':') {
+        ++pos;
+        size_t bstart = pos;
+        while (pos < str.size() &&
+               (isdigit((unsigned char)str[pos]) || str[pos] == '.' ||
+                str[pos] == '-' || str[pos] == '+' || str[pos] == 'e' ||
+                str[pos] == 'E'))
+          ++pos;
+        try {
+          nodes[idx].blen = std::stod(str.substr(bstart, pos - bstart));
+        } catch (...) {
+          return fail();
+        }
+      }
+      return idx;
+    }
+    int fail() {
+      failed = true;
+      return -1;
+    }
+  } parser{str, pos, nodes};
+
+  int root = parser.parse_clade();
+  if (root < 0 || parser.failed) return -1;
+
+  // Count leaves; check binary internals.
+  int n_leaves = 0;
+  for (auto& n : nodes) {
+    if (n.is_leaf)
+      ++n_leaves;
+    else if (n.kids.size() != 2)
+      return -2;
+  }
+  if (n_leaves < 2) return -1;
+  const int n_all = 2 * n_leaves - 1;
+  if ((int)nodes.size() != n_all) return -2;
+
+  // Engine ids: leaves in order of appearance; internals canonicalized.
+  std::vector<int32_t> engine_id(nodes.size(), -1);
+  std::vector<std::string> leaf_names;
+  int leaf_ctr = 0;
+  for (size_t i = 0; i < nodes.size(); ++i) {
+    if (nodes[i].is_leaf) {
+      engine_id[i] = leaf_ctr++;
+      leaf_names.push_back(nodes[i].label);
+    }
+  }
+  // Temporary (non-canonical) internal numbering.
+  int tmp = n_leaves;
+  for (size_t i = 0; i < nodes.size(); ++i)
+    if (!nodes[i].is_leaf) engine_id[i] = tmp++;
+
+  std::vector<std::vector<int32_t>> kids(n_all);
+  std::vector<double> blen_by_parse(nodes.size());
+  for (size_t i = 0; i < nodes.size(); ++i) {
+    blen_by_parse[i] = nodes[i].blen;
+    for (int c : nodes[i].kids) kids[engine_id[i]].push_back(engine_id[c]);
+  }
+  Tree t = canonicalize(n_leaves, kids, engine_id[root]);
+  std::memcpy(children_out, t.children.data(),
+              t.children.size() * sizeof(int32_t));
+  std::memcpy(parents_out, t.parents.data(),
+              t.parents.size() * sizeof(int32_t));
+
+  if (branch_lengths_out) {
+    // Branch lengths indexed by canonical child node id. Recover the
+    // canonical id of each parse node by replaying the relabeling: leaves
+    // map directly; internals via matching child sets is overkill — instead
+    // store by engine tmp id, then remap through a second canonicalization
+    // pass. Simpler: recompute canonical ids with the same deterministic
+    // procedure used in canonicalize().
+    // We reconstruct by mapping tmp ids -> canonical via parents arrays:
+    // walk the canonical tree and tmp tree in the same preorder.
+    std::vector<int32_t> canon_of_tmp(n_all, -1);
+    for (int i = 0; i < n_leaves; ++i) canon_of_tmp[i] = i;
+    // Preorder both trees in lockstep (children sorted ascending by the
+    // *minimum leaf descendant* is not needed: canonicalize preserved child
+    // list order, so kid k of tmp node == kid k of canonical node after
+    // index sort; match by structure).
+    // For branch lengths we only need child->blen by canonical id; do a
+    // DFS over tmp tree computing canonical ids on the fly.
+    // canonical children of an ancestor are sorted; tmp children may not
+    // correspond 1:1 after sorting, so compute canonical id recursively:
+    // canonical id of an internal node = n_leaves + rank in post-order of
+    // internals. Replicate canonicalize()'s traversal on tmp tree:
+    {
+      std::vector<int32_t> stack = {engine_id[root]};
+      std::vector<int32_t> order;
+      while (!stack.empty()) {
+        int32_t node = stack.back();
+        stack.pop_back();
+        order.push_back(node);
+        for (int32_t c : kids[node]) stack.push_back(c);
+      }
+      int next_id = n_leaves;
+      for (auto it = order.rbegin(); it != order.rend(); ++it)
+        if (!kids[*it].empty() && canon_of_tmp[*it] == -1)
+          canon_of_tmp[*it] = next_id++;
+    }
+    for (int i = 0; i < n_all; ++i) branch_lengths_out[i] = 0.0;
+    for (size_t i = 0; i < nodes.size(); ++i)
+      branch_lengths_out[canon_of_tmp[engine_id[i]]] = blen_by_parse[i];
+  }
+
+  if (names_out && names_cap > 0) {
+    std::string joined;
+    for (size_t i = 0; i < leaf_names.size(); ++i) {
+      if (i) joined += '\n';
+      joined += leaf_names[i];
+    }
+    if ((int)joined.size() + 1 > names_cap) return -3;
+    std::memcpy(names_out, joined.c_str(), joined.size() + 1);
+  }
+  *n_leaves_out = n_leaves;
+  return 0;
+}
+
+// Serialize a canonical topology to newick. Leaf i is named names[i] (a
+// '\n'-joined buffer; nullptr -> "L<i>"). Returns bytes written (excluding
+// NUL) or -3 if the buffer is too small.
+int trex_write_newick(const int32_t* children, int n_leaves, const char* names,
+                      char* out, int out_cap) {
+  std::vector<std::string> labels;
+  if (names) {
+    std::string buf(names);
+    size_t start = 0;
+    while (true) {
+      size_t nl = buf.find('\n', start);
+      labels.push_back(buf.substr(start, nl - start));
+      if (nl == std::string::npos) break;
+      start = nl + 1;
+    }
+  }
+  auto name_of = [&](int i) {
+    if (i < (int)labels.size()) return labels[i];
+    return std::string("L") + std::to_string(i);
+  };
+  const int n_all = 2 * n_leaves - 1;
+  // Build strings bottom-up: ancestors in index order see children done.
+  std::vector<std::string> repr(n_all);
+  for (int i = 0; i < n_leaves; ++i) repr[i] = name_of(i);
+  for (int a = 0; a < n_leaves - 1; ++a) {
+    repr[n_leaves + a] = "(" + repr[children[2 * a]] + "," +
+                         repr[children[2 * a + 1]] + ")";
+  }
+  std::string result = repr[n_all - 1] + ";";
+  if ((int)result.size() + 1 > out_cap) return -3;
+  std::memcpy(out, result.c_str(), result.size() + 1);
+  return (int)result.size();
+}
+
+// Batched coalescent sampling of random rooted binary topologies.
+void trex_sample_topologies(uint64_t seed, int n_leaves, int batch,
+                            int32_t* children_out, int32_t* parents_out) {
+  std::mt19937_64 rng(seed);
+  const int n_anc = n_leaves - 1;
+  const int n_all = 2 * n_leaves - 1;
+  std::vector<int32_t> active;
+  for (int b = 0; b < batch; ++b) {
+    int32_t* children = children_out + (size_t)b * n_anc * 2;
+    int32_t* parents = parents_out + (size_t)b * n_all;
+    active.resize(n_leaves);
+    for (int i = 0; i < n_leaves; ++i) active[i] = i;
+    for (int a = 0; a < n_anc; ++a) {
+      std::uniform_int_distribution<int> d1(0, (int)active.size() - 1);
+      int i = d1(rng);
+      std::swap(active[i], active.back());
+      int32_t c1 = active.back();
+      active.pop_back();
+      std::uniform_int_distribution<int> d2(0, (int)active.size() - 1);
+      int j = d2(rng);
+      std::swap(active[j], active.back());
+      int32_t c2 = active.back();
+      active.pop_back();
+      if (c1 > c2) std::swap(c1, c2);
+      int32_t node = n_leaves + a;
+      children[2 * a] = c1;
+      children[2 * a + 1] = c2;
+      parents[c1] = node;
+      parents[c2] = node;
+      active.push_back(node);
+    }
+    parents[n_all - 1] = n_all - 1;
+  }
+}
+
+// Number of NNI neighbors of a canonical topology: 2 per internal edge
+// (edge from an ancestor to an ancestor child, root excluded as child).
+int trex_nni_count(const int32_t* children, int n_leaves) {
+  int count = 0;
+  for (int a = 0; a < n_leaves - 1; ++a) {
+    if (children[2 * a] >= n_leaves) count += 2;
+    if (children[2 * a + 1] >= n_leaves) count += 2;
+  }
+  return count;
+}
+
+// Enumerate all NNI neighbors; children_out has shape (count, n_anc, 2) and
+// parents_out (count, n_all), canonical numbering. Returns the count.
+int trex_nni_neighbors(const int32_t* children, int n_leaves,
+                       int32_t* children_out, int32_t* parents_out) {
+  const int n_anc = n_leaves - 1;
+  const int n_all = 2 * n_leaves - 1;
+  auto kids0 = child_lists(children, n_leaves);
+  int written = 0;
+  for (int a = 0; a < n_anc; ++a) {
+    int32_t p = n_leaves + a;
+    for (int ci = 0; ci < 2; ++ci) {
+      int32_t c = kids0[p][ci];
+      if (c < n_leaves) continue;  // need an internal child
+      int32_t sibling = kids0[p][1 - ci];
+      for (int gi = 0; gi < 2; ++gi) {
+        // Swap sibling with grandchild gi of c.
+        auto kids = kids0;
+        int32_t grand = kids[c][gi];
+        kids[p][1 - ci] = grand;
+        kids[c][gi] = sibling;
+        Tree t = canonicalize(n_leaves, kids, n_all - 1);
+        std::memcpy(children_out + (size_t)written * n_anc * 2,
+                    t.children.data(), t.children.size() * sizeof(int32_t));
+        std::memcpy(parents_out + (size_t)written * n_all, t.parents.data(),
+                    t.parents.size() * sizeof(int32_t));
+        ++written;
+      }
+    }
+  }
+  return written;
+}
+
+// SPR: prune the subtree rooted at `prune_node` (any non-root node) and
+// regraft onto the edge above `regraft_node`. Returns 0 on success, -1 if
+// the move is invalid (regraft inside the pruned subtree, regraft at the
+// pruned node's sibling edge = no-op, or prune at root).
+int trex_spr(const int32_t* children, int n_leaves, int32_t prune_node,
+             int32_t regraft_node, int32_t* children_out,
+             int32_t* parents_out) {
+  const int n_all = 2 * n_leaves - 1;
+  if (prune_node >= n_all - 1 || regraft_node >= n_all - 1) return -1;
+  auto kids = child_lists(children, n_leaves);
+  std::vector<int32_t> parent(n_all, -1);
+  for (int node = 0; node < n_all; ++node)
+    for (int32_t c : kids[node]) parent[c] = node;
+  parent[n_all - 1] = n_all - 1;
+
+  // Reject regrafting inside the pruned subtree (would disconnect).
+  for (int32_t x = regraft_node;; x = parent[x]) {
+    if (x == prune_node) return -1;
+    if (x == parent[x]) break;
+  }
+  int32_t p = parent[prune_node];
+  int32_t sibling = kids[p][0] == prune_node ? kids[p][1] : kids[p][0];
+  if (regraft_node == sibling || regraft_node == p) return -1;  // no-op
+  int32_t gp = parent[p];
+  if (gp == p) {
+    // p is the root: pruning one of the root's children makes the sibling
+    // the new root; p is reused as the regraft junction below.
+    // Handled uniformly by splicing p out, then re-rooting at sibling.
+  }
+  // Splice p out: sibling takes p's place under gp.
+  if (gp != p) {
+    for (auto& k : kids[gp])
+      if (k == p) k = sibling;
+    parent[sibling] = gp;
+  } else {
+    parent[sibling] = sibling;  // sibling becomes root
+  }
+  // Re-insert p on the edge above regraft_node.
+  int32_t rp = parent[regraft_node];
+  if (rp == regraft_node) {
+    // Regrafting above the (possibly new) root: p becomes the new root.
+    kids[p] = {prune_node, regraft_node};
+    parent[regraft_node] = p;
+    parent[p] = p;
+  } else {
+    for (auto& k : kids[rp])
+      if (k == regraft_node) k = p;
+    kids[p] = {prune_node, regraft_node};
+    parent[regraft_node] = p;
+    parent[p] = rp;
+  }
+  // Find root.
+  int32_t root = -1;
+  for (int node = 0; node < n_all; ++node)
+    if (parent[node] == node) root = node;
+  if (root < 0) return -1;
+  Tree t = canonicalize(n_leaves, kids, root);
+  std::memcpy(children_out, t.children.data(),
+              t.children.size() * sizeof(int32_t));
+  std::memcpy(parents_out, t.parents.data(),
+              t.parents.size() * sizeof(int32_t));
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,136 @@
+"""I/O layer: newick/FASTA round trips, native vs Python parity, tree moves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trex_tpu.io import (
+    DNA,
+    load_newick,
+    nni_neighbors,
+    parse_fasta,
+    sample_topologies,
+    save_newick,
+    spr_move,
+    write_fasta,
+)
+from trex_tpu.io import fallback, native
+from trex_tpu.ops.sankoff import batched_sankoff_score, sankoff_score
+from trex_tpu.topology import Topology, balanced_topology
+from trex_tpu.types import CostModel
+
+NEWICK = "((A:0.1,B:0.2):0.3,(C:0.4,D:0.5):0.6);"
+
+
+def _assert_valid(children, parents, n_leaves):
+    n_all = 2 * n_leaves - 1
+    flat = sorted(np.asarray(children).reshape(-1).tolist())
+    assert flat == list(range(n_all - 1))
+    for a in range(n_leaves - 1):
+        assert children[a][0] < children[a][1] < n_leaves + a
+    assert parents[n_all - 1] == n_all - 1
+
+
+def test_newick_roundtrip():
+    topo, blens, names = load_newick(NEWICK)
+    assert names == ["A", "B", "C", "D"]
+    _assert_valid(np.asarray(topo.children), np.asarray(topo.parents), 4)
+    assert blens[np.asarray(topo.parents)[0]] in (0.3, 0.6)
+    text = save_newick(topo, names)
+    topo2, _, names2 = load_newick(text)
+    np.testing.assert_array_equal(
+        np.asarray(topo.children), np.asarray(topo2.children)
+    )
+    assert names2 == names
+
+
+def test_native_python_parser_parity():
+    if not native.available():
+        pytest.skip("no native library")
+    nc, npar, nbl, nnames = native.parse_newick(NEWICK)
+    pc, ppar, pbl, pnames = fallback.py_parse_newick(NEWICK)
+    np.testing.assert_array_equal(nc, pc)
+    np.testing.assert_array_equal(npar, ppar)
+    np.testing.assert_allclose(nbl, pbl)
+    assert nnames == pnames
+
+
+def test_native_python_nni_parity():
+    if not native.available():
+        pytest.skip("no native library")
+    children = np.asarray(balanced_topology(8).children)
+    nc, npar = native.nni_neighbors(children)
+    pc, ppar = fallback.py_nni_neighbors(children)
+    np.testing.assert_array_equal(nc, pc)
+    np.testing.assert_array_equal(npar, ppar)
+
+
+@pytest.mark.parametrize("n_leaves", [4, 8, 16])
+def test_sampled_topologies_valid(n_leaves):
+    topos = sample_topologies(7, n_leaves, 8)
+    for b in range(8):
+        _assert_valid(
+            np.asarray(topos.children[b]), np.asarray(topos.parents[b]), n_leaves
+        )
+
+
+def test_nni_neighbors_valid_and_distinct():
+    topo = balanced_topology(8)
+    nbrs = nni_neighbors(topo)
+    n_moves = nbrs.children.shape[0]
+    # 6 internal edges (ancestors 8..13 as children of 12,13,14) x 2 moves.
+    assert n_moves == 12
+    seen = set()
+    for b in range(n_moves):
+        _assert_valid(np.asarray(nbrs.children[b]), np.asarray(nbrs.parents[b]), 8)
+        seen.add(np.asarray(nbrs.children[b]).tobytes())
+    assert len(seen) == n_moves  # all distinct
+
+
+def test_nni_preserves_leaf_set_and_changes_score():
+    """NNI neighbors score differently but stay valid trees."""
+    n_leaves, q, length = 8, 4, 64
+    topo = balanced_topology(n_leaves)
+    leaf = jax.random.randint(jax.random.PRNGKey(0), (n_leaves, length), 0, q)
+    cost = CostModel.hamming(q).matrix
+    base = float(sankoff_score(topo, cost, leaf))
+    nbrs = nni_neighbors(topo)
+    scores = batched_sankoff_score(nbrs, cost, leaf)
+    assert np.isfinite(np.asarray(scores)).all()
+    assert np.asarray(scores).min() >= 0
+
+
+def test_spr_move():
+    if not native.available():
+        pytest.skip("no native library")
+    topo = balanced_topology(4)
+    moved = spr_move(topo, 0, 2)
+    assert moved is not None
+    _assert_valid(np.asarray(moved.children), np.asarray(moved.parents), 4)
+    # Regraft inside pruned subtree is invalid.
+    assert spr_move(topo, 4, 0) is None
+
+
+def test_fasta_roundtrip():
+    text = ">s1\nACGT\n>s2\nTTAA\n"
+    names, seqs = parse_fasta(text, DNA)
+    assert names == ["s1", "s2"]
+    np.testing.assert_array_equal(seqs, [[0, 1, 2, 3], [3, 3, 0, 0]])
+    out = write_fasta(names, seqs, DNA)
+    names2, seqs2 = parse_fasta(out, DNA)
+    np.testing.assert_array_equal(seqs, seqs2)
+
+
+def test_fasta_validates_alignment():
+    with pytest.raises(ValueError):
+        parse_fasta(">a\nACGT\n>b\nAC\n")
+
+
+def test_newick_to_scoring_pipeline():
+    """End to end: newick text -> Topology -> exact score."""
+    topo, _, names = load_newick("((A,B),((C,D),(E,F)));")
+    assert topo.n_leaves == 6
+    leaf = jax.random.randint(jax.random.PRNGKey(1), (6, 32), 0, 4)
+    score = sankoff_score(topo, CostModel.hamming(4).matrix, leaf)
+    assert float(score) >= 0

@@ -1,0 +1,129 @@
+"""Data I/O: alignments (FASTA) and trees (Newick) <-> engine types.
+
+The reference has no file I/O at all (all data is generated in-process,
+SURVEY.md §1); a production engine needs to ingest real alignments and tree
+hypotheses. Parsing and search-move generation are native C++
+(``native/trex_native.cpp``) via ctypes, with pure-Python fallbacks.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from trex_tpu.io import native
+from trex_tpu.io.fallback import (
+    py_nni_neighbors,
+    py_parse_newick,
+    py_sample_topologies,
+    py_write_newick,
+)
+from trex_tpu.topology import Topology
+
+# Alphabets: index 0.. for states; unknown characters map to state 0.
+DNA = "ACGT"
+PROTEIN = "ARNDCQEGHILKMFPSTWYV"
+
+
+def load_newick(text: str) -> tuple[Topology, np.ndarray, list[str]]:
+    """Parse newick into (Topology, branch_lengths by child node, leaf names)."""
+    if native.available():
+        children, parents, blens, names = native.parse_newick(text)
+    else:
+        children, parents, blens, names = py_parse_newick(text)
+    topo = Topology(children=jnp.asarray(children), parents=jnp.asarray(parents))
+    return topo, blens, names
+
+
+def save_newick(topology: Topology, leaf_names: list[str] | None = None) -> str:
+    children = np.asarray(topology.children)
+    if native.available():
+        return native.write_newick(children, leaf_names)
+    return py_write_newick(children, leaf_names)
+
+
+def parse_fasta(text: str, alphabet: str = DNA) -> tuple[list[str], np.ndarray]:
+    """Parse FASTA text into (names, (n_seqs, L) int8 state matrix)."""
+    names: list[str] = []
+    chunks: list[str] = []
+    current: list[str] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith(">"):
+            if names:
+                chunks.append("".join(current))
+                current = []
+            names.append(line[1:].split()[0] if len(line) > 1 else "")
+        else:
+            current.append(line)
+    if names:
+        chunks.append("".join(current))
+    if not names:
+        raise ValueError("no sequences in FASTA input")
+    lengths = {len(c) for c in chunks}
+    if len(lengths) != 1:
+        raise ValueError(f"unaligned sequences (lengths {sorted(lengths)})")
+    lookup = np.zeros(256, dtype=np.int8)
+    for i, ch in enumerate(alphabet):
+        lookup[ord(ch)] = i
+        lookup[ord(ch.lower())] = i
+    data = np.frombuffer(
+        "".join(chunks).encode("ascii"), dtype=np.uint8
+    ).reshape(len(names), -1)
+    return names, lookup[data]
+
+
+def write_fasta(names: list[str], sequences: np.ndarray, alphabet: str = DNA) -> str:
+    """Serialize an integer state matrix back to FASTA."""
+    table = np.frombuffer(alphabet.encode("ascii"), dtype=np.uint8)
+    rows = []
+    seqs = np.asarray(sequences).astype(np.int64)
+    for name, row in zip(names, seqs):
+        rows.append(f">{name}")
+        rows.append(table[row].tobytes().decode("ascii"))
+    return "\n".join(rows) + "\n"
+
+
+def sample_topologies(seed: int, n_leaves: int, batch: int) -> Topology:
+    """Batched random topologies via the native sampler (Python fallback)."""
+    if native.available():
+        children, parents = native.sample_topologies(seed, n_leaves, batch)
+    else:
+        children, parents = py_sample_topologies(seed, n_leaves, batch)
+    return Topology(children=jnp.asarray(children), parents=jnp.asarray(parents))
+
+
+def nni_neighbors(topology: Topology) -> Topology:
+    """All NNI neighbors of a single topology, as a batched Topology."""
+    children = np.asarray(topology.children)
+    if native.available():
+        nc, npar = native.nni_neighbors(children)
+    else:
+        nc, npar = py_nni_neighbors(children)
+    return Topology(children=jnp.asarray(nc), parents=jnp.asarray(npar))
+
+
+def spr_move(topology: Topology, prune_node: int, regraft_node: int) -> Topology | None:
+    """One subtree-prune-regraft move (native only; None if invalid)."""
+    if not native.available():
+        raise NotImplementedError("SPR requires the native library")
+    result = native.spr_move(np.asarray(topology.children), prune_node, regraft_node)
+    if result is None:
+        return None
+    nc, npar = result
+    return Topology(children=jnp.asarray(nc), parents=jnp.asarray(npar))
+
+
+__all__ = [
+    "DNA",
+    "PROTEIN",
+    "load_newick",
+    "save_newick",
+    "parse_fasta",
+    "write_fasta",
+    "sample_topologies",
+    "nni_neighbors",
+    "spr_move",
+]
