@@ -176,3 +176,16 @@ def test_dp_table_layout():
     assert back.shape == (3, 2, 4, 12)  # (ancestors, child, state, sites)
     # All-identical leaves: zero cost at state 0 everywhere up the tree.
     assert float(jnp.min(dp[-1], axis=0).sum()) == 0.0
+
+
+def test_hamming_fast_path_matches_general():
+    """Closed-form Hamming messages give identical scores to the O(Q^2) path."""
+    from trex_tpu.ops.sankoff import batched_sankoff_score_hamming
+
+    n_leaves, q, length, batch = 8, 4, 33, 8
+    topos = random_topologies(jax.random.PRNGKey(10), n_leaves, batch)
+    leaf = jax.random.randint(jax.random.PRNGKey(11), (n_leaves, length), 0, q)
+    cost = CostModel.hamming(q).matrix
+    general = batched_sankoff_score(topos, cost, leaf)
+    fast = batched_sankoff_score_hamming(topos, cost, leaf)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(general))

@@ -96,3 +96,35 @@ def test_scaling_more_trees_than_devices(mesh):
     single = batched_sankoff_score(topos, cost, leaf)
     sharded = sharded_batch_scores(mesh, topos, cost, leaf)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
+
+
+def test_scaling_harness_smoke(mesh, capsys):
+    """benchmarks/scaling.py logic runs on the virtual mesh."""
+    import sys, subprocess, json, os
+
+    from trex_tpu.parallel.mesh import make_mesh
+    from trex_tpu.parallel.sharded import sharded_batch_scores
+    from trex_tpu.topology import random_topologies
+    from trex_tpu.types import CostModel
+
+    topos = random_topologies(jax.random.PRNGKey(0), 8, 16)
+    cost = CostModel.hamming(4).matrix
+    leaf = jax.random.randint(jax.random.PRNGKey(1), (8, 64), 0, 4)
+    for n in (1, 4):
+        m = make_mesh(jax.devices()[:n])
+        scores = sharded_batch_scores(m, topos, cost, leaf)
+        assert scores.shape == (16,)
+
+
+def test_dispatch_falls_back_to_lax(mesh):
+    from trex_tpu.ops.dispatch import batched_scores_fastest
+    from trex_tpu.ops.sankoff import batched_sankoff_score
+    from trex_tpu.topology import random_topologies
+    from trex_tpu.types import CostModel
+
+    topos = random_topologies(jax.random.PRNGKey(0), 8, 4)
+    cost = CostModel.hamming(4).matrix
+    leaf = jax.random.randint(jax.random.PRNGKey(1), (8, 64), 0, 4)
+    got = batched_scores_fastest(topos, cost, leaf)
+    want = batched_sankoff_score(topos, cost, leaf)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

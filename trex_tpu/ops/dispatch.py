@@ -2,15 +2,30 @@
 
 The Pallas fused kernel (``sankoff_pallas``) is the production TPU path; the
 lax formulation is the oracle and the fallback everywhere else (CPU tests,
-interpret-mode parity, platforms without Mosaic).
+interpret-mode parity, platforms without Mosaic). Hamming substitution costs
+(the reference's universal choice) take O(Q) closed-form message paths in
+both backends.
 """
 
 from __future__ import annotations
 
 import jax
+import numpy as np
 
-from trex_tpu.ops.sankoff import batched_sankoff_score
+from trex_tpu.ops.sankoff import (
+    batched_sankoff_score,
+    batched_sankoff_score_hamming,
+)
 from trex_tpu.topology import Topology
+
+
+def _is_hamming(cost_matrix) -> bool:
+    try:
+        c = np.asarray(cost_matrix)
+    except jax.errors.TracerArrayConversionError:
+        return False
+    q = c.shape[-1]
+    return bool(np.array_equal(c, np.ones((q, q)) - np.eye(q)))
 
 
 def batched_scores_fastest(
@@ -19,11 +34,16 @@ def batched_scores_fastest(
     leaf_sequences: jax.Array,
 ) -> jax.Array:
     """Score a candidate batch with the fastest available backend."""
+    hamming = _is_hamming(cost_matrix)
     if jax.default_backend() == "tpu":
         try:
             from trex_tpu.ops.sankoff_pallas import batched_sankoff_score_pallas
 
-            return batched_sankoff_score_pallas(topologies, cost_matrix, leaf_sequences)
+            return batched_sankoff_score_pallas(
+                topologies, cost_matrix, leaf_sequences, hamming=hamming
+            )
         except ImportError:
             pass
+    if hamming:
+        return batched_sankoff_score_hamming(topologies, cost_matrix, leaf_sequences)
     return batched_sankoff_score(topologies, cost_matrix, leaf_sequences)

@@ -70,6 +70,17 @@ def _minplus_messages(child_dp: jax.Array, cost: jax.Array) -> tuple[jax.Array, 
     return jnp.min(expanded, axis=2), jnp.argmin(expanded, axis=2).astype(jnp.int32)
 
 
+def _hamming_messages(child_dp: jax.Array) -> jax.Array:
+    """Closed-form min-plus messages for Hamming cost (ones - eye).
+
+    msg[s] = min_{s'} (C[s,s'] + d[s']) = min(d[s], 1 + min_{s'} d[s']) —
+    O(Q) per node instead of the O(Q^2) broadcast. Identical scores to the
+    general path (ties in *argmins* may resolve differently, so the
+    reconstruction path always uses the general messages).
+    """
+    return jnp.minimum(child_dp, 1.0 + jnp.min(child_dp, axis=-2, keepdims=True))
+
+
 def sankoff_tables(
     topology: Topology,
     cost_matrix: jax.Array,
@@ -116,13 +127,35 @@ def sankoff_score(
     leaf_sequences: jax.Array,
     site_mask: jax.Array | None = None,
     dtype=jnp.float32,
+    hamming: bool = False,
 ) -> jax.Array:
     """Exact parsimony score of one tree (scalar).
 
     Score = per-site min over root states, summed over (unmasked) sites —
-    the reference's reduction order (``sankoff.py:187``).
+    the reference's reduction order (``sankoff.py:187``). Pass
+    ``hamming=True`` when ``cost_matrix`` is ``ones - eye`` to take the O(Q)
+    closed-form message path (cost_matrix is then ignored).
     """
-    dp, _ = sankoff_tables(topology, cost_matrix, leaf_sequences, dtype)
+    if hamming:
+        n_leaves = topology.n_leaves
+        n_all = topology.n_all
+        n_states = cost_matrix.shape[-1]
+        length = leaf_sequences.shape[-1]
+        dp0 = jnp.full((n_all, n_states, length), jnp.asarray(BIG_COST, dtype))
+        dp0 = dp0.at[:n_leaves].set(leaf_dp_table(leaf_sequences, n_states, dtype))
+
+        def step(dp, inputs):
+            anc_offset, child_pair = inputs
+            messages = _hamming_messages(dp[child_pair])
+            dp = jax.lax.dynamic_update_slice(
+                dp, jnp.sum(messages, axis=0)[None], (n_leaves + anc_offset, 0, 0)
+            )
+            return dp, None
+
+        offsets = jnp.arange(topology.n_ancestors, dtype=jnp.int32)
+        dp, _ = jax.lax.scan(step, dp0, (offsets, topology.children))
+    else:
+        dp, _ = sankoff_tables(topology, cost_matrix, leaf_sequences, dtype)
     per_site = jnp.min(dp[-1], axis=0)  # (L,)
     if site_mask is not None:
         per_site = per_site * site_mask.astype(per_site.dtype)
@@ -183,6 +216,11 @@ def sankoff_reconstruct(
 # Candidate-tree batch scoring: vmap over the topology batch axis only; the
 # alignment and cost matrix are shared (broadcast) across candidates.
 batched_sankoff_score = jax.vmap(sankoff_score, in_axes=(0, None, None))
+
+# Hamming-specialized batch scoring (closed-form messages; cost ignored).
+batched_sankoff_score_hamming = jax.vmap(
+    partial(sankoff_score, hamming=True), in_axes=(0, None, None)
+)
 
 
 @partial(jax.jit, static_argnames=("n_all", "n_states", "n_leaves", "return_path"))

@@ -63,7 +63,7 @@ def _sankoff_kernel(
     children_ref,  # SMEM (1, n_anc, 2) int32
     seq_ref,  # VMEM (n_leaves, L_BLK) int32
     cost_t_ref,  # VMEM (Q_pad, Q_pad) f32 (transposed cost, BIG at pads)
-    out_ref,  # VMEM (1, L_BLK) f32 — per-site root minima
+    out_ref,  # SMEM (1, 1) f32 — partial score (site-sum of root minima)
     dp_ref,  # VMEM scratch (n_all * Q_pad, L_BLK) f32
     *,
     n_leaves: int,
@@ -113,7 +113,7 @@ def _sankoff_kernel(
     jax.lax.fori_loop(0, n_anc, visit, 0)
 
     root_dp = dp_ref[pl.ds((n_all - 1) * q_pad, q_pad), :]
-    out_ref[0, :] = jnp.min(root_dp, axis=0)
+    out_ref[0, 0] = jnp.sum(jnp.min(root_dp, axis=0))
 
 
 def batched_sankoff_score_pallas(
@@ -204,7 +204,7 @@ def _batched_scores_pallas_impl(
         hamming=hamming,
     )
 
-    per_site_root_min = pl.pallas_call(
+    block_scores = pl.pallas_call(
         kernel,
         grid=(batch, n_blocks),
         in_specs=[
@@ -214,8 +214,10 @@ def _batched_scores_pallas_impl(
             pl.BlockSpec((n_leaves, site_block), lambda b, l: (0, l)),
             pl.BlockSpec((q_pad, q_pad), lambda b, l: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, site_block), lambda b, l: (b, l)),
-        out_shape=jax.ShapeDtypeStruct((batch, length), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, 1), lambda b, l: (b, l), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, n_blocks), jnp.float32),
         scratch_shapes=[pltpu.VMEM((n_all * q_pad, site_block), jnp.float32)],
         interpret=interpret,
     )(
@@ -223,4 +225,4 @@ def _batched_scores_pallas_impl(
         leaf_sequences.astype(jnp.int32),
         cost_t,
     )
-    return jnp.sum(per_site_root_min, axis=-1)
+    return jnp.sum(block_scores, axis=-1)
