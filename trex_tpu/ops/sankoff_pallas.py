@@ -63,7 +63,7 @@ def _sankoff_kernel(
     children_ref,  # SMEM (1, n_anc, 2) int32
     seq_ref,  # VMEM (n_leaves, L_BLK) int32
     cost_t_ref,  # VMEM (Q_pad, Q_pad) f32 (transposed cost, BIG at pads)
-    out_ref,  # SMEM (1, 1) f32 — partial score (site-sum of root minima)
+    out_ref,  # VMEM (1, 1, 8, 128) f32 tile; partial score lands in [0,0,0,0]
     dp_ref,  # VMEM scratch (n_all * Q_pad, L_BLK) f32
     *,
     n_leaves: int,
@@ -113,7 +113,10 @@ def _sankoff_kernel(
     jax.lax.fori_loop(0, n_anc, visit, 0)
 
     root_dp = dp_ref[pl.ds((n_all - 1) * q_pad, q_pad), :]
-    out_ref[0, 0] = jnp.sum(jnp.min(root_dp, axis=0))
+    # Mosaic requires (8,128)-divisible (or full-dim) trailing block dims, so
+    # the per-tile scalar ships inside an (8,128) tile at [0, 0].
+    partial = jnp.sum(jnp.min(root_dp, axis=0))
+    out_ref[0, 0, :, :] = jnp.full((8, 128), partial, dtype=jnp.float32)
 
 
 def batched_sankoff_score_pallas(
@@ -214,10 +217,8 @@ def _batched_scores_pallas_impl(
             pl.BlockSpec((n_leaves, site_block), lambda b, l: (0, l)),
             pl.BlockSpec((q_pad, q_pad), lambda b, l: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1), lambda b, l: (b, l), memory_space=pltpu.SMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((batch, n_blocks), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda b, l: (b, l, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch, n_blocks, 8, 128), jnp.float32),
         scratch_shapes=[pltpu.VMEM((n_all * q_pad, site_block), jnp.float32)],
         interpret=interpret,
     )(
@@ -225,4 +226,4 @@ def _batched_scores_pallas_impl(
         leaf_sequences.astype(jnp.int32),
         cost_t,
     )
-    return jnp.sum(block_scores, axis=-1)
+    return jnp.sum(block_scores[:, :, 0, 0], axis=-1)
