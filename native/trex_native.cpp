@@ -13,6 +13,9 @@
 // topology buffers are int32: children has shape (n_anc, 2) flattened
 // row-major, parents has shape (n_all,).
 
+#include <algorithm>
+#include <cctype>
+#include <climits>
 #include <cstdint>
 #include <cstring>
 #include <random>
@@ -32,13 +35,40 @@ struct Tree {
 // Renumber ancestors so every parent index exceeds its children's
 // (post-order), keeping leaf indices fixed. Input: per-node child lists in
 // *any* ancestor numbering; output: canonical children/parents arrays.
+//
+// The numbering is STRUCTURE-DETERMINED (independent of child-list order):
+// the traversal visits each node's children ordered by their minimum leaf
+// descendant, so two structurally identical trees always canonicalize to
+// identical arrays — required for neighborhood dedup and tree equality.
 Tree canonicalize(int n_leaves, const std::vector<std::vector<int32_t>>& kids,
-                  int root) {
+                  int root, std::vector<int32_t>* relabel_out = nullptr) {
   const int n_all = 2 * n_leaves - 1;
+  // Min leaf descendant per node (iterative post-order).
+  std::vector<int32_t> minleaf(kids.size(), -1);
+  {
+    std::vector<std::pair<int32_t, bool>> st = {{root, false}};
+    while (!st.empty()) {
+      auto [node, processed] = st.back();
+      st.pop_back();
+      if (kids[node].empty()) {
+        minleaf[node] = node;  // leaf
+      } else if (!processed) {
+        st.push_back({node, true});
+        for (int32_t c : kids[node]) st.push_back({c, false});
+      } else {
+        int32_t m = INT32_MAX;
+        for (int32_t c : kids[node]) m = std::min(m, minleaf[c]);
+        minleaf[node] = m;
+      }
+    }
+  }
   std::vector<int32_t> relabel(n_all, -1);
   for (int i = 0; i < n_leaves; ++i) relabel[i] = i;
   int next_id = n_leaves;
-  // Iterative post-order from the root.
+  // Preorder visiting the larger-minleaf child first, so in the reversed
+  // order the smaller-minleaf subtree is reached first and gets the smaller
+  // ancestor ids (canonicalize(balanced) == balanced; leaf print order is
+  // preserved on newick round trips).
   std::vector<int32_t> stack = {root};
   std::vector<int32_t> order;
   order.reserve(n_all);
@@ -46,11 +76,15 @@ Tree canonicalize(int n_leaves, const std::vector<std::vector<int32_t>>& kids,
     int32_t node = stack.back();
     stack.pop_back();
     order.push_back(node);
-    for (int32_t c : kids[node]) stack.push_back(c);
+    std::vector<int32_t> cs = kids[node];
+    std::sort(cs.begin(), cs.end(), [&](int32_t a, int32_t b) {
+      return minleaf[a] < minleaf[b];  // smaller pushed first -> popped last
+    });
+    for (int32_t c : cs) stack.push_back(c);
   }
   // Reverse of a preorder (parent-before-child) visits children first.
   for (auto it = order.rbegin(); it != order.rend(); ++it) {
-    if (*it >= n_leaves || kids[*it].size() == 2) {
+    if (!kids[*it].empty()) {
       if (relabel[*it] == -1) relabel[*it] = next_id++;
     }
   }
@@ -71,6 +105,7 @@ Tree canonicalize(int n_leaves, const std::vector<std::vector<int32_t>>& kids,
     out.parents[c1] = p;
   }
   out.parents[n_all - 1] = n_all - 1;
+  if (relabel_out) *relabel_out = relabel;
   return out;
 }
 
@@ -216,47 +251,16 @@ int trex_parse_newick(const char* s, int32_t* children_out,
     blen_by_parse[i] = nodes[i].blen;
     for (int c : nodes[i].kids) kids[engine_id[i]].push_back(engine_id[c]);
   }
-  Tree t = canonicalize(n_leaves, kids, engine_id[root]);
+  std::vector<int32_t> canon_of_tmp;
+  Tree t = canonicalize(n_leaves, kids, engine_id[root], &canon_of_tmp);
   std::memcpy(children_out, t.children.data(),
               t.children.size() * sizeof(int32_t));
   std::memcpy(parents_out, t.parents.data(),
               t.parents.size() * sizeof(int32_t));
 
   if (branch_lengths_out) {
-    // Branch lengths indexed by canonical child node id. Recover the
-    // canonical id of each parse node by replaying the relabeling: leaves
-    // map directly; internals via matching child sets is overkill — instead
-    // store by engine tmp id, then remap through a second canonicalization
-    // pass. Simpler: recompute canonical ids with the same deterministic
-    // procedure used in canonicalize().
-    // We reconstruct by mapping tmp ids -> canonical via parents arrays:
-    // walk the canonical tree and tmp tree in the same preorder.
-    std::vector<int32_t> canon_of_tmp(n_all, -1);
-    for (int i = 0; i < n_leaves; ++i) canon_of_tmp[i] = i;
-    // Preorder both trees in lockstep (children sorted ascending by the
-    // *minimum leaf descendant* is not needed: canonicalize preserved child
-    // list order, so kid k of tmp node == kid k of canonical node after
-    // index sort; match by structure).
-    // For branch lengths we only need child->blen by canonical id; do a
-    // DFS over tmp tree computing canonical ids on the fly.
-    // canonical children of an ancestor are sorted; tmp children may not
-    // correspond 1:1 after sorting, so compute canonical id recursively:
-    // canonical id of an internal node = n_leaves + rank in post-order of
-    // internals. Replicate canonicalize()'s traversal on tmp tree:
-    {
-      std::vector<int32_t> stack = {engine_id[root]};
-      std::vector<int32_t> order;
-      while (!stack.empty()) {
-        int32_t node = stack.back();
-        stack.pop_back();
-        order.push_back(node);
-        for (int32_t c : kids[node]) stack.push_back(c);
-      }
-      int next_id = n_leaves;
-      for (auto it = order.rbegin(); it != order.rend(); ++it)
-        if (!kids[*it].empty() && canon_of_tmp[*it] == -1)
-          canon_of_tmp[*it] = next_id++;
-    }
+    // Branch lengths indexed by canonical child node id; canonicalize()
+    // returned the tmp->canonical relabeling.
     for (int i = 0; i < n_all; ++i) branch_lengths_out[i] = 0.0;
     for (size_t i = 0; i < nodes.size(); ++i)
       branch_lengths_out[canon_of_tmp[engine_id[i]]] = blen_by_parse[i];

@@ -105,6 +105,39 @@ def nni_neighbors(topology: Topology) -> Topology:
     return Topology(children=jnp.asarray(nc), parents=jnp.asarray(npar))
 
 
+def spr_neighborhood(topology: Topology) -> Topology:
+    """All distinct valid SPR moves of a topology, as a batched Topology.
+
+    Enumerates every (prune, regraft) node pair; invalid moves (regraft in
+    the pruned subtree, no-ops) are skipped and duplicate resulting trees
+    deduplicated. O(n^2) candidates — the standard parsimony-search
+    neighborhood, a strict superset of NNI.
+    """
+    if not native.available():
+        raise NotImplementedError("SPR requires the native library")
+    children = np.asarray(topology.children)
+    n_all = topology.n_all
+    seen: set[bytes] = set()
+    out_c, out_p = [], []
+    for prune in range(n_all - 1):
+        for regraft in range(n_all - 1):
+            if prune == regraft:
+                continue
+            moved = native.spr_move(children, prune, regraft)
+            if moved is None:
+                continue
+            key = moved[0].tobytes()
+            if key in seen or np.array_equal(moved[0], children):
+                continue
+            seen.add(key)
+            out_c.append(moved[0])
+            out_p.append(moved[1])
+    return Topology(
+        children=jnp.asarray(np.stack(out_c)),
+        parents=jnp.asarray(np.stack(out_p)),
+    )
+
+
 def spr_move(topology: Topology, prune_node: int, regraft_node: int) -> Topology | None:
     """One subtree-prune-regraft move (native only; None if invalid)."""
     if not native.available():
@@ -125,5 +158,6 @@ __all__ = [
     "write_fasta",
     "sample_topologies",
     "nni_neighbors",
+    "spr_neighborhood",
     "spr_move",
 ]

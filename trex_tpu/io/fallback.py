@@ -10,15 +10,31 @@ import numpy as np
 
 
 def _canonicalize(n_leaves: int, kids: dict[int, list[int]], root: int):
-    """Relabel ancestors post-order so children always precede parents."""
+    """Relabel ancestors post-order so children always precede parents.
+
+    Structure-determined (mirrors the native ``canonicalize``): children are
+    traversed ordered by minimum leaf descendant, so identical structures
+    always map to identical arrays regardless of child-list order.
+    """
     n_all = 2 * n_leaves - 1
+    minleaf: dict[int, int] = {}
+
+    def fill_minleaf(node: int) -> int:
+        if node not in minleaf:
+            cs = kids.get(node, [])
+            minleaf[node] = node if not cs else min(fill_minleaf(c) for c in cs)
+        return minleaf[node]
+
+    fill_minleaf(root)
     relabel = {i: i for i in range(n_leaves)}
     order: list[int] = []
     stack = [root]
     while stack:
         node = stack.pop()
         order.append(node)
-        stack.extend(kids.get(node, []))
+        # Push smaller-minleaf first so the larger-minleaf child pops first;
+        # reversed order then gives smaller-minleaf subtrees smaller ids.
+        stack.extend(sorted(kids.get(node, []), key=lambda c: minleaf[c]))
     next_id = n_leaves
     for node in reversed(order):
         if kids.get(node) and node not in relabel:

@@ -1,0 +1,145 @@
+"""Discrete parsimony tree search: NNI hill climbing over batched scoring.
+
+The reference only searches topology space through the Gumbel-softmax
+relaxation; production parsimony engines also need *discrete* search. This
+driver alternates:
+
+  host   — enumerate the NNI neighborhood of the incumbent (native C++,
+           ``trex_tpu.io.nni_neighbors``), optionally plus random SPR kicks;
+  device — score the whole neighborhood as ONE batched Sankoff call (the
+           vmapped/Pallas hot path).
+
+Each round is one fused batch on the accelerator, so the accelerator cost is
+~(neighborhood size / candidate throughput), and the host cost is O(n^2)
+pointer work per round.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trex_tpu.topology import Topology
+
+
+@dataclasses.dataclass
+class SearchResult:
+    topology: Topology
+    score: float
+    rounds: int
+    evaluations: int
+    trace: list[float]
+
+
+def parsimony_hill_climb(
+    start: Topology,
+    cost_matrix: jax.Array,
+    leaf_sequences: jax.Array,
+    *,
+    max_rounds: int = 100,
+    score_batch_fn=None,
+    random_kicks: int = 0,
+    key: jax.Array | None = None,
+    neighborhood: str = "nni",
+) -> SearchResult:
+    """Greedy hill climb from ``start``; stops at a local optimum.
+
+    Args:
+        score_batch_fn: ``(Topology batch, cost, leaves) -> (B,) scores``;
+            defaults to the fastest backend (Pallas on TPU).
+        random_kicks: extra random SPR moves added to each neighborhood
+            (cheap diversification; 0 = none).
+        key: PRNG key, only needed when ``random_kicks > 0``.
+        neighborhood: "nni" (2(n-2) moves/round) or "spr" (O(n^2)
+            moves/round, stronger optima, needs the native library).
+
+    Returns:
+        ``SearchResult`` with the best topology found and the score trace.
+    """
+    from trex_tpu.io import native, nni_neighbors, spr_neighborhood
+    from trex_tpu.ops.dispatch import batched_scores_fastest
+
+    if score_batch_fn is None:
+        score_batch_fn = batched_scores_fastest
+
+    def single_score(topo):
+        batch = jax.tree_util.tree_map(lambda x: x[None], topo)
+        return float(score_batch_fn(batch, cost_matrix, leaf_sequences)[0])
+
+    current = start
+    current_score = single_score(current)
+    trace = [current_score]
+    evaluations = 1
+    rng = np.random.default_rng(
+        int(jax.random.key_data(key).ravel()[-1]) if key is not None else 0
+    )
+    n_all = start.n_all
+
+    neighbors_fn = spr_neighborhood if neighborhood == "spr" else nni_neighbors
+    for round_idx in range(max_rounds):
+        nbrs = neighbors_fn(current)
+        if random_kicks > 0 and native.available():
+            extra_c, extra_p = [], []
+            children_np = np.asarray(current.children)
+            while len(extra_c) < random_kicks:
+                prune = int(rng.integers(0, n_all - 1))
+                regraft = int(rng.integers(0, n_all - 1))
+                moved = native.spr_move(children_np, prune, regraft)
+                if moved is not None:
+                    extra_c.append(moved[0])
+                    extra_p.append(moved[1])
+            nbrs = Topology(
+                children=jnp.concatenate(
+                    [nbrs.children, jnp.asarray(np.stack(extra_c))]
+                ),
+                parents=jnp.concatenate(
+                    [nbrs.parents, jnp.asarray(np.stack(extra_p))]
+                ),
+            )
+        scores = np.asarray(score_batch_fn(nbrs, cost_matrix, leaf_sequences))
+        evaluations += scores.shape[0]
+        best = int(scores.argmin())
+        if scores[best] >= current_score:
+            return SearchResult(
+                current, current_score, round_idx, evaluations, trace
+            )
+        current = jax.tree_util.tree_map(lambda x: x[best], nbrs)
+        current_score = float(scores[best])
+        trace.append(current_score)
+    return SearchResult(current, current_score, max_rounds, evaluations, trace)
+
+
+def batched_random_restarts(
+    key: jax.Array,
+    n_leaves: int,
+    cost_matrix: jax.Array,
+    leaf_sequences: jax.Array,
+    *,
+    n_starts: int = 8,
+    max_rounds: int = 100,
+    score_batch_fn=None,
+    neighborhood: str = "nni",
+) -> SearchResult:
+    """Hill climb from several random starting topologies; return the best."""
+    from trex_tpu.io import sample_topologies
+
+    seeds = np.asarray(jax.random.key_data(key)).ravel()
+    starts = sample_topologies(int(seeds[-1]), n_leaves, n_starts)
+    best: SearchResult | None = None
+    for s in range(n_starts):
+        start = jax.tree_util.tree_map(lambda x: x[s], starts)
+        result = parsimony_hill_climb(
+            start,
+            cost_matrix,
+            leaf_sequences,
+            max_rounds=max_rounds,
+            score_batch_fn=score_batch_fn,
+            neighborhood=neighborhood,
+        )
+        if best is None or result.score < best.score:
+            best = result
+    assert best is not None
+    return best
