@@ -1,0 +1,70 @@
+"""Fitch bitset parsimony: equivalence with Sankoff, kernel parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trex_tpu.ops.costs import exact_cost
+from trex_tpu.ops.fitch import batched_fitch_score, fitch_reconstruct, fitch_score
+from trex_tpu.ops.sankoff import batched_sankoff_score, sankoff_score
+from trex_tpu.ops.sankoff_pallas import batched_fitch_score_pallas
+from trex_tpu.topology import balanced_topology, random_topologies, topology_to_adjacency
+from trex_tpu.types import CostModel
+
+
+@pytest.mark.parametrize("n_leaves,q,length", [(4, 4, 20), (8, 2, 33), (16, 20, 40)])
+def test_fitch_equals_sankoff_hamming(n_leaves, q, length):
+    """Fitch == unit-cost Sankoff on every topology/alphabet tried."""
+    topos = random_topologies(jax.random.PRNGKey(0), n_leaves, 8)
+    leaf = jax.random.randint(jax.random.PRNGKey(1), (n_leaves, length), 0, q)
+    cost = CostModel.hamming(q).matrix
+    sankoff = batched_sankoff_score(topos, cost, leaf)
+    fitch = batched_fitch_score(topos, leaf)
+    np.testing.assert_array_equal(np.asarray(fitch), np.asarray(sankoff))
+
+
+def test_fitch_pallas_matches_lax_interpret():
+    n_leaves, q, length = 8, 4, 2048  # spans two site blocks
+    topos = random_topologies(jax.random.PRNGKey(2), n_leaves, 4)
+    leaf = jax.random.randint(jax.random.PRNGKey(3), (n_leaves, length), 0, q)
+    want = batched_fitch_score(topos, leaf)
+    got = batched_fitch_score_pallas(topos, leaf, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fitch_pallas_handles_unaligned_lengths():
+    """Non-tile-multiple L is zero-padded; padded sites add no events."""
+    n_leaves, q, length = 8, 4, 777
+    topos = random_topologies(jax.random.PRNGKey(4), n_leaves, 2)
+    leaf = jax.random.randint(jax.random.PRNGKey(5), (n_leaves, length), 0, q)
+    want = batched_fitch_score(topos, leaf)
+    got = batched_fitch_score_pallas(topos, leaf, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fitch_reconstruct_achieves_score():
+    n_leaves, q, length = 8, 4, 50
+    topo = balanced_topology(n_leaves)
+    leaf = jax.random.randint(jax.random.PRNGKey(6), (n_leaves, length), 0, q)
+    chosen, score = fitch_reconstruct(topo, leaf, q)
+    assert float(score) == float(
+        sankoff_score(topo, CostModel.hamming(q).matrix, leaf)
+    )
+    np.testing.assert_array_equal(np.asarray(chosen[:n_leaves]), np.asarray(leaf))
+    realized = exact_cost(
+        jax.nn.one_hot(chosen, q),
+        topology_to_adjacency(topo),
+        CostModel.hamming(q).matrix,
+    )
+    assert float(realized) == float(score)
+
+
+def test_fitch_site_mask():
+    topo = balanced_topology(4)
+    leaf = jax.random.randint(jax.random.PRNGKey(7), (4, 10), 0, 4)
+    padded = jnp.pad(leaf, ((0, 0), (0, 6)), constant_values=3)
+    mask = jnp.arange(16) < 10
+    assert float(fitch_score(topo, leaf)) == float(
+        fitch_score(topo, padded, site_mask=mask)
+    )

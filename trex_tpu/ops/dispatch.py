@@ -12,10 +12,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-from trex_tpu.ops.sankoff import (
-    batched_sankoff_score,
-    batched_sankoff_score_hamming,
-)
+from trex_tpu.ops.sankoff import batched_sankoff_score
 from trex_tpu.topology import Topology
 
 
@@ -33,17 +30,26 @@ def batched_scores_fastest(
     cost_matrix: jax.Array,
     leaf_sequences: jax.Array,
 ) -> jax.Array:
-    """Score a candidate batch with the fastest available backend."""
-    hamming = _is_hamming(cost_matrix)
-    if jax.default_backend() == "tpu":
-        try:
-            from trex_tpu.ops.sankoff_pallas import batched_sankoff_score_pallas
+    """Score a candidate batch with the fastest available backend.
 
-            return batched_sankoff_score_pallas(
-                topologies, cost_matrix, leaf_sequences, hamming=hamming
-            )
-        except ImportError:
-            pass
+    Selection: Hamming cost + n_states<=32 -> Fitch bitsets (fused kernel on
+    TPU, lax elsewhere); other costs -> min-plus Sankoff (fused kernel on
+    TPU, lax elsewhere).
+    """
+    hamming = _is_hamming(cost_matrix) and cost_matrix.shape[-1] <= 32
+    on_tpu = jax.default_backend() == "tpu"
     if hamming:
-        return batched_sankoff_score_hamming(topologies, cost_matrix, leaf_sequences)
+        if on_tpu:
+            from trex_tpu.ops.sankoff_pallas import batched_fitch_score_pallas
+
+            return batched_fitch_score_pallas(topologies, leaf_sequences)
+        from trex_tpu.ops.fitch import batched_fitch_score
+
+        return batched_fitch_score(topologies, leaf_sequences)
+    if on_tpu:
+        from trex_tpu.ops.sankoff_pallas import batched_sankoff_score_pallas
+
+        return batched_sankoff_score_pallas(
+            topologies, cost_matrix, leaf_sequences, hamming=False
+        )
     return batched_sankoff_score(topologies, cost_matrix, leaf_sequences)
