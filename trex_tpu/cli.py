@@ -139,6 +139,35 @@ def cmd_asr(args) -> None:
     )
 
 
+def cmd_search_run(args) -> None:
+    """Checkpointed, resumable joint search (see trex_tpu.search.runner)."""
+    from trex_tpu.models.mutation_tree import generate_groundtruth
+    from trex_tpu.search.joint import JointConfig
+    from trex_tpu.search.runner import RunnerConfig, run_search
+
+    gt = generate_groundtruth(
+        args.leaves, args.states, args.mutations, args.sites, seed=args.seed
+    )
+    n_all = 2 * args.leaves - 1
+    leaf_tensor = jnp.zeros((n_all, args.sites, args.states))
+    leaf_tensor = leaf_tensor.at[: args.leaves].set(
+        jax.nn.one_hot(
+            gt.all_sequences[: args.leaves].astype(jnp.int32), args.states
+        )
+    )
+    cfg = RunnerConfig(
+        workdir=args.workdir,
+        n_iterations=args.iterations,
+        checkpoint_every=args.checkpoint_every,
+        seed=args.seed,
+        joint=JointConfig(
+            n_iterations=args.iterations, learning_rate=args.lr
+        ),
+    )
+    run_search(cfg, leaf_tensor, resume=not args.no_resume)
+    print(json.dumps({"workdir": args.workdir, "steps": args.iterations}))
+
+
 def cmd_bench(args) -> None:
     from trex_tpu.ops.dispatch import batched_scores_fastest
     from trex_tpu.topology import random_topologies
@@ -245,6 +274,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iterations", type=int, default=3000)
     p.add_argument("--lr", type=float, default=1e-2)
     p.set_defaults(fn=cmd_asr)
+
+    p = sub.add_parser("search-run", help="checkpointed resumable search")
+    _add_common(p)
+    p.add_argument("--workdir", type=str, required=True)
+    p.add_argument("--mutations", type=int, default=3)
+    p.add_argument("--iterations", type=int, default=10000)
+    p.add_argument("--checkpoint-every", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--no-resume", action="store_true")
+    p.set_defaults(fn=cmd_search_run)
 
     p = sub.add_parser("bench", help="batched scoring throughput")
     _add_common(p)

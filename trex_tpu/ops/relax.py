@@ -114,12 +114,14 @@ def joint_loss(
     constraint_scale: float = 10.0,
     fix_seqs: bool = False,
     fix_tree: bool = False,
+    verbose: bool = False,
 ) -> jax.Array:
     """Joint topology + sequence objective (``compute_loss``, ``tree.py:299-361``).
 
     surrogate(soft_seqs, soft_tree) + temperature * binary_tree_penalty.
     The topology softmax runs at temperature 1.0 regardless of the annealed
-    ``temperature`` (reference behavior, ``tree.py:338``).
+    ``temperature`` (reference behavior, ``tree.py:338``). ``verbose`` emits
+    NaN/range diagnostics via ``jax.debug.print`` (``tree.py:344-359``).
     """
     from trex_tpu.ops.costs import surrogate_cost
 
@@ -132,9 +134,18 @@ def joint_loss(
     )
     _, tree_key = jax.random.split(key)
     tree = adjacency if fix_tree else soft_topology(tree_key, params["tree_params"])
-    return surrogate_cost(seqs, tree) + temperature * binary_tree_penalty(
-        tree, constraint_scale
-    )
+    cost = surrogate_cost(seqs, tree)
+    penalty = binary_tree_penalty(tree, constraint_scale)
+    total = cost + temperature * penalty
+    if verbose:
+        jax.debug.print(
+            "seqs min/max {}/{} nan={} | tree min/max {}/{} nan={} | "
+            "surrogate {} penalty {} total {}",
+            jnp.min(seqs), jnp.max(seqs), jnp.any(jnp.isnan(seqs)),
+            jnp.min(tree), jnp.max(tree), jnp.any(jnp.isnan(tree)),
+            cost, penalty, total,
+        )
+    return total
 
 
 @jax.custom_vjp

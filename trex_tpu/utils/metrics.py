@@ -7,6 +7,7 @@ with machine-readable output; stdout and/or file sinks.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from typing import IO, Any
@@ -16,6 +17,8 @@ class MetricsLogger:
     """Append JSON lines of step metrics; host-side, call outside jit."""
 
     def __init__(self, path: str | None = None, echo: bool = True) -> None:
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self._file: IO[str] | None = open(path, "a") if path else None
         self._echo = echo
         self._t0 = time.time()
