@@ -23,7 +23,7 @@ def main() -> None:
     from trex_tpu.topology import random_topologies
     from trex_tpu.types import CostModel
 
-    n_leaves, n_states, length, batch = 64, 4, 1024, 512
+    n_leaves, n_states, length, batch = 64, 4, 1024, 2048
     reps = 20
 
     topos = random_topologies(jax.random.PRNGKey(0), n_leaves, batch)
