@@ -32,7 +32,10 @@ def main() -> None:
         jax.random.PRNGKey(1), (n_leaves, length), 0, n_states
     )
 
-    score_fn = jax.jit(batched_scores_fastest)
+    # NOTE: the dispatcher must NOT be wrapped in jax.jit — it inspects the
+    # concrete cost matrix to pick the Fitch/Hamming fast paths, and its
+    # targets are already jitted.
+    score_fn = batched_scores_fastest
     # Warmup / compile.
     scores = score_fn(topos, cost, leaf)
     scores.block_until_ready()

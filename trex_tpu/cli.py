@@ -184,8 +184,7 @@ def cmd_bench(args) -> None:
         0,
         args.states,
     )
-    fn = jax.jit(batched_scores_fastest)
-    mean_s, _ = timed(fn, topos, cost, leaf, reps=args.reps)
+    mean_s, _ = timed(batched_scores_fastest, topos, cost, leaf, reps=args.reps)
     print(
         json.dumps(
             {

@@ -35,6 +35,10 @@ def batched_scores_fastest(
     Selection: Hamming cost + n_states<=32 -> Fitch bitsets (fused kernel on
     TPU, lax elsewhere); other costs -> min-plus Sankoff (fused kernel on
     TPU, lax elsewhere).
+
+    Do NOT wrap this dispatcher in ``jax.jit``: fast-path selection inspects
+    the concrete cost matrix (a traced matrix conservatively falls back to
+    the general min-plus path). The selected implementations are jitted.
     """
     hamming = _is_hamming(cost_matrix) and cost_matrix.shape[-1] <= 32
     on_tpu = jax.default_backend() == "tpu"
