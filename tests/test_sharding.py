@@ -128,3 +128,16 @@ def test_dispatch_falls_back_to_lax(mesh):
     got = batched_scores_fastest(topos, cost, leaf)
     want = batched_sankoff_score(topos, cost, leaf)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_scores_fitch_path_matches(mesh):
+    """Sharded Fitch path == sharded min-plus path == single device."""
+    n_leaves, q, length, batch = 8, 4, 64, 16
+    topos = random_topologies(jax.random.PRNGKey(8), n_leaves, batch)
+    leaf = jax.random.randint(jax.random.PRNGKey(9), (n_leaves, length), 0, q)
+    cost = CostModel.hamming(q).matrix
+    single = batched_sankoff_score(topos, cost, leaf)
+    fitch = sharded_batch_scores(mesh, topos, cost, leaf, use_fitch=True)
+    minplus = sharded_batch_scores(mesh, topos, cost, leaf, use_fitch=False)
+    np.testing.assert_allclose(np.asarray(fitch), np.asarray(single), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(minplus), np.asarray(single), atol=1e-5)

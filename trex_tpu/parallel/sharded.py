@@ -34,6 +34,7 @@ def sharded_batch_scores(
     topologies: Topology,
     cost_matrix: jax.Array,
     leaf_sequences: jax.Array,
+    use_fitch: bool | None = None,
 ) -> jax.Array:
     """Score a candidate-tree batch across the whole mesh.
 
@@ -49,7 +50,16 @@ def sharded_batch_scores(
 
     Returns:
         (batch,) scores, sharded over ``tree`` (replicated over ``site``).
+
+    ``use_fitch`` selects the bitset fast path for Hamming costs (fused
+    kernel per shard on TPU, lax elsewhere); auto-detected from a concrete
+    cost matrix when None.
     """
+    if use_fitch is None:
+        from trex_tpu.ops.dispatch import _is_hamming
+
+        use_fitch = _is_hamming(cost_matrix) and cost_matrix.shape[-1] <= 32
+    on_tpu = jax.default_backend() == "tpu"
 
     @partial(
         shard_map,
@@ -63,9 +73,18 @@ def sharded_batch_scores(
         check_vma=False,
     )
     def score_shard(topos, cost, leaf_shard):
-        partial_scores = jax.vmap(sankoff_score, in_axes=(0, None, None))(
-            topos, cost, leaf_shard
-        )
+        if use_fitch and on_tpu:
+            from trex_tpu.ops.sankoff_pallas import batched_fitch_score_pallas
+
+            partial_scores = batched_fitch_score_pallas(topos, leaf_shard)
+        elif use_fitch:
+            from trex_tpu.ops.fitch import batched_fitch_score
+
+            partial_scores = batched_fitch_score(topos, leaf_shard)
+        else:
+            partial_scores = jax.vmap(sankoff_score, in_axes=(0, None, None))(
+                topos, cost, leaf_shard
+            )
         return jax.lax.psum(partial_scores, SITE_AXIS)
 
     return score_shard(topologies, cost_matrix, leaf_sequences)
