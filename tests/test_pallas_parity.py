@@ -68,3 +68,14 @@ def test_hamming_autodetect():
     got = batched_sankoff_score_pallas(topos, cost, leaf, interpret=True)
     want = batched_sankoff_score(topos, cost, leaf)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_unaligned_length_zero_padded():
+    """Arbitrary L works: zero padding contributes no score."""
+    n_leaves, q, length = 8, 4, 777
+    topos = random_topologies(jax.random.PRNGKey(7), n_leaves, 3)
+    leaf = jax.random.randint(jax.random.PRNGKey(8), (n_leaves, length), 0, q)
+    cost = CostModel.hamming(q).matrix
+    want = batched_sankoff_score(topos, cost, leaf)
+    got = batched_sankoff_score_pallas(topos, cost, leaf, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

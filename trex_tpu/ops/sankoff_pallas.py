@@ -287,10 +287,17 @@ def _batched_scores_pallas_impl(
     length = leaf_sequences.shape[-1]
     q_pad = _round_up(n_states, _SUBLANES_F32)
 
+    # Pad the site axis so blocks tile it exactly. Zero-padding is
+    # score-neutral: a padded site has every leaf in state 0, so the root's
+    # minimum there is 0 (same invariant the Fitch path relies on).
     if site_block is None:
-        site_block = min(length, 2048)
-    if length % site_block != 0:
-        raise ValueError(f"L={length} not divisible by site_block={site_block}")
+        site_block = _round_up(length, _LANES) if length <= 2048 else 2048
+    padded_len = _round_up(length, site_block)
+    if padded_len != length:
+        leaf_sequences = jnp.pad(
+            leaf_sequences, ((0, 0), (0, padded_len - length))
+        )
+        length = padded_len
     n_blocks = length // site_block
 
     # Transposed, BIG-padded cost so padded states never win.
