@@ -62,7 +62,7 @@ def _hamming_msg(child_dp: jax.Array) -> jax.Array:
 def _sankoff_kernel(
     children_ref,  # SMEM (1, n_anc, 2) int32
     seq_ref,  # VMEM (n_leaves, L_BLK) int32
-    cost_t_ref,  # VMEM (Q_pad, Q_pad) f32 (transposed cost, BIG at pads)
+    cost_t_ref,  # VMEM (Q_pad, Q_pad) f32 cost[parent, child], BIG at pads
     out_ref,  # VMEM (1, 1, 8, 128) f32 tile; partial score lands in [0,0,0,0]
     dp_ref,  # VMEM scratch (n_all * Q_pad, L_BLK) f32
     *,
@@ -97,14 +97,16 @@ def _sankoff_kernel(
         if hamming:
             total = _hamming_msg(d1) + _hamming_msg(d2)
         else:
-            # General cost: per parent state s, min over child states of
-            # (cost[s, s'] + d[s']). costT column s broadcasts over lanes.
+            # General cost, accumulated over child states s' with full-tile
+            # ops (no cross-sublane reductions):
+            #   msg[s, :] = min_{s'} (C[s, s'] + d[s', :])
+            # where C[:, s'] rides the sublanes and d[s', :] broadcasts.
             def msg(d):
-                rows = []
-                for s in range(q_pad):
-                    col = cost_t_ref[:, pl.ds(s, 1)]  # (Q_pad, 1)
-                    rows.append(jnp.min(col + d, axis=0, keepdims=True))
-                return jnp.concatenate(rows, axis=0)
+                acc = jnp.full((q_pad, l_blk), BIG_COST, jnp.float32)
+                for sp in range(n_states):
+                    col = cost_t_ref[:, pl.ds(sp, 1)]  # (Q_pad, 1) = C[:, sp]
+                    acc = jnp.minimum(acc, col + d[sp : sp + 1, :])
+                return acc
 
             total = msg(d1) + msg(d2)
         dp_ref[pl.ds((n_leaves + a) * q_pad, q_pad), :] = total
@@ -300,9 +302,9 @@ def _batched_scores_pallas_impl(
         length = padded_len
     n_blocks = length // site_block
 
-    # Transposed, BIG-padded cost so padded states never win.
+    # BIG-padded cost so padded states never win; layout [parent, child].
     cost_t = jnp.full((q_pad, q_pad), BIG_COST, dtype=jnp.float32)
-    cost_t = cost_t.at[:n_states, :n_states].set(cost_matrix.T.astype(jnp.float32))
+    cost_t = cost_t.at[:n_states, :n_states].set(cost_matrix.astype(jnp.float32))
 
     kernel = functools.partial(
         _sankoff_kernel,
