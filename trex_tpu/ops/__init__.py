@@ -12,6 +12,16 @@ from trex_tpu.ops.costs import (
     soft_parsimony_cost,
     exact_cost,
 )
+from trex_tpu.ops.fitch import (
+    fitch_score,
+    batched_fitch_score,
+    fitch_reconstruct,
+)
+from trex_tpu.ops.soft_dp import (
+    soft_sankoff_score,
+    soft_sankoff_score_from_sequences,
+    batched_soft_sankoff_score,
+)
 from trex_tpu.ops.relax import (
     soft_topology,
     soft_sequences,
@@ -27,6 +37,12 @@ __all__ = [
     "sankoff_tables",
     "batched_sankoff_score",
     "run_sankoff",
+    "fitch_score",
+    "batched_fitch_score",
+    "fitch_reconstruct",
+    "soft_sankoff_score",
+    "soft_sankoff_score_from_sequences",
+    "batched_soft_sankoff_score",
     "surrogate_cost",
     "soft_parsimony_cost",
     "exact_cost",
