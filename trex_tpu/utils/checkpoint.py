@@ -11,8 +11,6 @@ from __future__ import annotations
 import os
 from typing import Any
 
-import jax
-
 
 def _checkpointer():
     import orbax.checkpoint as ocp
