@@ -1,0 +1,121 @@
+"""Bootstrap analysis: site-resampled scoring and split support.
+
+Classic phylogenetic uncertainty quantification (absent from the reference):
+
+1. Bootstrap replicates resample alignment sites with replacement. Because
+   every score in this engine is a *site-sum* (``sankoff_score``/
+   ``fitch_score`` already accept a per-site multiplier via ``site_mask``),
+   a replicate is just an integer site-weight vector — no data copying, and
+   all replicates score in one vmap over the weights axis.
+2. Split support: the fraction of replicate best trees containing each
+   bipartition (internal edge) of a reference tree.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trex_tpu.ops.fitch import fitch_score
+from trex_tpu.ops.sankoff import sankoff_score
+from trex_tpu.topology import Topology
+
+
+def bootstrap_site_weights(
+    key: jax.Array, length: int, n_replicates: int
+) -> jax.Array:
+    """(R, L) integer site counts; each row sums to L (multinomial(1/L))."""
+
+    def one(k):
+        picks = jax.random.randint(k, (length,), 0, length)
+        return jnp.zeros((length,), jnp.int32).at[picks].add(1)
+
+    return jax.vmap(one)(jax.random.split(key, n_replicates))
+
+
+def bootstrap_scores(
+    topology: Topology,
+    cost_matrix: jax.Array,
+    leaf_sequences: jax.Array,
+    weights: jax.Array,
+    use_fitch: bool = True,
+) -> jax.Array:
+    """(R,) parsimony scores of one topology under R site-weight vectors."""
+    if use_fitch:
+        fn = lambda w: fitch_score(topology, leaf_sequences, site_mask=w)
+    else:
+        fn = lambda w: sankoff_score(
+            topology, cost_matrix, leaf_sequences, site_mask=w
+        )
+    return jax.vmap(fn)(weights)
+
+
+def subtree_leaf_sets(topology: Topology) -> list[frozenset[int]]:
+    """Leaf set (bipartition) below each ancestor, host-side."""
+    children = np.asarray(topology.children)
+    n_leaves = topology.n_leaves
+    sets: dict[int, frozenset[int]] = {i: frozenset([i]) for i in range(n_leaves)}
+    for a in range(n_leaves - 1):
+        node = n_leaves + a
+        sets[node] = sets[int(children[a, 0])] | sets[int(children[a, 1])]
+    return [sets[n_leaves + a] for a in range(n_leaves - 1)]
+
+
+def split_support(
+    reference: Topology, replicate_best: list[Topology]
+) -> np.ndarray:
+    """Per-ancestor support: fraction of replicate trees with the same split.
+
+    The root split (all leaves) is trivially 1. Returns (n_ancestors,) in
+    [0, 1], indexed like ``reference.children``.
+    """
+    ref_splits = subtree_leaf_sets(reference)
+    counts = np.zeros(len(ref_splits))
+    for topo in replicate_best:
+        rep = set(subtree_leaf_sets(topo))
+        for i, split in enumerate(ref_splits):
+            if split in rep:
+                counts[i] += 1
+    return counts / max(len(replicate_best), 1)
+
+
+def bootstrap_analysis(
+    key: jax.Array,
+    reference: Topology,
+    cost_matrix: jax.Array,
+    leaf_sequences: jax.Array,
+    n_replicates: int = 100,
+    search_rounds: int = 20,
+    neighborhood: str = "nni",
+) -> tuple[np.ndarray, list[Topology]]:
+    """Bootstrap split support for ``reference``.
+
+    For each replicate, reweight sites and hill-climb from the reference
+    tree; support is the fraction of replicate optima retaining each
+    reference split.
+
+    Returns (support (n_ancestors,), replicate best topologies).
+    """
+    from trex_tpu.search.hillclimb import parsimony_hill_climb
+
+    weights = bootstrap_site_weights(key, leaf_sequences.shape[-1], n_replicates)
+    best: list[Topology] = []
+    for r in range(n_replicates):
+        w = weights[r].astype(jnp.float32)
+
+        def score_batch(topos, cost, leaves):
+            return jax.vmap(
+                lambda t: fitch_score(t, leaves, site_mask=w)
+            )(topos)
+
+        result = parsimony_hill_climb(
+            reference,
+            cost_matrix,
+            leaf_sequences,
+            max_rounds=search_rounds,
+            score_batch_fn=score_batch,
+            neighborhood=neighborhood,
+        )
+        best.append(result.topology)
+    return split_support(reference, best), best
