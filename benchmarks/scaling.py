@@ -11,6 +11,11 @@ parallel efficiency (speedup / device count) as JSON lines — the "scaling
 efficiency at N hosts" metric of BASELINE.md. On a multi-host pod, run under
 ``jax.distributed`` (``trex_tpu.parallel.initialize_distributed``) and the
 same mesh logic spans hosts; tree stays on DCN, site on ICI.
+
+NOTE: on a VIRTUAL CPU mesh (xla_force_host_platform_device_count) the
+devices timeshare the same physical cores, so throughput cannot scale;
+virtual-mesh runs validate sharded-program *correctness* only (see
+tests/test_sharding.py). Real efficiency numbers require real chips.
 """
 
 from __future__ import annotations
