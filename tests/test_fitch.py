@@ -68,3 +68,15 @@ def test_fitch_site_mask():
     assert float(fitch_score(topo, leaf)) == float(
         fitch_score(topo, padded, site_mask=mask)
     )
+
+
+@pytest.mark.parametrize("trees_per_block", [2, 4])
+def test_fitch_pallas_multi_tree_parity(trees_per_block):
+    n_leaves, q, length = 8, 4, 1024
+    topos = random_topologies(jax.random.PRNGKey(8), n_leaves, 6)  # 6 % T != 0
+    leaf = jax.random.randint(jax.random.PRNGKey(9), (n_leaves, length), 0, q)
+    want = batched_fitch_score_pallas(topos, leaf, interpret=True)
+    got = batched_fitch_score_pallas(
+        topos, leaf, interpret=True, trees_per_block=trees_per_block
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -156,12 +156,63 @@ def _fitch_kernel(
     out_ref[0, 0, :, :] = jnp.full((8, 128), total, dtype=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fitch_kernel_multi(
+    children_ref,  # SMEM (T, n_anc, 2) int32
+    leaf_ref,  # VMEM (1, n_leaves * P, 128) int32 — packed leaf bitmasks
+    out_ref,  # VMEM (1, 1, T, 8, 128) f32; per-tree counts at [...,t,0,0]
+    sets_ref,  # VMEM scratch (T * n_all * P, 128) int32
+    count_ref,  # VMEM scratch (T * P, 128) int32
+    *,
+    n_leaves: int,
+    pack: int,
+    trees: int,
+):
+    """Fitch recursion over T trees per instance.
+
+    The ancestor loop is the serial dependency chain; interleaving T
+    independent trees inside each ancestor step gives the VPU latency-hiding
+    work between dependent (8,128) tile reads/writes, and the leaf-mask tile
+    is loaded once for all T trees.
+    """
+    n_all = 2 * n_leaves - 1
+    n_anc = n_leaves - 1
+    stride = n_all * pack
+
+    leaf_block = leaf_ref[0]
+    for t in range(trees):
+        sets_ref[pl.ds(t * stride, n_leaves * pack), :] = leaf_block
+    count_ref[:, :] = jnp.zeros((trees * pack, 128), jnp.int32)
+
+    def visit(a, _):
+        for t in range(trees):
+            c1 = children_ref[t, a, 0]
+            c2 = children_ref[t, a, 1]
+            base = t * stride
+            d1 = sets_ref[pl.ds(base + c1 * pack, pack), :]
+            d2 = sets_ref[pl.ds(base + c2 * pack, pack), :]
+            inter = d1 & d2
+            empty = inter == 0
+            sets_ref[pl.ds(base + (n_leaves + a) * pack, pack), :] = jnp.where(
+                empty, d1 | d2, inter
+            )
+            count_ref[pl.ds(t * pack, pack), :] = count_ref[
+                pl.ds(t * pack, pack), :
+            ] + empty.astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, n_anc, visit, 0)
+    for t in range(trees):
+        total = jnp.sum(count_ref[pl.ds(t * pack, pack), :]).astype(jnp.float32)
+        out_ref[0, 0, t, :, :] = jnp.full((8, 128), total, dtype=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "trees_per_block"))
 def batched_fitch_score_pallas(
     topologies: Topology,
     leaf_sequences: jax.Array,
     *,
     interpret: bool = False,
+    trees_per_block: int = 1,
 ) -> jax.Array:
     """Unit-cost parsimony scores of a candidate batch via fused Fitch.
 
@@ -198,25 +249,63 @@ def batched_fitch_score_pallas(
         .reshape(n_blocks, n_leaves * pack, _LANES)
     )
 
-    kernel = functools.partial(_fitch_kernel, n_leaves=n_leaves, pack=pack)
+    children = topologies.children.astype(jnp.int32)
+    if trees_per_block <= 1:
+        kernel = functools.partial(_fitch_kernel, n_leaves=n_leaves, pack=pack)
+        block_counts = pl.pallas_call(
+            kernel,
+            grid=(batch, n_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, n_anc, 2), lambda b, l: (b, 0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec((1, n_leaves * pack, _LANES), lambda b, l: (l, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 8, 128), lambda b, l: (b, l, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((batch, n_blocks, 8, 128), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((n_all * pack, _LANES), jnp.int32),
+                pltpu.VMEM((pack, _LANES), jnp.int32),
+            ],
+            interpret=interpret,
+        )(children, packed)
+        return jnp.sum(block_counts[:, :, 0, 0], axis=-1)
+
+    # Multi-tree instances: pad the batch to a multiple of T (repeating the
+    # last tree), score T trees per grid step, slice back.
+    trees = trees_per_block
+    padded_batch = _round_up(batch, trees)
+    if padded_batch != batch:
+        reps = padded_batch - batch
+        children = jnp.concatenate(
+            [children, jnp.broadcast_to(children[-1:], (reps, n_anc, 2))]
+        )
+    kernel = functools.partial(
+        _fitch_kernel_multi, n_leaves=n_leaves, pack=pack, trees=trees
+    )
     block_counts = pl.pallas_call(
         kernel,
-        grid=(batch, n_blocks),
+        grid=(padded_batch // trees, n_blocks),
         in_specs=[
             pl.BlockSpec(
-                (1, n_anc, 2), lambda b, l: (b, 0, 0), memory_space=pltpu.SMEM
+                (trees, n_anc, 2), lambda b, l: (b, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec((1, n_leaves * pack, _LANES), lambda b, l: (l, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda b, l: (b, l, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((batch, n_blocks, 8, 128), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, 1, trees, 8, 128), lambda b, l: (b, l, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (padded_batch // trees, n_blocks, trees, 8, 128), jnp.float32
+        ),
         scratch_shapes=[
-            pltpu.VMEM((n_all * pack, _LANES), jnp.int32),
-            pltpu.VMEM((pack, _LANES), jnp.int32),
+            pltpu.VMEM((trees * n_all * pack, _LANES), jnp.int32),
+            pltpu.VMEM((trees * pack, _LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(topologies.children.astype(jnp.int32), packed)
-    return jnp.sum(block_counts[:, :, 0, 0], axis=-1)
+    )(children, packed)
+    scores = jnp.sum(block_counts[:, :, :, 0, 0], axis=1)  # (B//T, T)
+    return scores.reshape(padded_batch)[:batch]
 
 
 def batched_sankoff_score_pallas(
