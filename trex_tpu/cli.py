@@ -198,6 +198,39 @@ def cmd_bench(args) -> None:
     )
 
 
+def cmd_bootstrap(args) -> None:
+    """Bootstrap split support + majority-rule consensus on generated data."""
+    from trex_tpu.models.mutation_tree import generate_groundtruth
+    from trex_tpu.search.bootstrap import bootstrap_analysis
+    from trex_tpu.search.consensus import majority_rule_consensus
+    from trex_tpu.topology import balanced_topology
+    from trex_tpu.types import CostModel
+
+    gt = generate_groundtruth(
+        args.leaves, args.states, args.mutations, args.sites, seed=args.seed
+    )
+    leaf = gt.all_sequences[: args.leaves].astype(jnp.int32)
+    cost = CostModel.hamming(args.states).matrix
+    support, best = bootstrap_analysis(
+        jax.random.PRNGKey(args.seed),
+        balanced_topology(args.leaves),
+        cost,
+        leaf,
+        n_replicates=args.replicates,
+        search_rounds=args.search_rounds,
+    )
+    newick, _ = majority_rule_consensus(best)
+    print(
+        json.dumps(
+            {
+                "mean_support": float(support.mean()),
+                "per_clade_support": [round(float(x), 3) for x in support],
+                "consensus_newick": newick,
+            }
+        )
+    )
+
+
 def cmd_nk_bench(args) -> None:
     """NK accuracy benchmark: Sankoff vs gradient ASR over lambda values."""
     from trex_tpu.models.nk import evolve_tree, make_landscape
@@ -289,6 +322,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--reps", type=int, default=20)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("bootstrap", help="bootstrap support + consensus")
+    _add_common(p)
+    p.add_argument("--mutations", type=int, default=3)
+    p.add_argument("--replicates", type=int, default=50)
+    p.add_argument("--search-rounds", type=int, default=10)
+    p.set_defaults(fn=cmd_bootstrap)
 
     p = sub.add_parser("nk-bench", help="NK accuracy benchmark")
     _add_common(p)

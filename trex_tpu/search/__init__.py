@@ -6,6 +6,19 @@ from trex_tpu.search.asr import (
     reconstruct_ancestors_landscape_aware,
     parental_logits,
 )
+from trex_tpu.search.hillclimb import (
+    parsimony_hill_climb,
+    batched_random_restarts,
+    SearchResult,
+)
+from trex_tpu.search.bootstrap import (
+    bootstrap_site_weights,
+    bootstrap_scores,
+    bootstrap_analysis,
+    split_support,
+)
+from trex_tpu.search.consensus import majority_rule_consensus
+from trex_tpu.search.runner import RunnerConfig, run_search
 from trex_tpu.search.joint import (
     JointConfig,
     joint_optimize,
@@ -28,4 +41,14 @@ __all__ = [
     "extract_solution",
     "init_params",
     "fit_topology",
+    "parsimony_hill_climb",
+    "batched_random_restarts",
+    "SearchResult",
+    "bootstrap_site_weights",
+    "bootstrap_scores",
+    "bootstrap_analysis",
+    "split_support",
+    "majority_rule_consensus",
+    "RunnerConfig",
+    "run_search",
 ]
