@@ -80,3 +80,13 @@ def test_fitch_pallas_multi_tree_parity(trees_per_block):
         topos, leaf, interpret=True, trees_per_block=trees_per_block
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fitch_pallas_large_tree_pack_shrink():
+    """512-leaf trees shrink the node tile to stay in the VMEM budget."""
+    n_leaves, q, length = 512, 4, 256
+    topos = random_topologies(jax.random.PRNGKey(12), n_leaves, 2)
+    leaf = jax.random.randint(jax.random.PRNGKey(13), (n_leaves, length), 0, q)
+    want = batched_fitch_score(topos, leaf)
+    got = batched_fitch_score_pallas(topos, leaf, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -226,14 +226,22 @@ def batched_fitch_score_pallas(
     Returns (B,) f32 scores, bit-equal to ``batched_sankoff_score`` with a
     Hamming cost matrix (equivalence of Fitch and unit-cost Sankoff).
     """
-    pack = _SUBLANES_F32  # 8 rows of 128 lanes per node tile
-    sites_per_block = pack * _LANES  # 1024
-
     batch = topologies.children.shape[0]
     n_anc = topologies.children.shape[-2]
     n_leaves = n_anc + 1
     n_all = 2 * n_leaves - 1
     length = leaf_sequences.shape[-1]
+
+    # Node tiles are (pack, 128); shrink pack for very large trees so the
+    # per-instance state-set scratch stays within a VMEM budget.
+    vmem_budget = 10 * 1024 * 1024
+    pack = _SUBLANES_F32  # 8 rows of 128 lanes per node tile
+    while (
+        pack > 1
+        and max(trees_per_block, 1) * n_all * pack * _LANES * 4 > vmem_budget
+    ):
+        pack //= 2
+    sites_per_block = pack * _LANES
 
     padded_len = _round_up(length, sites_per_block)
     seqs = leaf_sequences.astype(jnp.int32)
