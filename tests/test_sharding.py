@@ -141,3 +141,16 @@ def test_sharded_scores_fitch_path_matches(mesh):
     minplus = sharded_batch_scores(mesh, topos, cost, leaf, use_fitch=False)
     np.testing.assert_allclose(np.asarray(fitch), np.asarray(single), atol=1e-5)
     np.testing.assert_allclose(np.asarray(minplus), np.asarray(single), atol=1e-5)
+
+
+def test_sharded_best_tree_matches_host_argmin(mesh):
+    n_leaves, q, length, batch = 8, 4, 64, 32
+    topos = random_topologies(jax.random.PRNGKey(10), n_leaves, batch)
+    leaf = jax.random.randint(jax.random.PRNGKey(11), (n_leaves, length), 0, q)
+    cost = CostModel.hamming(q).matrix
+    from trex_tpu.parallel.sharded import sharded_best_tree
+
+    idx, score = sharded_best_tree(mesh, topos, cost, leaf)
+    scores = np.asarray(batched_sankoff_score(topos, cost, leaf))
+    assert float(score) == scores.min()
+    assert scores[int(idx)] == scores.min()

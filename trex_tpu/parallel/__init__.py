@@ -3,6 +3,7 @@
 from trex_tpu.parallel.mesh import make_mesh, TREE_AXIS, SITE_AXIS
 from trex_tpu.parallel.sharded import (
     sharded_batch_scores,
+    sharded_best_tree,
     sharded_joint_step,
     make_sharded_joint_step,
     make_sharded_restart_joint_step,
@@ -14,6 +15,7 @@ __all__ = [
     "TREE_AXIS",
     "SITE_AXIS",
     "sharded_batch_scores",
+    "sharded_best_tree",
     "sharded_joint_step",
     "make_sharded_joint_step",
     "make_sharded_restart_joint_step",

@@ -90,6 +90,62 @@ def sharded_batch_scores(
     return score_shard(topologies, cost_matrix, leaf_sequences)
 
 
+def sharded_best_tree(
+    mesh: Mesh,
+    topologies: Topology,
+    cost_matrix: jax.Array,
+    leaf_sequences: jax.Array,
+    use_fitch: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Score a sharded candidate batch and select the global best on-device.
+
+    Per tree-shard local argmin, then one ``all_gather`` of (min, index)
+    pairs over the ``tree`` axis — the best-tree reduction never leaves the
+    mesh (SURVEY.md §7 M5). Returns (global_index, best_score), replicated.
+    """
+    if use_fitch is None:
+        from trex_tpu.ops.dispatch import _is_hamming
+
+        use_fitch = _is_hamming(cost_matrix) and cost_matrix.shape[-1] <= 32
+    on_tpu = jax.default_backend() == "tpu"
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            Topology(children=P(TREE_AXIS), parents=P(TREE_AXIS)),
+            P(),
+            P(None, SITE_AXIS),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def select_shard(topos, cost, leaf_shard):
+        if use_fitch and on_tpu:
+            from trex_tpu.ops.sankoff_pallas import batched_fitch_score_pallas
+
+            partial_scores = batched_fitch_score_pallas(topos, leaf_shard)
+        elif use_fitch:
+            from trex_tpu.ops.fitch import batched_fitch_score
+
+            partial_scores = batched_fitch_score(topos, leaf_shard)
+        else:
+            partial_scores = jax.vmap(sankoff_score, in_axes=(0, None, None))(
+                topos, cost, leaf_shard
+            )
+        scores = jax.lax.psum(partial_scores, SITE_AXIS)  # (B_local,)
+        local_size = scores.shape[0]
+        local_best = jnp.argmin(scores)
+        tree_rank = jax.lax.axis_index(TREE_AXIS)
+        global_idx = tree_rank * local_size + local_best
+        mins = jax.lax.all_gather(scores[local_best], TREE_AXIS)  # (n_tree,)
+        idxs = jax.lax.all_gather(global_idx, TREE_AXIS)
+        winner = jnp.argmin(mins)
+        return idxs[winner].astype(jnp.int32), mins[winner]
+
+    return select_shard(topologies, cost_matrix, leaf_sequences)
+
+
 def _local_joint_loss(params, leaf_shard, step_key, temperature, constraint_scale,
                       n_leaves, site_weight):
     """Per-shard joint loss: local surrogate + (weighted) constraint penalty.
