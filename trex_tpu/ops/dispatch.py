@@ -46,7 +46,11 @@ def batched_scores_fastest(
         if on_tpu:
             from trex_tpu.ops.sankoff_pallas import batched_fitch_score_pallas
 
-            return batched_fitch_score_pallas(topologies, leaf_sequences)
+            # 4 trees per kernel instance: independent work between the DP's
+            # serial ancestor steps (+~35% measured on v5e).
+            return batched_fitch_score_pallas(
+                topologies, leaf_sequences, trees_per_block=4
+            )
         from trex_tpu.ops.fitch import batched_fitch_score
 
         return batched_fitch_score(topologies, leaf_sequences)
