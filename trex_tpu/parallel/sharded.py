@@ -76,7 +76,9 @@ def sharded_batch_scores(
         if use_fitch and on_tpu:
             from trex_tpu.ops.sankoff_pallas import batched_fitch_score_pallas
 
-            partial_scores = batched_fitch_score_pallas(topos, leaf_shard)
+            partial_scores = batched_fitch_score_pallas(
+                topos, leaf_shard, trees_per_block=4
+            )
         elif use_fitch:
             from trex_tpu.ops.fitch import batched_fitch_score
 
