@@ -134,3 +134,41 @@ def test_newick_to_scoring_pipeline():
     leaf = jax.random.randint(jax.random.PRNGKey(1), (6, 32), 0, 4)
     score = sankoff_score(topo, CostModel.hamming(4).matrix, leaf)
     assert float(score) >= 0
+
+
+@pytest.mark.parametrize("n_leaves", [4, 8, 16, 32])
+def test_newick_roundtrip_fuzz(n_leaves):
+    """Random topologies survive save -> load after leaf-order alignment.
+
+    Newick assigns leaf ids by appearance order, so the loaded tree's leaf
+    numbering differs from the original; ``align_leaf_order`` restores it
+    (leaf identity lives in the names).
+    """
+    from trex_tpu.io import align_leaf_order
+
+    topos = sample_topologies(99, n_leaves, 6)
+    target = [f"L{i}" for i in range(n_leaves)]
+    for b in range(6):
+        topo = jax.tree_util.tree_map(lambda x: x[b], topos)
+        text = save_newick(topo)
+        back, _, names = load_newick(text)
+        aligned = align_leaf_order(back, names, target)
+        # Same labeled tree == same canonical splits; children arrays match
+        # because canonicalization is structure-determined.
+        from trex_tpu.search.bootstrap import subtree_leaf_sets
+
+        assert set(subtree_leaf_sets(aligned)) == set(subtree_leaf_sets(topo))
+
+
+def test_spr_neighborhood_fuzz_validity():
+    """Every SPR move of random 16-leaf trees is a valid canonical tree."""
+    topos = sample_topologies(7, 16, 3)
+    from trex_tpu.io import spr_neighborhood
+
+    for b in range(3):
+        topo = jax.tree_util.tree_map(lambda x: x[b], topos)
+        nbrs = spr_neighborhood(topo)
+        for i in range(nbrs.children.shape[0]):
+            _assert_valid(
+                np.asarray(nbrs.children[i]), np.asarray(nbrs.parents[i]), 16
+            )

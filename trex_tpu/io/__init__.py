@@ -86,6 +86,41 @@ def write_fasta(names: list[str], sequences: np.ndarray, alphabet: str = DNA) ->
     return "\n".join(rows) + "\n"
 
 
+def relabel_leaves(topology: Topology, new_ids: np.ndarray) -> Topology:
+    """Permute leaf indices (``new_ids[i]`` = new index of current leaf i)
+    and re-canonicalize the ancestor numbering."""
+    from trex_tpu.io.fallback import _canonicalize
+
+    children = np.asarray(topology.children)
+    n_leaves = topology.n_leaves
+    n_all = topology.n_all
+
+    def mapped(node: int) -> int:
+        return int(new_ids[node]) if node < n_leaves else node
+
+    kids = {
+        n_leaves + a: [mapped(int(children[a, 0])), mapped(int(children[a, 1]))]
+        for a in range(n_leaves - 1)
+    }
+    ch, par, _ = _canonicalize(n_leaves, kids, n_all - 1)
+    return Topology(children=jnp.asarray(ch), parents=jnp.asarray(par))
+
+
+def align_leaf_order(
+    topology: Topology, names: list[str], target_names: list[str]
+) -> Topology:
+    """Renumber leaves so leaf i carries ``target_names[i]``.
+
+    The standard glue between a tree file (leaves numbered by newick
+    appearance order) and an alignment file (rows in FASTA order).
+    """
+    index_of = {name: i for i, name in enumerate(target_names)}
+    if set(names) != set(target_names):
+        raise ValueError("leaf name sets differ")
+    new_ids = np.asarray([index_of[n] for n in names], dtype=np.int32)
+    return relabel_leaves(topology, new_ids)
+
+
 def sample_topologies(seed: int, n_leaves: int, batch: int) -> Topology:
     """Batched random topologies via the native sampler (Python fallback)."""
     if native.available():
@@ -156,6 +191,8 @@ __all__ = [
     "save_newick",
     "parse_fasta",
     "write_fasta",
+    "relabel_leaves",
+    "align_leaf_order",
     "sample_topologies",
     "nni_neighbors",
     "spr_neighborhood",
