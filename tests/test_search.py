@@ -144,3 +144,13 @@ def test_landscape_aware_reconstruction_runs():
     )
     assert anc.shape == (3, 10)
     assert float(losses[-1]) < float(losses[0])
+
+
+def test_parental_logits_chunking_non_divisible():
+    landscape = make_landscape(13, 2, jax.random.PRNGKey(0), n_states=2)
+    soft = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(1), (3, 13, 2)), axis=-1
+    )
+    full = parental_logits(soft, landscape)
+    chunked = parental_logits(soft, landscape, site_chunk=5)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-6)

@@ -170,10 +170,14 @@ def parental_logits(
     sites = jnp.arange(length, dtype=jnp.int32)
     if site_chunk is None or site_chunk >= length:
         return logits_for_sites(sites)
+    # Pad to a chunk multiple (repeating site 0), then slice the tail off.
+    n_chunks = -(-length // site_chunk)
+    padded = jnp.pad(sites, (0, n_chunks * site_chunk - length))
     out = jax.lax.map(
-        logits_for_sites, sites.reshape(-1, site_chunk)
+        logits_for_sites, padded.reshape(n_chunks, site_chunk)
     )  # (chunks, P, chunk, Q)
-    return jnp.concatenate(list(out), axis=1) if out.shape[0] > 1 else out[0]
+    out = jnp.moveaxis(out, 0, 1).reshape(n_parents, n_chunks * site_chunk, q)
+    return out[:, :length, :]
 
 
 def landscape_aware_loss(
