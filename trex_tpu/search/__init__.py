@@ -18,6 +18,7 @@ from trex_tpu.search.bootstrap import (
     split_support,
 )
 from trex_tpu.search.consensus import majority_rule_consensus
+from trex_tpu.search.ratchet import parsimony_ratchet, robinson_foulds
 from trex_tpu.search.runner import RunnerConfig, run_search
 from trex_tpu.search.joint import (
     JointConfig,
@@ -49,6 +50,8 @@ __all__ = [
     "bootstrap_analysis",
     "split_support",
     "majority_rule_consensus",
+    "parsimony_ratchet",
+    "robinson_foulds",
     "RunnerConfig",
     "run_search",
 ]

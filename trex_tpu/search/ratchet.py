@@ -1,0 +1,109 @@
+"""Parsimony ratchet and tree-distance utilities.
+
+The ratchet (Nixon 1999) is the standard escape mechanism for large
+parsimony searches: alternate hill climbing on *reweighted* data (a random
+subset of sites upweighted, distorting the landscape) with climbing on the
+original data, keeping the overall best. Builds entirely on the engine's
+weighted scoring (``site_mask``) and SPR/NNI climbing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trex_tpu.ops.fitch import fitch_score
+from trex_tpu.search.bootstrap import subtree_leaf_sets
+from trex_tpu.search.hillclimb import SearchResult, parsimony_hill_climb
+from trex_tpu.topology import Topology
+
+
+def robinson_foulds(a: Topology, b: Topology) -> int:
+    """Unrooted-style RF distance: splits present in exactly one tree."""
+    sa = set(subtree_leaf_sets(a))
+    sb = set(subtree_leaf_sets(b))
+    return len(sa ^ sb)
+
+
+def parsimony_ratchet(
+    key: jax.Array,
+    start: Topology,
+    cost_matrix: jax.Array,
+    leaf_sequences: jax.Array,
+    *,
+    n_iterations: int = 10,
+    perturb_fraction: float = 0.25,
+    perturb_weight: float = 3.0,
+    climb_rounds: int = 30,
+    neighborhood: str = "spr",
+) -> SearchResult:
+    """Run the parsimony ratchet from ``start``.
+
+    Each iteration: (1) upweight a random ``perturb_fraction`` of sites by
+    ``perturb_weight`` and hill climb under the distorted objective;
+    (2) re-climb under the true objective from wherever that landed;
+    (3) keep the best true-score tree seen.
+
+    Returns the best ``SearchResult`` (trace = best true score per iteration).
+    """
+    length = leaf_sequences.shape[-1]
+
+    def true_scores(topos, cost, leaves):
+        return jax.vmap(lambda t: fitch_score(t, leaves))(topos)
+
+    current = start
+    best_result = parsimony_hill_climb(
+        current,
+        cost_matrix,
+        leaf_sequences,
+        max_rounds=climb_rounds,
+        neighborhood=neighborhood,
+    )
+    current = best_result.topology
+    best_topo, best_score = best_result.topology, best_result.score
+    trace = [best_score]
+    evaluations = best_result.evaluations
+
+    for i in range(n_iterations):
+        key, perturb_key = jax.random.split(key)
+        upweighted = jax.random.bernoulli(
+            perturb_key, perturb_fraction, (length,)
+        )
+        weights = jnp.where(upweighted, perturb_weight, 1.0)
+
+        def weighted_scores(topos, cost, leaves):
+            return jax.vmap(
+                lambda t: fitch_score(t, leaves, site_mask=weights)
+            )(topos)
+
+        perturbed = parsimony_hill_climb(
+            current,
+            cost_matrix,
+            leaf_sequences,
+            max_rounds=climb_rounds,
+            score_batch_fn=weighted_scores,
+            neighborhood=neighborhood,
+        )
+        evaluations += perturbed.evaluations
+        reclimbed = parsimony_hill_climb(
+            perturbed.topology,
+            cost_matrix,
+            leaf_sequences,
+            max_rounds=climb_rounds,
+            score_batch_fn=true_scores,
+            neighborhood=neighborhood,
+        )
+        evaluations += reclimbed.evaluations
+        current = reclimbed.topology
+        if reclimbed.score < best_score:
+            best_topo, best_score = reclimbed.topology, reclimbed.score
+        trace.append(best_score)
+
+    return SearchResult(
+        topology=best_topo,
+        score=best_score,
+        rounds=n_iterations,
+        evaluations=evaluations,
+        trace=trace,
+    )
