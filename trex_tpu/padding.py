@@ -91,12 +91,10 @@ def pad_nk_tables(
     Padded interaction slots point at site 0 (neutral, like the reference's
     ``pad_interactions``, ``padding.py:185-218``); padded table entries are 0.
     """
-    real_k = interactions.shape[-1]
     tables = pad_axis(fitness_tables, -1, n_states ** (target_k + 1), fill=0.0)
     tables = pad_axis(tables, -2, target_sites, fill=0.0)
     inter = pad_axis(interactions, -1, target_k, fill=0)
     inter = pad_axis(inter, -2, target_sites, fill=0)
-    del real_k
     return tables, inter
 
 

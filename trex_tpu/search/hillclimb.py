@@ -99,8 +99,30 @@ def parsimony_hill_climb(
                     [nbrs.parents, jnp.asarray(np.stack(extra_p))]
                 ),
             )
-        scores = np.asarray(score_batch_fn(nbrs, cost_matrix, leaf_sequences))
-        evaluations += scores.shape[0]
+        # Bucket the candidate batch so XLA compiles one program per bucket,
+        # not one per (varying) neighborhood size.
+        from trex_tpu.padding import next_bucket
+
+        n_real = int(nbrs.children.shape[0])
+        bucket = next_bucket(n_real, (8, 16, 32, 64, 128, 256, 512, 1024))
+        if bucket != n_real:
+            reps = bucket - n_real
+            nbrs = Topology(
+                children=jnp.concatenate(
+                    [nbrs.children, jnp.broadcast_to(
+                        nbrs.children[-1:], (reps,) + nbrs.children.shape[1:]
+                    )]
+                ),
+                parents=jnp.concatenate(
+                    [nbrs.parents, jnp.broadcast_to(
+                        nbrs.parents[-1:], (reps,) + nbrs.parents.shape[1:]
+                    )]
+                ),
+            )
+        scores = np.asarray(
+            score_batch_fn(nbrs, cost_matrix, leaf_sequences)
+        )[:n_real]
+        evaluations += n_real
         best = int(scores.argmin())
         if scores[best] >= current_score:
             return SearchResult(
