@@ -90,3 +90,20 @@ def test_fitch_pallas_large_tree_pack_shrink():
     want = batched_fitch_score(topos, leaf)
     got = batched_fitch_score_pallas(topos, leaf, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fitch_sankoff_equivalence_fuzz():
+    """Heavier randomized equivalence sweep across shapes and alphabets."""
+    rng = np.random.default_rng(0)
+    for trial in range(6):
+        n_leaves = int(rng.choice([4, 8, 16, 32]))
+        q = int(rng.choice([2, 4, 20, 31]))
+        length = int(rng.integers(5, 90))
+        topos = random_topologies(jax.random.PRNGKey(trial), n_leaves, 3)
+        leaf = jax.random.randint(
+            jax.random.PRNGKey(100 + trial), (n_leaves, length), 0, q
+        )
+        cost = CostModel.hamming(q).matrix
+        sankoff = batched_sankoff_score(topos, cost, leaf)
+        fitch = batched_fitch_score(topos, leaf)
+        np.testing.assert_array_equal(np.asarray(fitch), np.asarray(sankoff))

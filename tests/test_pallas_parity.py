@@ -79,3 +79,40 @@ def test_unaligned_length_zero_padded():
     want = batched_sankoff_score(topos, cost, leaf)
     got = batched_sankoff_score_pallas(topos, cost, leaf, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_general_cost_fuzz_vs_brute_force():
+    """Random non-Hamming cost matrices: kernel == lax == brute force."""
+    import itertools
+
+    rng = np.random.default_rng(7)
+    n_leaves, q, length = 4, 3, 6
+    topos = random_topologies(jax.random.PRNGKey(20), n_leaves, 2)
+    leaf = jax.random.randint(jax.random.PRNGKey(21), (n_leaves, length), 0, q)
+    for trial in range(3):
+        cost_np = rng.integers(0, 6, size=(q, q)).astype(np.float32)
+        np.fill_diagonal(cost_np, 0)
+        cost = jnp.asarray(cost_np)
+        lax_scores = batched_sankoff_score(topos, cost, leaf)
+        pallas_scores = batched_sankoff_score_pallas(
+            topos, cost, leaf, hamming=False, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pallas_scores), np.asarray(lax_scores)
+        )
+        # brute force per tree
+        for b in range(2):
+            children = np.asarray(topos.children[b])
+            total = 0.0
+            for site in range(length):
+                best = np.inf
+                for labels in itertools.product(range(q), repeat=n_leaves - 1):
+                    full = list(np.asarray(leaf)[:, site]) + list(labels)
+                    s = sum(
+                        cost_np[full[n_leaves + a], full[c]]
+                        for a in range(n_leaves - 1)
+                        for c in children[a]
+                    )
+                    best = min(best, s)
+                total += best
+            assert float(lax_scores[b]) == total
