@@ -107,3 +107,18 @@ def test_fitch_sankoff_equivalence_fuzz():
         sankoff = batched_sankoff_score(topos, cost, leaf)
         fitch = batched_fitch_score(topos, leaf)
         np.testing.assert_array_equal(np.asarray(fitch), np.asarray(sankoff))
+
+
+def test_fitch_state_sets_and_ambiguity():
+    from trex_tpu.ops.fitch import fitch_state_sets
+
+    topo = balanced_topology(4)
+    # Site 0: all leaves agree -> every node set = {0}, ambiguity 1.
+    # Site 1: leaves 0,1 = state 0; leaves 2,3 = state 1 -> root ambiguous.
+    leaf = jnp.array([[0, 0], [0, 0], [0, 1], [0, 1]], dtype=jnp.int32)
+    sets, amb = fitch_state_sets(topo, leaf)
+    assert sets.shape == (7, 2) and amb.shape == (7, 2)
+    np.testing.assert_array_equal(np.asarray(amb[:, 0]), np.ones(7))
+    assert int(amb[-1, 1]) == 2  # root set {0,1}
+    assert int(sets[-1, 1]) == 0b11
+    np.testing.assert_array_equal(np.asarray(amb[:4]), np.ones((4, 2)))

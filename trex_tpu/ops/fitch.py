@@ -72,6 +72,40 @@ def fitch_score(
 batched_fitch_score = jax.vmap(fitch_score, in_axes=(0, None))
 
 
+def fitch_state_sets(
+    topology: Topology, leaf_sequences: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Per-node optimal-state sets and their ambiguity.
+
+    Returns:
+        sets: (n_all, L) int32 bitmasks — the Fitch upward state sets (for
+            ancestors: every state appearing in SOME minimum-parsimony
+            labeling given the subtree below).
+        ambiguity: (n_all, L) int32 popcounts — 1 means the reconstruction
+            at that node/site is unambiguous.
+    """
+    n_leaves = topology.n_leaves
+    n_all = topology.n_all
+    length = leaf_sequences.shape[-1]
+    sets0 = jnp.zeros((n_all, length), dtype=jnp.int32)
+    sets0 = sets0.at[:n_leaves].set(leaf_masks(leaf_sequences))
+
+    def step(sets, inputs):
+        anc_offset, child_pair = inputs
+        c = sets[child_pair]
+        inter = c[0] & c[1]
+        merged = jnp.where(inter == 0, c[0] | c[1], inter)
+        sets = jax.lax.dynamic_update_slice(
+            sets, merged[None], (n_leaves + anc_offset, 0)
+        )
+        return sets, None
+
+    offsets = jnp.arange(topology.n_ancestors, dtype=jnp.int32)
+    sets, _ = jax.lax.scan(step, sets0, (offsets, topology.children))
+    ambiguity = jax.lax.population_count(sets.view(jnp.uint32)).astype(jnp.int32)
+    return sets, ambiguity
+
+
 @partial(jax.jit, static_argnames=("n_states",))
 def fitch_reconstruct(
     topology: Topology,
