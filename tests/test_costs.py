@@ -103,3 +103,24 @@ def test_surrogate_gradients_flow(soft_inputs):
     assert g.shape == seqs.shape
     assert jnp.all(jnp.isfinite(g))
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_transition_transversion_cost_model():
+    cm = CostModel.transition_transversion(1.0, 2.5)
+    m = np.asarray(cm.matrix)
+    assert m.shape == (4, 4)
+    np.testing.assert_array_equal(np.diag(m), np.zeros(4))
+    # A<->G and C<->T are transitions (ACGT order).
+    assert m[0, 2] == m[2, 0] == 1.0
+    assert m[1, 3] == m[3, 1] == 1.0
+    assert m[0, 1] == m[0, 3] == 2.5
+    # Weighted parsimony via the general kernel path agrees with lax.
+    from trex_tpu.ops.sankoff import batched_sankoff_score
+    from trex_tpu.ops.sankoff_pallas import batched_sankoff_score_pallas
+    from trex_tpu.topology import random_topologies
+
+    topos = random_topologies(jax.random.PRNGKey(0), 8, 3)
+    leaf = jax.random.randint(jax.random.PRNGKey(1), (8, 64), 0, 4)
+    want = batched_sankoff_score(topos, cm.matrix, leaf)
+    got = batched_sankoff_score_pallas(topos, cm.matrix, leaf, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

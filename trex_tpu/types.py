@@ -85,3 +85,22 @@ class CostModel:
         dtype = dtype or default_dtype()
         m = jnp.ones((n_states, n_states), dtype=dtype) - jnp.eye(n_states, dtype=dtype)
         return CostModel(matrix=m)
+
+    @staticmethod
+    def transition_transversion(
+        transition_cost: float = 1.0,
+        transversion_cost: float = 2.0,
+        dtype: jnp.dtype | None = None,
+    ) -> "CostModel":
+        """DNA weighted-parsimony costs over the ACGT alphabet.
+
+        Transitions (A<->G, C<->T — within purines/pyrimidines) are cheaper
+        than transversions, the standard weighting for real sequence data.
+        Uses the engine's ACGT state order (``trex_tpu.io.DNA``).
+        """
+        dtype = dtype or default_dtype()
+        m = jnp.full((4, 4), transversion_cost, dtype=dtype)
+        m = m.at[jnp.arange(4), jnp.arange(4)].set(0.0)
+        for a, b in ((0, 2), (1, 3)):  # A<->G, C<->T
+            m = m.at[a, b].set(transition_cost).at[b, a].set(transition_cost)
+        return CostModel(matrix=m)
