@@ -16,6 +16,7 @@ from trex_tpu.ops.fitch import (
     fitch_score,
     batched_fitch_score,
     fitch_reconstruct,
+    fitch_state_sets,
 )
 from trex_tpu.ops.soft_dp import (
     soft_sankoff_score,
@@ -40,6 +41,7 @@ __all__ = [
     "fitch_score",
     "batched_fitch_score",
     "fitch_reconstruct",
+    "fitch_state_sets",
     "soft_sankoff_score",
     "soft_sankoff_score_from_sequences",
     "batched_soft_sankoff_score",
