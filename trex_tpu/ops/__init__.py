@@ -18,6 +18,12 @@ from trex_tpu.ops.fitch import (
     fitch_reconstruct,
     fitch_state_sets,
 )
+from trex_tpu.ops.likelihood import (
+    jc69_transition,
+    tree_log_likelihood,
+    batched_tree_log_likelihood,
+    optimize_branch_lengths,
+)
 from trex_tpu.ops.soft_dp import (
     soft_sankoff_score,
     soft_sankoff_score_from_sequences,
@@ -42,6 +48,10 @@ __all__ = [
     "batched_fitch_score",
     "fitch_reconstruct",
     "fitch_state_sets",
+    "jc69_transition",
+    "tree_log_likelihood",
+    "batched_tree_log_likelihood",
+    "optimize_branch_lengths",
     "soft_sankoff_score",
     "soft_sankoff_score_from_sequences",
     "batched_soft_sankoff_score",
