@@ -115,3 +115,71 @@ def test_underflow_scaling_long_alignment():
     ll = tree_log_likelihood(topo, jnp.full((31,), 0.4), leaf, 4)
     assert bool(jnp.isfinite(ll))
     assert float(ll) < -1e4  # large negative, not -inf/nan
+
+
+def test_gtr_uniform_equals_jc69():
+    topo = balanced_topology(4)
+    leaf = jax.random.randint(jax.random.PRNGKey(5), (4, 20), 0, 4)
+    blens = jnp.asarray(np.random.default_rng(6).uniform(0.05, 0.8, 7))
+    jc = float(tree_log_likelihood(topo, blens, leaf, 4))
+    gtr = float(
+        tree_log_likelihood(
+            topo, blens, leaf, 4,
+            rates=jnp.ones((4, 4)), freqs=jnp.full((4,), 0.25),
+        )
+    )
+    assert gtr == pytest.approx(jc, rel=1e-5)
+
+
+def test_gtr_transition_rows_stochastic():
+    from trex_tpu.ops.likelihood import gtr_eigensystem, gtr_transition
+
+    rng = np.random.default_rng(7)
+    rates = np.abs(rng.normal(1.0, 0.3, (4, 4)))
+    rates = (rates + rates.T) / 2
+    freqs = rng.dirichlet(np.ones(4))
+    ev, left, right = gtr_eigensystem(jnp.asarray(rates), jnp.asarray(freqs))
+    for t in (0.01, 0.3, 2.0):
+        p = np.asarray(gtr_transition(jnp.asarray(t), ev, left, right))
+        np.testing.assert_allclose(p.sum(axis=1), 1.0, atol=1e-5)
+        assert (p >= -1e-7).all()
+    # Stationarity: pi P(t) == pi.
+    p = np.asarray(gtr_transition(jnp.asarray(0.7), ev, left, right))
+    np.testing.assert_allclose(freqs @ p, freqs, atol=1e-6)
+
+
+def test_gtr_brute_force_parity():
+    from trex_tpu.ops.likelihood import gtr_eigensystem, gtr_transition
+
+    rng = np.random.default_rng(8)
+    q, n_leaves, length = 3, 4, 5
+    rates = np.abs(rng.normal(1.0, 0.4, (q, q)))
+    rates = (rates + rates.T) / 2
+    freqs = rng.dirichlet(np.ones(q))
+    topo = balanced_topology(n_leaves)
+    leaf = jax.random.randint(jax.random.PRNGKey(9), (n_leaves, length), 0, q)
+    blens = rng.uniform(0.05, 1.0, 2 * n_leaves - 1)
+    got = float(
+        tree_log_likelihood(
+            topo, jnp.asarray(blens), leaf, q,
+            rates=jnp.asarray(rates), freqs=jnp.asarray(freqs),
+        )
+    )
+    ev, left, right = gtr_eigensystem(jnp.asarray(rates), jnp.asarray(freqs))
+    mats = [
+        np.asarray(gtr_transition(jnp.asarray(t), ev, left, right))
+        for t in blens
+    ]
+    children = np.asarray(topo.children)
+    total = 0.0
+    for site in range(length):
+        lik = 0.0
+        for labels in itertools.product(range(q), repeat=n_leaves - 1):
+            full = list(np.asarray(leaf)[:, site]) + list(labels)
+            p = freqs[full[-1]]
+            for a in range(n_leaves - 1):
+                for c in children[a]:
+                    p *= mats[c][full[n_leaves + a], full[c]]
+            lik += p
+        total += np.log(lik)
+    assert got == pytest.approx(total, rel=1e-5)

@@ -7,7 +7,9 @@ recursion over the same (nodes, states, sites) layout and ancestor-scan
 schedule as the Sankoff DP — so it jits, vmaps over candidate batches, and
 shards over ('tree', 'site') identically.
 
-Provided model: Jukes-Cantor (JC69) generalized to Q states, whose transition
+Provided models: Jukes-Cantor (JC69) generalized to Q states and reversible
+GTR (arbitrary symmetric exchangeabilities + stationary frequencies, via the
+eigendecomposition of the pi-symmetrized generator). JC69's transition
 matrix has the closed form
 
     P(t)[i,j] = 1/Q + (1 - 1/Q) exp(-Q/(Q-1) t)     if i == j
@@ -36,12 +38,55 @@ def jc69_transition(branch_length: jax.Array, n_states: int) -> jax.Array:
     return jnp.full((q, q), diff) + (same - diff) * jnp.eye(q)
 
 
+def gtr_eigensystem(
+    rates: jax.Array, freqs: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Eigensystem of a normalized reversible (GTR) rate matrix.
+
+    Args:
+        rates: (Q, Q) symmetric exchangeabilities (diagonal ignored).
+        freqs: (Q,) stationary distribution.
+
+    Returns:
+        (eigenvalues (Q,), left (Q,Q), right (Q,Q)) such that
+        ``P(t) = right @ diag(exp(eigenvalues * t)) @ left``. The rate matrix
+        is normalized to one expected substitution per unit branch length.
+        Differentiable (eigh of the symmetrized generator).
+    """
+    sym = (rates + rates.T) / 2.0
+    gen = sym * freqs[None, :]
+    gen = gen - jnp.diag(jnp.diag(gen))
+    gen = gen - jnp.diag(jnp.sum(gen, axis=1))
+    # Normalize expected rate: -sum_i pi_i * Q_ii == 1.
+    scale = -jnp.sum(freqs * jnp.diag(gen))
+    gen = gen / scale
+    sqrt_pi = jnp.sqrt(freqs)
+    balanced = sqrt_pi[:, None] * gen / sqrt_pi[None, :]  # symmetric
+    eigvals, eigvecs = jnp.linalg.eigh((balanced + balanced.T) / 2.0)
+    right = eigvecs / sqrt_pi[:, None]
+    left = eigvecs.T * sqrt_pi[None, :]
+    return eigvals, left, right
+
+
+def gtr_transition(
+    branch_length: jax.Array,
+    eigvals: jax.Array,
+    left: jax.Array,
+    right: jax.Array,
+) -> jax.Array:
+    """(Q, Q) transition matrix from a precomputed GTR eigensystem."""
+    p = (right * jnp.exp(eigvals * branch_length)[None, :]) @ left
+    return jnp.clip(p, 0.0, 1.0)
+
+
 def tree_log_likelihood(
     topology: Topology,
     branch_lengths: jax.Array,
     leaf_sequences: jax.Array,
     n_states: int,
     site_mask: jax.Array | None = None,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
 ) -> jax.Array:
     """Log-likelihood of the alignment given topology + branch lengths.
 
@@ -49,14 +94,29 @@ def tree_log_likelihood(
         branch_lengths: (n_all,) per-node branch length ABOVE each node (the
             root entry is ignored). Must be positive.
         leaf_sequences: (n_leaves, L) int states.
+        rates / freqs: optional GTR exchangeabilities (Q, Q) and stationary
+            frequencies (Q,); both None -> JC69 with a uniform prior.
 
     Returns:
-        Scalar log-likelihood (f32), differentiable w.r.t. branch_lengths.
+        Scalar log-likelihood (f32), differentiable w.r.t. branch_lengths
+        (and rates/freqs when given).
     """
     n_leaves = topology.n_leaves
     n_all = topology.n_all
     length = leaf_sequences.shape[-1]
     q = n_states
+
+    if rates is not None or freqs is not None:
+        if freqs is None:
+            freqs = jnp.full((q,), 1.0 / q)
+        if rates is None:
+            rates = jnp.ones((q, q))
+        eigvals, left, right = gtr_eigensystem(rates, freqs)
+        transition = lambda t: gtr_transition(t, eigvals, left, right)
+        root_prior = freqs
+    else:
+        transition = lambda t: jc69_transition(t, q)
+        root_prior = jnp.full((q,), 1.0 / q)
 
     # Partial likelihoods, (n_all, Q, L); leaves one-hot.
     partials0 = jnp.zeros((n_all, q, length))
@@ -73,9 +133,7 @@ def tree_log_likelihood(
         partials, logscale = carry
         anc_offset, child_pair = inputs
         child_partials = partials[child_pair]  # (2, Q, L)
-        child_mats = jax.vmap(lambda t: jc69_transition(t, q))(
-            branch_lengths[child_pair]
-        )  # (2, Q, Q)
+        child_mats = jax.vmap(transition)(branch_lengths[child_pair])  # (2, Q, Q)
         # message[c, i, l] = sum_j P_c[i, j] * L_c[j, l]
         messages = jnp.einsum(
             "cij,cjl->cil", child_mats, child_partials,
@@ -95,8 +153,7 @@ def tree_log_likelihood(
     (partials, logscale), _ = jax.lax.scan(
         up, (partials0, logscale0), (offsets, topology.children)
     )
-    # Uniform stationary distribution (JC69).
-    site_lik = jnp.sum(partials[-1], axis=0) / q  # (L,)
+    site_lik = jnp.sum(root_prior[:, None] * partials[-1], axis=0)  # (L,)
     per_site = jnp.log(site_lik) + logscale
     if site_mask is not None:
         per_site = per_site * site_mask.astype(per_site.dtype)
