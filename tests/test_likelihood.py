@@ -183,3 +183,27 @@ def test_gtr_brute_force_parity():
             lik += p
         total += np.log(lik)
     assert got == pytest.approx(total, rel=1e-5)
+
+
+def test_ml_hill_climb_recovers_structure():
+    from trex_tpu.io import sample_topologies
+    from trex_tpu.search.ml import ml_hill_climb
+    from trex_tpu.search.ratchet import robinson_foulds
+
+    gt = generate_groundtruth(8, 4, 4, 120, seed=13)
+    leaf = gt.all_sequences[:8].astype(jnp.int32)
+    start = jax.tree_util.tree_map(
+        lambda x: x[0], sample_topologies(21, 8, 1)
+    )
+    result, lengths, losses = ml_hill_climb(
+        start, leaf, 4, max_rounds=30, n_length_iterations=200
+    )
+    # Likelihood improved over the random start and lengths optimized.
+    assert result.score <= result.trace[0]
+    assert float(losses[-1]) < float(losses[0])
+    assert bool(jnp.all(lengths > 0))
+    # Should land close (in RF) to the generating balanced tree.
+    truth = balanced_topology(8)
+    start_rf = robinson_foulds(start, truth)
+    final_rf = robinson_foulds(result.topology, truth)
+    assert final_rf <= start_rf

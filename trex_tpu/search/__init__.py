@@ -19,6 +19,7 @@ from trex_tpu.search.bootstrap import (
 )
 from trex_tpu.search.consensus import majority_rule_consensus
 from trex_tpu.search.ratchet import parsimony_ratchet, robinson_foulds
+from trex_tpu.search.ml import ml_hill_climb
 from trex_tpu.search.runner import RunnerConfig, run_search
 from trex_tpu.search.joint import (
     JointConfig,
@@ -52,6 +53,7 @@ __all__ = [
     "majority_rule_consensus",
     "parsimony_ratchet",
     "robinson_foulds",
+    "ml_hill_climb",
     "RunnerConfig",
     "run_search",
 ]

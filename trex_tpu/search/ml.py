@@ -1,0 +1,71 @@
+"""Maximum-likelihood tree search.
+
+Reuses the discrete search machinery (NNI/SPR neighborhoods, batched device
+scoring) with the Felsenstein pruning likelihood as the objective: candidate
+ranking uses a fixed per-branch length (standard fast heuristic), and the
+winner gets gradient-optimized branch lengths.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from trex_tpu.ops.likelihood import (
+    batched_tree_log_likelihood,
+    optimize_branch_lengths,
+)
+from trex_tpu.search.hillclimb import SearchResult, parsimony_hill_climb
+from trex_tpu.topology import Topology
+
+
+def ml_hill_climb(
+    start: Topology,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    *,
+    ranking_branch_length: float = 0.1,
+    max_rounds: int = 50,
+    neighborhood: str = "spr",
+    optimize_final_lengths: bool = True,
+    n_length_iterations: int = 400,
+) -> tuple[SearchResult, jax.Array, jax.Array]:
+    """Greedy ML topology search + final branch-length optimization.
+
+    Candidates are ranked by log-likelihood with every branch fixed at
+    ``ranking_branch_length`` (negated so the hill climber minimizes).
+
+    Returns:
+        (search_result, branch_lengths, loss_curve): the result's ``score``
+        is the negative ranking log-likelihood; ``branch_lengths`` are the
+        ML-optimized lengths of the best topology (or the fixed lengths when
+        ``optimize_final_lengths`` is False).
+    """
+    n_all = start.n_all
+
+    def score_batch(topos, _cost, leaves):
+        batch = topos.children.shape[0]
+        blens = jnp.full((batch, n_all), ranking_branch_length)
+        return -batched_tree_log_likelihood(topos, blens, leaves, n_states)
+
+    dummy_cost = jnp.zeros((n_states, n_states))
+    result = parsimony_hill_climb(
+        start,
+        dummy_cost,
+        leaf_sequences,
+        max_rounds=max_rounds,
+        score_batch_fn=score_batch,
+        neighborhood=neighborhood,
+    )
+    if optimize_final_lengths:
+        lengths, losses = optimize_branch_lengths(
+            result.topology,
+            leaf_sequences,
+            n_states,
+            init_length=ranking_branch_length,
+            n_iterations=n_length_iterations,
+        )
+    else:
+        lengths = jnp.full((n_all,), ranking_branch_length)
+        losses = jnp.asarray([result.score])
+    return result, lengths, losses
