@@ -198,6 +198,35 @@ def cmd_bench(args) -> None:
     )
 
 
+def cmd_ml(args) -> None:
+    """Maximum-likelihood tree search (pruning likelihood, JC69)."""
+    from trex_tpu.io import sample_topologies, save_newick
+    from trex_tpu.models.mutation_tree import generate_groundtruth
+    from trex_tpu.search.ml import ml_hill_climb
+
+    gt = generate_groundtruth(
+        args.leaves, args.states, args.mutations, args.sites, seed=args.seed
+    )
+    leaf = gt.all_sequences[: args.leaves].astype(jnp.int32)
+    start = jax.tree_util.tree_map(
+        lambda x: x[0], sample_topologies(args.seed, args.leaves, 1)
+    )
+    result, lengths, losses = ml_hill_climb(
+        start, leaf, args.states, max_rounds=args.rounds
+    )
+    print(
+        json.dumps(
+            {
+                "final_neg_log_likelihood": float(losses[-1]),
+                "ranking_score": result.score,
+                "evaluations": result.evaluations,
+                "tree": save_newick(result.topology),
+                "mean_branch_length": float(lengths.mean()),
+            }
+        )
+    )
+
+
 def cmd_bootstrap(args) -> None:
     """Bootstrap split support + majority-rule consensus on generated data."""
     from trex_tpu.models.mutation_tree import generate_groundtruth
@@ -322,6 +351,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--reps", type=int, default=20)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("ml", help="maximum-likelihood tree search")
+    _add_common(p)
+    p.add_argument("--mutations", type=int, default=3)
+    p.add_argument("--rounds", type=int, default=30)
+    p.set_defaults(fn=cmd_ml)
 
     p = sub.add_parser("bootstrap", help="bootstrap support + consensus")
     _add_common(p)
