@@ -1,0 +1,86 @@
+"""Fused likelihood kernel parity vs the lax pruning (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trex_tpu.ops.likelihood import (
+    batched_tree_log_likelihood,
+    gtr_eigensystem,
+    gtr_transition,
+    tree_log_likelihood,
+)
+from trex_tpu.ops.likelihood_pallas import batched_log_likelihood_pallas
+from trex_tpu.topology import random_topologies
+
+
+@pytest.mark.parametrize("n_leaves,q,length", [(4, 4, 128), (8, 4, 256), (8, 2, 128)])
+def test_jc69_matches_lax(n_leaves, q, length):
+    batch = 4
+    topos = random_topologies(jax.random.PRNGKey(0), n_leaves, batch)
+    leaf = jax.random.randint(jax.random.PRNGKey(1), (n_leaves, length), 0, q)
+    blens = jnp.asarray(
+        np.random.default_rng(2).uniform(0.05, 1.0, (batch, 2 * n_leaves - 1)),
+        jnp.float32,
+    )
+    want = batched_tree_log_likelihood(topos, blens, leaf, q)
+    got = batched_log_likelihood_pallas(topos, blens, leaf, q, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5)
+
+
+def test_unaligned_length_masked():
+    n_leaves, q, length = 8, 4, 300  # not lane-aligned
+    topos = random_topologies(jax.random.PRNGKey(3), n_leaves, 2)
+    leaf = jax.random.randint(jax.random.PRNGKey(4), (n_leaves, length), 0, q)
+    blens = jnp.full((2, 15), 0.3)
+    want = batched_tree_log_likelihood(topos, blens, leaf, q)
+    got = batched_log_likelihood_pallas(topos, blens, leaf, q, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5)
+
+
+def test_site_blocking_equivalent():
+    n_leaves, q, length = 8, 4, 512
+    topos = random_topologies(jax.random.PRNGKey(5), n_leaves, 2)
+    leaf = jax.random.randint(jax.random.PRNGKey(6), (n_leaves, length), 0, q)
+    blens = jnp.full((2, 15), 0.25)
+    a = batched_log_likelihood_pallas(
+        topos, blens, leaf, q, site_block=128, interpret=True
+    )
+    b = batched_log_likelihood_pallas(
+        topos, blens, leaf, q, site_block=512, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_gtr_matrices_path():
+    rng = np.random.default_rng(7)
+    q, n_leaves, length, batch = 4, 8, 128, 3
+    rates = np.abs(rng.normal(1.0, 0.3, (q, q)))
+    rates = (rates + rates.T) / 2
+    freqs = rng.dirichlet(np.ones(q))
+    topos = random_topologies(jax.random.PRNGKey(8), n_leaves, batch)
+    leaf = jax.random.randint(jax.random.PRNGKey(9), (n_leaves, length), 0, q)
+    blens = jnp.asarray(
+        rng.uniform(0.05, 0.8, (batch, 2 * n_leaves - 1)), jnp.float32
+    )
+    ev, left, right = gtr_eigensystem(jnp.asarray(rates), jnp.asarray(freqs))
+    pmats = jax.vmap(
+        jax.vmap(lambda t: gtr_transition(t, ev, left, right))
+    )(blens)
+    got = batched_log_likelihood_pallas(
+        topos, blens, leaf, q,
+        transition_matrices=pmats, root_prior=jnp.asarray(freqs),
+        interpret=True,
+    )
+    want = jnp.stack(
+        [
+            tree_log_likelihood(
+                jax.tree_util.tree_map(lambda x: x[b], topos),
+                blens[b], leaf, q,
+                rates=jnp.asarray(rates), freqs=jnp.asarray(freqs),
+            )
+            for b in range(batch)
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5)

@@ -1,0 +1,194 @@
+"""Fused Pallas kernel for batched Felsenstein pruning likelihood.
+
+Same design as the Sankoff kernel (``sankoff_pallas``): the whole partials
+table lives in VMEM per (tree, site-block) tile; per ancestor the update is
+two (Q x Q) x (Q x L) products done as Q full-tile FMA accumulations (the
+multiply-add analogue of the min-plus accumulation), followed by per-site
+max-rescaling with the log-scale accumulated in a scratch row.
+
+Transition matrices are precomputed outside the kernel — (B, n_all, Qp, Qp),
+one per branch, from JC69 or a GTR eigensystem — so the kernel itself is
+model-agnostic. Padded state rows of P are zero and padded leaf partials are
+zero, so padded states contribute nothing; padded *sites* are masked via a
+per-block valid-site count in SMEM.
+
+Forward-only (scores for candidate ranking); use the lax path
+(``ops.likelihood``) when branch-length gradients are needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trex_tpu.ops.likelihood import jc69_transition
+from trex_tpu.topology import Topology
+
+_LANES = 128
+_SUBLANES_F32 = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _likelihood_kernel(
+    children_ref,  # SMEM (1, n_anc, 2) int32
+    valid_ref,  # SMEM (1, 1) int32 — number of real sites in this block
+    prior_ref,  # SMEM (1, Q_pad) f32 — root prior (0 at padded states)
+    seq_ref,  # VMEM (n_leaves, L_BLK) int32
+    pmats_ref,  # VMEM (1, n_all * Q_pad, Q_pad) f32 — per-node P, row-padded 0
+    out_ref,  # VMEM (1, 1, 8, 128) f32; per-block sum of site log-liks at [0,0]
+    part_ref,  # VMEM scratch (n_all * Q_pad, L_BLK) f32 — partials
+    ls_ref,  # VMEM scratch (8, L_BLK) f32 — row 0 accumulates log-scales
+    *,
+    n_leaves: int,
+    n_states: int,
+    q_pad: int,
+):
+    n_all = 2 * n_leaves - 1
+    n_anc = n_leaves - 1
+    l_blk = seq_ref.shape[-1]
+
+    state_iota = jax.lax.broadcasted_iota(jnp.int32, (q_pad, l_blk), 0)
+
+    def init_leaf(i, _):
+        observed = seq_ref[pl.ds(i, 1), :]
+        part_ref[pl.ds(i * q_pad, q_pad), :] = jnp.where(
+            state_iota == observed, 1.0, 0.0
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_leaves, init_leaf, 0, unroll=True)
+    ls_ref[:, :] = jnp.zeros((8, l_blk), jnp.float32)
+
+    def visit(a, _):
+        c1 = children_ref[0, a, 0]
+        c2 = children_ref[0, a, 1]
+
+        def message(c):
+            d = part_ref[pl.ds(c * q_pad, q_pad), :]
+            p = pmats_ref[0, pl.ds(c * q_pad, q_pad), :]  # (Q_pad, Q_pad)
+            acc = jnp.zeros((q_pad, l_blk), jnp.float32)
+            for j in range(n_states):
+                col = p[:, j : j + 1]  # (Q_pad, 1) = P[:, j]
+                acc = acc + col * d[j : j + 1, :]
+            return acc
+
+        combined = message(c1) * message(c2)  # (Q_pad, L)
+        scale = jnp.maximum(
+            jnp.max(combined, axis=0, keepdims=True), 1e-30
+        )  # (1, L)
+        part_ref[pl.ds((n_leaves + a) * q_pad, q_pad), :] = combined / scale
+        ls_ref[pl.ds(0, 1), :] = ls_ref[pl.ds(0, 1), :] + jnp.log(scale)
+        return 0
+
+    jax.lax.fori_loop(0, n_anc, visit, 0)
+
+    root = part_ref[pl.ds((n_all - 1) * q_pad, q_pad), :]
+    site_lik = jnp.zeros((1, l_blk), jnp.float32)
+    for i in range(n_states):
+        site_lik = site_lik + prior_ref[0, i] * root[i : i + 1, :]
+    per_site = jnp.log(jnp.maximum(site_lik, 1e-30)) + ls_ref[pl.ds(0, 1), :]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, l_blk), 1)
+    per_site = jnp.where(col_iota < valid_ref[0, 0], per_site, 0.0)
+    out_ref[0, 0, :, :] = jnp.full(
+        (8, 128), jnp.sum(per_site), dtype=jnp.float32
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_states", "site_block", "interpret")
+)
+def batched_log_likelihood_pallas(
+    topologies: Topology,
+    branch_lengths: jax.Array,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    *,
+    transition_matrices: jax.Array | None = None,
+    root_prior: jax.Array | None = None,
+    site_block: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B,) log-likelihoods of a candidate batch via the fused kernel.
+
+    Args:
+        branch_lengths: (B, n_all) per-tree per-node lengths (JC69 unless
+            ``transition_matrices`` is given).
+        transition_matrices: optional precomputed (B, n_all, Q, Q) P-matrices
+            (e.g. from a GTR eigensystem); overrides ``branch_lengths``.
+        root_prior: (Q,) stationary distribution; uniform when None.
+    """
+    batch = topologies.children.shape[0]
+    n_anc = topologies.children.shape[-2]
+    n_leaves = n_anc + 1
+    n_all = 2 * n_leaves - 1
+    length = leaf_sequences.shape[-1]
+    q = n_states
+    q_pad = _round_up(q, _SUBLANES_F32)
+
+    if site_block is None:
+        site_block = _round_up(length, _LANES) if length <= 2048 else 2048
+    padded_len = _round_up(length, site_block)
+    seqs = leaf_sequences.astype(jnp.int32)
+    if padded_len != length:
+        seqs = jnp.pad(seqs, ((0, 0), (0, padded_len - length)))
+    n_blocks = padded_len // site_block
+    # Valid (unpadded) site count per block.
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * site_block
+    valid = jnp.clip(length - starts, 0, site_block).reshape(n_blocks, 1)
+
+    if transition_matrices is None:
+        transition_matrices = jax.vmap(
+            jax.vmap(lambda t: jc69_transition(t, q))
+        )(branch_lengths)  # (B, n_all, Q, Q)
+    # Pad states; padded rows stay 0 so padded parent states contribute 0.
+    pmats = jnp.zeros((batch, n_all, q_pad, q_pad), jnp.float32)
+    pmats = pmats.at[:, :, :q, :q].set(
+        transition_matrices.astype(jnp.float32)
+    )
+    pmats = pmats.reshape(batch, n_all * q_pad, q_pad)
+
+    if root_prior is None:
+        root_prior = jnp.full((q,), 1.0 / q)
+    prior = jnp.zeros((1, q_pad), jnp.float32).at[0, :q].set(
+        root_prior.astype(jnp.float32)
+    )
+
+    kernel = functools.partial(
+        _likelihood_kernel, n_leaves=n_leaves, n_states=q, q_pad=q_pad
+    )
+    block_ll = pl.pallas_call(
+        kernel,
+        grid=(batch, n_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_anc, 2), lambda b, l: (b, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((1, 1), lambda b, l: (l, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, q_pad), lambda b, l: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((n_leaves, site_block), lambda b, l: (0, l)),
+            pl.BlockSpec((1, n_all * q_pad, q_pad), lambda b, l: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda b, l: (b, l, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch, n_blocks, 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_all * q_pad, site_block), jnp.float32),
+            pltpu.VMEM((8, site_block), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        topologies.children.astype(jnp.int32),
+        valid,
+        prior,
+        seqs,
+        pmats,
+    )
+    return jnp.sum(block_ll[:, :, 0, 0], axis=-1)
