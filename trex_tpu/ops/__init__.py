@@ -19,6 +19,8 @@ from trex_tpu.ops.fitch import (
     fitch_state_sets,
 )
 from trex_tpu.ops.likelihood import (
+    gtr_eigensystem,
+    gtr_transition,
     jc69_transition,
     tree_log_likelihood,
     batched_tree_log_likelihood,
@@ -49,6 +51,8 @@ __all__ = [
     "fitch_reconstruct",
     "fitch_state_sets",
     "jc69_transition",
+    "gtr_eigensystem",
+    "gtr_transition",
     "tree_log_likelihood",
     "batched_tree_log_likelihood",
     "optimize_branch_lengths",

@@ -43,9 +43,17 @@ def ml_hill_climb(
     """
     n_all = start.n_all
 
+    on_tpu = jax.default_backend() == "tpu"
+
     def score_batch(topos, _cost, leaves):
         batch = topos.children.shape[0]
         blens = jnp.full((batch, n_all), ranking_branch_length)
+        if on_tpu:
+            from trex_tpu.ops.likelihood_pallas import (
+                batched_log_likelihood_pallas,
+            )
+
+            return -batched_log_likelihood_pallas(topos, blens, leaves, n_states)
         return -batched_tree_log_likelihood(topos, blens, leaves, n_states)
 
     dummy_cost = jnp.zeros((n_states, n_states))
