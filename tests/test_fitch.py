@@ -122,3 +122,22 @@ def test_fitch_state_sets_and_ambiguity():
     assert int(amb[-1, 1]) == 2  # root set {0,1}
     assert int(sets[-1, 1]) == 0b11
     np.testing.assert_array_equal(np.asarray(amb[:4]), np.ones((4, 2)))
+
+
+def test_fitch_pallas_weighted_compressed_patterns():
+    """Kernel weighted scoring == plain scoring on compressed patterns."""
+    from trex_tpu.alignment import compress_alignment
+
+    n_leaves, q, length = 8, 2, 300
+    topos = random_topologies(jax.random.PRNGKey(14), n_leaves, 4)
+    leaf = jax.random.randint(jax.random.PRNGKey(15), (n_leaves, length), 0, q)
+    patterns, weights = compress_alignment(np.asarray(leaf))
+    full = batched_fitch_score_pallas(topos, leaf, interpret=True)
+    compressed = batched_fitch_score_pallas(
+        topos,
+        jnp.asarray(patterns),
+        site_weights=jnp.asarray(weights, jnp.float32),
+        interpret=True,
+        trees_per_block=2,
+    )
+    np.testing.assert_array_equal(np.asarray(compressed), np.asarray(full))

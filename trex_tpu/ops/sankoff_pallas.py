@@ -121,58 +121,27 @@ def _sankoff_kernel(
     out_ref[0, 0, :, :] = jnp.full((8, 128), partial, dtype=jnp.float32)
 
 
-def _fitch_kernel(
-    children_ref,  # SMEM (1, n_anc, 2) int32
-    leaf_ref,  # VMEM (1, n_leaves * P, 128) int32 — packed leaf bitmasks
-    out_ref,  # VMEM (1, 1, 8, 128) f32 tile; event count lands in [0,0,0,0]
-    sets_ref,  # VMEM scratch (n_all * P, 128) int32 — per-node state sets
-    count_ref,  # VMEM scratch (P, 128) int32 — per-lane union-event counts
-    *,
-    n_leaves: int,
-    pack: int,
-):
-    """Fitch bitset recursion; each node's state sets occupy a (P, 128) tile
-    covering P*128 sites, so every op runs at full VPU width."""
-    n_anc = n_leaves - 1
-
-    sets_ref[pl.ds(0, n_leaves * pack), :] = leaf_ref[0]
-    count_ref[:, :] = jnp.zeros((pack, 128), jnp.int32)
-
-    def visit(a, _):
-        c1 = children_ref[0, a, 0]
-        c2 = children_ref[0, a, 1]
-        d1 = sets_ref[pl.ds(c1 * pack, pack), :]
-        d2 = sets_ref[pl.ds(c2 * pack, pack), :]
-        inter = d1 & d2
-        empty = inter == 0
-        sets_ref[pl.ds((n_leaves + a) * pack, pack), :] = jnp.where(
-            empty, d1 | d2, inter
-        )
-        count_ref[:, :] = count_ref[:, :] + empty.astype(jnp.int32)
-        return 0
-
-    jax.lax.fori_loop(0, n_anc, visit, 0)
-    total = jnp.sum(count_ref[:, :]).astype(jnp.float32)
-    out_ref[0, 0, :, :] = jnp.full((8, 128), total, dtype=jnp.float32)
-
-
 def _fitch_kernel_multi(
     children_ref,  # SMEM (T, n_anc, 2) int32
     leaf_ref,  # VMEM (1, n_leaves * P, 128) int32 — packed leaf bitmasks
+    weight_ref,  # VMEM (1, P, 128) f32 — per-site weights (packed like leaves)
     out_ref,  # VMEM (1, 1, T, 8, 128) f32; per-tree counts at [...,t,0,0]
     sets_ref,  # VMEM scratch (T * n_all * P, 128) int32
-    count_ref,  # VMEM scratch (T * P, 128) int32
+    count_ref,  # VMEM scratch (T * P, 128) f32
     *,
     n_leaves: int,
     pack: int,
     trees: int,
 ):
-    """Fitch recursion over T trees per instance.
+    """Fitch recursion over T trees per instance, with per-site weights.
 
     The ancestor loop is the serial dependency chain; interleaving T
     independent trees inside each ancestor step gives the VPU latency-hiding
     work between dependent (8,128) tile reads/writes, and the leaf-mask tile
-    is loaded once for all T trees.
+    is loaded once for all T trees. Per-site weights make compressed site
+    patterns (``trex_tpu.alignment.compress_alignment``) and bootstrap
+    reweighting first-class at kernel speed: each union event adds the
+    site's weight instead of 1.
     """
     n_all = 2 * n_leaves - 1
     n_anc = n_leaves - 1
@@ -181,7 +150,8 @@ def _fitch_kernel_multi(
     leaf_block = leaf_ref[0]
     for t in range(trees):
         sets_ref[pl.ds(t * stride, n_leaves * pack), :] = leaf_block
-    count_ref[:, :] = jnp.zeros((trees * pack, 128), jnp.int32)
+    count_ref[:, :] = jnp.zeros((trees * pack, 128), jnp.float32)
+    weights = weight_ref[0]  # (P, 128)
 
     def visit(a, _):
         for t in range(trees):
@@ -197,12 +167,12 @@ def _fitch_kernel_multi(
             )
             count_ref[pl.ds(t * pack, pack), :] = count_ref[
                 pl.ds(t * pack, pack), :
-            ] + empty.astype(jnp.int32)
+            ] + jnp.where(empty, weights, 0.0)
         return 0
 
     jax.lax.fori_loop(0, n_anc, visit, 0)
     for t in range(trees):
-        total = jnp.sum(count_ref[pl.ds(t * pack, pack), :]).astype(jnp.float32)
+        total = jnp.sum(count_ref[pl.ds(t * pack, pack), :])
         out_ref[0, 0, t, :, :] = jnp.full((8, 128), total, dtype=jnp.float32)
 
 
@@ -211,6 +181,7 @@ def batched_fitch_score_pallas(
     topologies: Topology,
     leaf_sequences: jax.Array,
     *,
+    site_weights: jax.Array | None = None,
     interpret: bool = False,
     trees_per_block: int = 1,
 ) -> jax.Array:
@@ -222,6 +193,10 @@ def batched_fitch_score_pallas(
     the f32 min-plus kernel. Requires n_states <= 32. Sites are padded to a
     tile multiple with state 0, which provably contributes 0 events (all
     leaves agree at padded sites).
+
+    ``site_weights`` (L,) float multiplies each site's event contribution —
+    the kernel-speed path for compressed site patterns
+    (``alignment.compress_alignment``) and bootstrap reweighting.
 
     Returns (B,) f32 scores, bit-equal to ``batched_sankoff_score`` with a
     Hamming cost matrix (equivalence of Fitch and unit-cost Sankoff).
@@ -256,32 +231,18 @@ def batched_fitch_score_pallas(
         .transpose(1, 0, 2, 3)
         .reshape(n_blocks, n_leaves * pack, _LANES)
     )
+    # Per-site weights (1.0 default), 0 at padded sites; packed like a node.
+    if site_weights is None:
+        weights = jnp.ones((length,), jnp.float32)
+    else:
+        weights = site_weights.astype(jnp.float32)
+    weights = jnp.pad(weights, (0, padded_len - length))
+    weights_packed = weights.reshape(n_blocks, pack, _LANES)
 
     children = topologies.children.astype(jnp.int32)
-    if trees_per_block <= 1:
-        kernel = functools.partial(_fitch_kernel, n_leaves=n_leaves, pack=pack)
-        block_counts = pl.pallas_call(
-            kernel,
-            grid=(batch, n_blocks),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, n_anc, 2), lambda b, l: (b, 0, 0), memory_space=pltpu.SMEM
-                ),
-                pl.BlockSpec((1, n_leaves * pack, _LANES), lambda b, l: (l, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, 1, 8, 128), lambda b, l: (b, l, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((batch, n_blocks, 8, 128), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((n_all * pack, _LANES), jnp.int32),
-                pltpu.VMEM((pack, _LANES), jnp.int32),
-            ],
-            interpret=interpret,
-        )(children, packed)
-        return jnp.sum(block_counts[:, :, 0, 0], axis=-1)
-
     # Multi-tree instances: pad the batch to a multiple of T (repeating the
     # last tree), score T trees per grid step, slice back.
-    trees = trees_per_block
+    trees = max(trees_per_block, 1)
     padded_batch = _round_up(batch, trees)
     if padded_batch != batch:
         reps = padded_batch - batch
@@ -299,6 +260,7 @@ def batched_fitch_score_pallas(
                 (trees, n_anc, 2), lambda b, l: (b, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec((1, n_leaves * pack, _LANES), lambda b, l: (l, 0, 0)),
+            pl.BlockSpec((1, pack, _LANES), lambda b, l: (l, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, trees, 8, 128), lambda b, l: (b, l, 0, 0, 0)
@@ -308,10 +270,10 @@ def batched_fitch_score_pallas(
         ),
         scratch_shapes=[
             pltpu.VMEM((trees * n_all * pack, _LANES), jnp.int32),
-            pltpu.VMEM((trees * pack, _LANES), jnp.int32),
+            pltpu.VMEM((trees * pack, _LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(children, packed)
+    )(children, packed, weights_packed)
     scores = jnp.sum(block_counts[:, :, :, 0, 0], axis=1)  # (B//T, T)
     return scores.reshape(padded_batch)[:batch]
 
