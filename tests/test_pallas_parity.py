@@ -116,3 +116,21 @@ def test_general_cost_fuzz_vs_brute_force():
                     best = min(best, s)
                 total += best
             assert float(lax_scores[b]) == total
+
+
+def test_minplus_weighted_compressed_patterns():
+    """Weighted min-plus kernel == plain scoring on compressed patterns."""
+    from trex_tpu.alignment import compress_alignment
+
+    n_leaves, q, length = 8, 3, 200
+    topos = random_topologies(jax.random.PRNGKey(30), n_leaves, 3)
+    leaf = jax.random.randint(jax.random.PRNGKey(31), (n_leaves, length), 0, 2)
+    cost = CostModel.hamming(q).matrix
+    patterns, weights = compress_alignment(np.asarray(leaf))
+    assert patterns.shape[1] < length
+    full = batched_sankoff_score_pallas(topos, cost, leaf, interpret=True)
+    comp = batched_sankoff_score_pallas(
+        topos, cost, jnp.asarray(patterns),
+        site_weights=jnp.asarray(weights, jnp.float32), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(comp), np.asarray(full))

@@ -29,6 +29,7 @@ def batched_scores_fastest(
     topologies: Topology,
     cost_matrix: jax.Array,
     leaf_sequences: jax.Array,
+    site_weights: jax.Array | None = None,
 ) -> jax.Array:
     """Score a candidate batch with the fastest available backend.
 
@@ -49,15 +50,25 @@ def batched_scores_fastest(
             # 4 trees per kernel instance: independent work between the DP's
             # serial ancestor steps (+~35% measured on v5e).
             return batched_fitch_score_pallas(
-                topologies, leaf_sequences, trees_per_block=4
+                topologies, leaf_sequences,
+                site_weights=site_weights, trees_per_block=4,
             )
-        from trex_tpu.ops.fitch import batched_fitch_score
+        from trex_tpu.ops.fitch import fitch_score
 
-        return batched_fitch_score(topologies, leaf_sequences)
+        return jax.vmap(
+            lambda t: fitch_score(t, leaf_sequences, site_mask=site_weights)
+        )(topologies)
     if on_tpu:
         from trex_tpu.ops.sankoff_pallas import batched_sankoff_score_pallas
 
         return batched_sankoff_score_pallas(
-            topologies, cost_matrix, leaf_sequences, hamming=False
+            topologies, cost_matrix, leaf_sequences,
+            site_weights=site_weights, hamming=False,
         )
-    return batched_sankoff_score(topologies, cost_matrix, leaf_sequences)
+    from trex_tpu.ops.sankoff import sankoff_score
+
+    return jax.vmap(
+        lambda t: sankoff_score(
+            t, cost_matrix, leaf_sequences, site_mask=site_weights
+        )
+    )(topologies)

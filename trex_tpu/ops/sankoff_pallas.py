@@ -63,6 +63,7 @@ def _sankoff_kernel(
     children_ref,  # SMEM (1, n_anc, 2) int32
     seq_ref,  # VMEM (n_leaves, L_BLK) int32
     cost_t_ref,  # VMEM (Q_pad, Q_pad) f32 cost[parent, child], BIG at pads
+    weight_ref,  # VMEM (1, 8, L_BLK) f32 — row 0 = per-site weights
     out_ref,  # VMEM (1, 1, 8, 128) f32 tile; partial score lands in [0,0,0,0]
     dp_ref,  # VMEM scratch (n_all * Q_pad, L_BLK) f32
     *,
@@ -115,10 +116,12 @@ def _sankoff_kernel(
     jax.lax.fori_loop(0, n_anc, visit, 0)
 
     root_dp = dp_ref[pl.ds((n_all - 1) * q_pad, q_pad), :]
+    # Per-site minima, weighted (weights are 1.0 by default, 0 at padding).
+    weights_row = weight_ref[0][0:1, :]  # (1, L_BLK)
+    per_site = jnp.min(root_dp, axis=0, keepdims=True) * weights_row
     # Mosaic requires (8,128)-divisible (or full-dim) trailing block dims, so
     # the per-tile scalar ships inside an (8,128) tile at [0, 0].
-    partial = jnp.sum(jnp.min(root_dp, axis=0))
-    out_ref[0, 0, :, :] = jnp.full((8, 128), partial, dtype=jnp.float32)
+    out_ref[0, 0, :, :] = jnp.full((8, 128), jnp.sum(per_site), dtype=jnp.float32)
 
 
 def _fitch_kernel_multi(
@@ -283,6 +286,7 @@ def batched_sankoff_score_pallas(
     cost_matrix: jax.Array,
     leaf_sequences: jax.Array,
     *,
+    site_weights: jax.Array | None = None,
     hamming: bool | None = None,
     site_block: int | None = None,
     interpret: bool = False,
@@ -322,6 +326,7 @@ def batched_sankoff_score_pallas(
         topologies,
         cost_matrix,
         leaf_sequences,
+        site_weights,
         hamming=hamming,
         site_block=site_block,
         interpret=interpret,
@@ -335,6 +340,7 @@ def _batched_scores_pallas_impl(
     topologies: Topology,
     cost_matrix: jax.Array,
     leaf_sequences: jax.Array,
+    site_weights: jax.Array | None,
     *,
     hamming: bool,
     site_block: int | None,
@@ -354,12 +360,22 @@ def _batched_scores_pallas_impl(
     if site_block is None:
         site_block = _round_up(length, _LANES) if length <= 2048 else 2048
     padded_len = _round_up(length, site_block)
+    if site_weights is None:
+        weights = jnp.ones((length,), jnp.float32)
+    else:
+        weights = site_weights.astype(jnp.float32)
+    weights = jnp.pad(weights, (0, padded_len - length))
     if padded_len != length:
         leaf_sequences = jnp.pad(
             leaf_sequences, ((0, 0), (0, padded_len - length))
         )
         length = padded_len
     n_blocks = length // site_block
+    # Row 0 carries the weights; rows 1..7 pad the f32 tile.
+    weights_tiled = jnp.zeros((n_blocks, 8, site_block), jnp.float32)
+    weights_tiled = weights_tiled.at[:, 0, :].set(
+        weights.reshape(n_blocks, site_block)
+    )
 
     # BIG-padded cost so padded states never win; layout [parent, child].
     cost_t = jnp.full((q_pad, q_pad), BIG_COST, dtype=jnp.float32)
@@ -382,6 +398,7 @@ def _batched_scores_pallas_impl(
             ),
             pl.BlockSpec((n_leaves, site_block), lambda b, l: (0, l)),
             pl.BlockSpec((q_pad, q_pad), lambda b, l: (0, 0)),
+            pl.BlockSpec((1, 8, site_block), lambda b, l: (l, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, 8, 128), lambda b, l: (b, l, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((batch, n_blocks, 8, 128), jnp.float32),
@@ -391,5 +408,6 @@ def _batched_scores_pallas_impl(
         topologies.children.astype(jnp.int32),
         leaf_sequences.astype(jnp.int32),
         cost_t,
+        weights_tiled,
     )
     return jnp.sum(block_scores[:, :, 0, 0], axis=-1)

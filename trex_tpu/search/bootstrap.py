@@ -99,15 +99,15 @@ def bootstrap_analysis(
     """
     from trex_tpu.search.hillclimb import parsimony_hill_climb
 
+    from trex_tpu.ops.dispatch import batched_scores_fastest
+
     weights = bootstrap_site_weights(key, leaf_sequences.shape[-1], n_replicates)
     best: list[Topology] = []
     for r in range(n_replicates):
         w = weights[r].astype(jnp.float32)
 
         def score_batch(topos, cost, leaves):
-            return jax.vmap(
-                lambda t: fitch_score(t, leaves, site_mask=w)
-            )(topos)
+            return batched_scores_fastest(topos, cost_matrix, leaves, w)
 
         result = parsimony_hill_climb(
             reference,
