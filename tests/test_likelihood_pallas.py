@@ -84,3 +84,18 @@ def test_gtr_matrices_path():
         ]
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5)
+
+
+@pytest.mark.parametrize("trees_per_block", [2, 4])
+def test_multi_tree_likelihood_parity(trees_per_block):
+    n_leaves, q, length = 8, 4, 256
+    topos = random_topologies(jax.random.PRNGKey(10), n_leaves, 5)  # 5 % T != 0
+    leaf = jax.random.randint(jax.random.PRNGKey(11), (n_leaves, length), 0, q)
+    blens = jnp.asarray(
+        np.random.default_rng(12).uniform(0.05, 0.9, (5, 15)), jnp.float32
+    )
+    want = batched_log_likelihood_pallas(topos, blens, leaf, q, interpret=True)
+    got = batched_log_likelihood_pallas(
+        topos, blens, leaf, q, interpret=True, trees_per_block=trees_per_block
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)

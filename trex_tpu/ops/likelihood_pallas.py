@@ -37,72 +37,86 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _likelihood_kernel(
-    children_ref,  # SMEM (1, n_anc, 2) int32
+    children_ref,  # SMEM (T, n_anc, 2) int32
     valid_ref,  # SMEM (1, 1) int32 — number of real sites in this block
     prior_ref,  # SMEM (1, Q_pad) f32 — root prior (0 at padded states)
     seq_ref,  # VMEM (n_leaves, L_BLK) int32
-    pmats_ref,  # VMEM (1, n_all * Q_pad, Q_pad) f32 — per-node P, row-padded 0
-    out_ref,  # VMEM (1, 1, 8, 128) f32; per-block sum of site log-liks at [0,0]
-    part_ref,  # VMEM scratch (n_all * Q_pad, L_BLK) f32 — partials
-    ls_ref,  # VMEM scratch (8, L_BLK) f32 — row 0 accumulates log-scales
+    pmats_ref,  # VMEM (T, n_all * Q_pad, Q_pad) f32 — per-node P, row-padded 0
+    out_ref,  # VMEM (1, 1, T, 8, 128) f32; per-block log-lik sums at [...,t,0,0]
+    part_ref,  # VMEM scratch (T * n_all * Q_pad, L_BLK) f32 — partials
+    ls_ref,  # VMEM scratch (T * 8, L_BLK) f32 — rows t*8 accumulate log-scales
     *,
     n_leaves: int,
     n_states: int,
     q_pad: int,
+    trees: int,
 ):
     n_all = 2 * n_leaves - 1
     n_anc = n_leaves - 1
     l_blk = seq_ref.shape[-1]
+    stride = n_all * q_pad
 
     state_iota = jax.lax.broadcasted_iota(jnp.int32, (q_pad, l_blk), 0)
 
     def init_leaf(i, _):
         observed = seq_ref[pl.ds(i, 1), :]
-        part_ref[pl.ds(i * q_pad, q_pad), :] = jnp.where(
-            state_iota == observed, 1.0, 0.0
-        )
+        onehot = jnp.where(state_iota == observed, 1.0, 0.0)
+        for t in range(trees):
+            part_ref[pl.ds(t * stride + i * q_pad, q_pad), :] = onehot
         return 0
 
     jax.lax.fori_loop(0, n_leaves, init_leaf, 0, unroll=True)
-    ls_ref[:, :] = jnp.zeros((8, l_blk), jnp.float32)
+    ls_ref[:, :] = jnp.zeros((trees * 8, l_blk), jnp.float32)
 
     def visit(a, _):
-        c1 = children_ref[0, a, 0]
-        c2 = children_ref[0, a, 1]
+        for t in range(trees):
+            c1 = children_ref[t, a, 0]
+            c2 = children_ref[t, a, 1]
+            base = t * stride
 
-        def message(c):
-            d = part_ref[pl.ds(c * q_pad, q_pad), :]
-            p = pmats_ref[0, pl.ds(c * q_pad, q_pad), :]  # (Q_pad, Q_pad)
-            acc = jnp.zeros((q_pad, l_blk), jnp.float32)
-            for j in range(n_states):
-                col = p[:, j : j + 1]  # (Q_pad, 1) = P[:, j]
-                acc = acc + col * d[j : j + 1, :]
-            return acc
+            def message(c):
+                d = part_ref[pl.ds(base + c * q_pad, q_pad), :]
+                p = pmats_ref[t, pl.ds(c * q_pad, q_pad), :]  # (Q_pad, Q_pad)
+                acc = jnp.zeros((q_pad, l_blk), jnp.float32)
+                for j in range(n_states):
+                    col = p[:, j : j + 1]  # (Q_pad, 1) = P[:, j]
+                    acc = acc + col * d[j : j + 1, :]
+                return acc
 
-        combined = message(c1) * message(c2)  # (Q_pad, L)
-        scale = jnp.maximum(
-            jnp.max(combined, axis=0, keepdims=True), 1e-30
-        )  # (1, L)
-        part_ref[pl.ds((n_leaves + a) * q_pad, q_pad), :] = combined / scale
-        ls_ref[pl.ds(0, 1), :] = ls_ref[pl.ds(0, 1), :] + jnp.log(scale)
+            combined = message(c1) * message(c2)  # (Q_pad, L)
+            scale = jnp.maximum(
+                jnp.max(combined, axis=0, keepdims=True), 1e-30
+            )  # (1, L)
+            part_ref[pl.ds(base + (n_leaves + a) * q_pad, q_pad), :] = (
+                combined / scale
+            )
+            ls_ref[pl.ds(t * 8, 1), :] = ls_ref[pl.ds(t * 8, 1), :] + jnp.log(
+                scale
+            )
         return 0
 
     jax.lax.fori_loop(0, n_anc, visit, 0)
 
-    root = part_ref[pl.ds((n_all - 1) * q_pad, q_pad), :]
-    site_lik = jnp.zeros((1, l_blk), jnp.float32)
-    for i in range(n_states):
-        site_lik = site_lik + prior_ref[0, i] * root[i : i + 1, :]
-    per_site = jnp.log(jnp.maximum(site_lik, 1e-30)) + ls_ref[pl.ds(0, 1), :]
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, l_blk), 1)
-    per_site = jnp.where(col_iota < valid_ref[0, 0], per_site, 0.0)
-    out_ref[0, 0, :, :] = jnp.full(
-        (8, 128), jnp.sum(per_site), dtype=jnp.float32
-    )
+    for t in range(trees):
+        root = part_ref[
+            pl.ds(t * stride + (n_all - 1) * q_pad, q_pad), :
+        ]
+        site_lik = jnp.zeros((1, l_blk), jnp.float32)
+        for i in range(n_states):
+            site_lik = site_lik + prior_ref[0, i] * root[i : i + 1, :]
+        per_site = (
+            jnp.log(jnp.maximum(site_lik, 1e-30)) + ls_ref[pl.ds(t * 8, 1), :]
+        )
+        per_site = jnp.where(col_iota < valid_ref[0, 0], per_site, 0.0)
+        out_ref[0, 0, t, :, :] = jnp.full(
+            (8, 128), jnp.sum(per_site), dtype=jnp.float32
+        )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_states", "site_block", "interpret")
+    jax.jit,
+    static_argnames=("n_states", "site_block", "interpret", "trees_per_block"),
 )
 def batched_log_likelihood_pallas(
     topologies: Topology,
@@ -114,6 +128,7 @@ def batched_log_likelihood_pallas(
     root_prior: jax.Array | None = None,
     site_block: int | None = None,
     interpret: bool = False,
+    trees_per_block: int = 1,
 ) -> jax.Array:
     """(B,) log-likelihoods of a candidate batch via the fused kernel.
 
@@ -132,8 +147,14 @@ def batched_log_likelihood_pallas(
     q = n_states
     q_pad = _round_up(q, _SUBLANES_F32)
 
+    trees = max(trees_per_block, 1)
     if site_block is None:
         site_block = _round_up(length, _LANES) if length <= 2048 else 2048
+        # Keep T partial tables within a VMEM budget.
+        while trees * n_all * q_pad * site_block * 4 > 8 * 1024 * 1024 and (
+            site_block > _LANES
+        ):
+            site_block //= 2
     padded_len = _round_up(length, site_block)
     seqs = leaf_sequences.astype(jnp.int32)
     if padded_len != length:
@@ -160,35 +181,51 @@ def batched_log_likelihood_pallas(
         root_prior.astype(jnp.float32)
     )
 
+    children = topologies.children.astype(jnp.int32)
+    padded_batch = _round_up(batch, trees)
+    if padded_batch != batch:
+        reps = padded_batch - batch
+        children = jnp.concatenate(
+            [children, jnp.broadcast_to(children[-1:], (reps, n_anc, 2))]
+        )
+        pmats = jnp.concatenate(
+            [pmats, jnp.broadcast_to(pmats[-1:], (reps,) + pmats.shape[1:])]
+        )
+
     kernel = functools.partial(
-        _likelihood_kernel, n_leaves=n_leaves, n_states=q, q_pad=q_pad
+        _likelihood_kernel,
+        n_leaves=n_leaves,
+        n_states=q,
+        q_pad=q_pad,
+        trees=trees,
     )
     block_ll = pl.pallas_call(
         kernel,
-        grid=(batch, n_blocks),
+        grid=(padded_batch // trees, n_blocks),
         in_specs=[
             pl.BlockSpec(
-                (1, n_anc, 2), lambda b, l: (b, 0, 0), memory_space=pltpu.SMEM
+                (trees, n_anc, 2), lambda b, l: (b, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec((1, 1), lambda b, l: (l, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, q_pad), lambda b, l: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec((n_leaves, site_block), lambda b, l: (0, l)),
-            pl.BlockSpec((1, n_all * q_pad, q_pad), lambda b, l: (b, 0, 0)),
+            pl.BlockSpec(
+                (trees, n_all * q_pad, q_pad), lambda b, l: (b, 0, 0)
+            ),
         ],
-        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda b, l: (b, l, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((batch, n_blocks, 8, 128), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, 1, trees, 8, 128), lambda b, l: (b, l, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (padded_batch // trees, n_blocks, trees, 8, 128), jnp.float32
+        ),
         scratch_shapes=[
-            pltpu.VMEM((n_all * q_pad, site_block), jnp.float32),
-            pltpu.VMEM((8, site_block), jnp.float32),
+            pltpu.VMEM((trees * n_all * q_pad, site_block), jnp.float32),
+            pltpu.VMEM((trees * 8, site_block), jnp.float32),
         ],
         interpret=interpret,
-    )(
-        topologies.children.astype(jnp.int32),
-        valid,
-        prior,
-        seqs,
-        pmats,
-    )
-    return jnp.sum(block_ll[:, :, 0, 0], axis=-1)
+    )(children, valid, prior, seqs, pmats)
+    scores = jnp.sum(block_ll[:, :, :, 0, 0], axis=1)  # (B//T, T)
+    return scores.reshape(padded_batch)[:batch]
