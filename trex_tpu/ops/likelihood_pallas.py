@@ -38,7 +38,6 @@ def _round_up(x: int, m: int) -> int:
 
 def _likelihood_kernel(
     children_ref,  # SMEM (T, n_anc, 2) int32
-    valid_ref,  # SMEM (1, 1) int32 — number of real sites in this block
     prior_ref,  # SMEM (1, Q_pad) f32 — root prior (0 at padded states)
     seq_ref,  # VMEM (n_leaves, L_BLK) int32
     pmats_ref,  # VMEM (T, n_all * Q_pad, Q_pad) f32 — per-node P, row-padded 0
@@ -50,11 +49,15 @@ def _likelihood_kernel(
     n_states: int,
     q_pad: int,
     trees: int,
+    real_length: int,
 ):
     n_all = 2 * n_leaves - 1
     n_anc = n_leaves - 1
     l_blk = seq_ref.shape[-1]
     stride = n_all * q_pad
+    # Valid (unpadded) sites in this block, from static shapes + block index.
+    block_idx = pl.program_id(1)
+    valid = jnp.clip(real_length - block_idx * l_blk, 0, l_blk)
 
     state_iota = jax.lax.broadcasted_iota(jnp.int32, (q_pad, l_blk), 0)
 
@@ -108,7 +111,7 @@ def _likelihood_kernel(
         per_site = (
             jnp.log(jnp.maximum(site_lik, 1e-30)) + ls_ref[pl.ds(t * 8, 1), :]
         )
-        per_site = jnp.where(col_iota < valid_ref[0, 0], per_site, 0.0)
+        per_site = jnp.where(col_iota < valid, per_site, 0.0)
         out_ref[0, 0, t, :, :] = jnp.full(
             (8, 128), jnp.sum(per_site), dtype=jnp.float32
         )
@@ -160,9 +163,6 @@ def batched_log_likelihood_pallas(
     if padded_len != length:
         seqs = jnp.pad(seqs, ((0, 0), (0, padded_len - length)))
     n_blocks = padded_len // site_block
-    # Valid (unpadded) site count per block.
-    starts = jnp.arange(n_blocks, dtype=jnp.int32) * site_block
-    valid = jnp.clip(length - starts, 0, site_block).reshape(n_blocks, 1)
 
     if transition_matrices is None:
         transition_matrices = jax.vmap(
@@ -198,6 +198,7 @@ def batched_log_likelihood_pallas(
         n_states=q,
         q_pad=q_pad,
         trees=trees,
+        real_length=length,
     )
     block_ll = pl.pallas_call(
         kernel,
@@ -206,7 +207,6 @@ def batched_log_likelihood_pallas(
             pl.BlockSpec(
                 (trees, n_anc, 2), lambda b, l: (b, 0, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec((1, 1), lambda b, l: (l, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, q_pad), lambda b, l: (0, 0), memory_space=pltpu.SMEM
             ),
@@ -226,6 +226,6 @@ def batched_log_likelihood_pallas(
             pltpu.VMEM((trees * 8, site_block), jnp.float32),
         ],
         interpret=interpret,
-    )(children, valid, prior, seqs, pmats)
+    )(children, prior, seqs, pmats)
     scores = jnp.sum(block_ll[:, :, :, 0, 0], axis=1)  # (B//T, T)
     return scores.reshape(padded_batch)[:batch]
