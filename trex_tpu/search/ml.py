@@ -53,7 +53,9 @@ def ml_hill_climb(
                 batched_log_likelihood_pallas,
             )
 
-            return -batched_log_likelihood_pallas(topos, blens, leaves, n_states)
+            return -batched_log_likelihood_pallas(
+                topos, blens, leaves, n_states, trees_per_block=4
+            )
         return -batched_tree_log_likelihood(topos, blens, leaves, n_states)
 
     dummy_cost = jnp.zeros((n_states, n_states))
