@@ -154,3 +154,18 @@ def test_parental_logits_chunking_non_divisible():
     full = parental_logits(soft, landscape)
     chunked = parental_logits(soft, landscape, site_chunk=5)
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-6)
+
+
+def test_mixed_precision_bf16_reconstruction():
+    """bf16 compute path converges (params stay f32 under mixed precision)."""
+    gt = generate_groundtruth(4, 4, 2, 16, seed=0)
+    leaf = gt.all_sequences[:4].astype(jnp.int32)
+    anc, losses = reconstruct_ancestors(
+        leaf, 7, 4, gt.adjacency, jax.random.PRNGKey(0),
+        n_iterations=200, learning_rate=0.05,
+        mixed_precision=True, compute_dtype=jnp.bfloat16,
+        return_losses=True,
+    )
+    assert anc.shape == (3, 16)
+    assert float(losses[-1]) < float(losses[0])
+    assert bool(jnp.all(jnp.isfinite(losses)))
