@@ -207,3 +207,58 @@ def test_ml_hill_climb_recovers_structure():
     start_rf = robinson_foulds(start, truth)
     final_rf = robinson_foulds(result.topology, truth)
     assert final_rf <= start_rf
+
+
+def test_gamma_rates_properties():
+    from trex_tpu.ops.likelihood import discrete_gamma_rates
+
+    for shape in (0.3, 1.0, 5.0):
+        r = np.asarray(discrete_gamma_rates(shape, 4))
+        assert r.shape == (4,)
+        assert (r > 0).all()
+        assert np.isclose(r.mean(), 1.0, rtol=1e-6)
+        assert (np.diff(r) > 0).all()  # increasing categories
+    # Large shape -> nearly homogeneous rates.
+    r = np.asarray(discrete_gamma_rates(200.0, 4))
+    assert r.max() - r.min() < 0.3
+
+
+def test_gamma_likelihood_vs_manual_mixture():
+    from trex_tpu.ops.likelihood import (
+        discrete_gamma_rates,
+        tree_log_likelihood_gamma,
+    )
+
+    topo = balanced_topology(4)
+    leaf = jax.random.randint(jax.random.PRNGKey(20), (4, 12), 0, 4)
+    blens = jnp.asarray(np.random.default_rng(21).uniform(0.05, 0.8, 7))
+    got = float(tree_log_likelihood_gamma(topo, blens, leaf, 4, 0.7, 4))
+    # Manual mixture over categories via per-site likelihood exponentials.
+    from trex_tpu.ops.likelihood import _per_site_log_likelihood
+
+    rates = discrete_gamma_rates(0.7, 4)
+    per_cat = np.stack(
+        [
+            np.asarray(_per_site_log_likelihood(topo, blens * r, leaf, 4))
+            for r in np.asarray(rates)
+        ]
+    )
+    want = float(
+        np.sum(
+            np.log(np.mean(np.exp(per_cat), axis=0))
+        )
+    )
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_gamma_shape_gradient():
+    from trex_tpu.ops.likelihood import tree_log_likelihood_gamma
+
+    topo = balanced_topology(8)
+    leaf = jax.random.randint(jax.random.PRNGKey(22), (8, 40), 0, 4)
+    blens = jnp.full((15,), 0.3)
+    grad = jax.grad(
+        lambda a: tree_log_likelihood_gamma(topo, blens, leaf, 4, a, 4)
+    )(jnp.asarray(0.8))
+    assert bool(jnp.isfinite(grad))
+    assert float(jnp.abs(grad)) > 0

@@ -25,6 +25,8 @@ from trex_tpu.ops.likelihood import (
     tree_log_likelihood,
     batched_tree_log_likelihood,
     optimize_branch_lengths,
+    discrete_gamma_rates,
+    tree_log_likelihood_gamma,
 )
 from trex_tpu.ops.soft_dp import (
     soft_sankoff_score,
@@ -56,6 +58,8 @@ __all__ = [
     "tree_log_likelihood",
     "batched_tree_log_likelihood",
     "optimize_branch_lengths",
+    "discrete_gamma_rates",
+    "tree_log_likelihood_gamma",
     "soft_sankoff_score",
     "soft_sankoff_score_from_sequences",
     "batched_soft_sankoff_score",

@@ -101,6 +101,84 @@ def tree_log_likelihood(
         Scalar log-likelihood (f32), differentiable w.r.t. branch_lengths
         (and rates/freqs when given).
     """
+    per_site = _per_site_log_likelihood(
+        topology, branch_lengths, leaf_sequences, n_states,
+        rates=rates, freqs=freqs,
+    )
+    if site_mask is not None:
+        per_site = per_site * site_mask.astype(per_site.dtype)
+    return jnp.sum(per_site)
+
+
+batched_tree_log_likelihood = jax.vmap(
+    tree_log_likelihood, in_axes=(0, 0, None, None)
+)
+
+
+def discrete_gamma_rates(shape: float | jax.Array, n_categories: int) -> jax.Array:
+    """Mean rates of ``n_categories`` equal-probability Gamma(shape, 1/shape)
+    categories (Yang 1994 quantile method), normalized to mean 1.
+
+    Quantile boundaries come from the Wilson-Hilferty chi-square approximation
+    (smooth in ``shape``, so the whole +Gamma likelihood stays differentiable
+    w.r.t. the shape parameter); category means use the midpoint rate of each
+    probability slice.
+    """
+    k = n_categories
+    probs = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k  # slice midpoints
+    # Wilson-Hilferty: chi2_q(p, df) ~ df * (1 - 2/(9df) + z_p sqrt(2/(9df)))^3
+    # with Gamma(shape, scale=1/shape) == chi2(2*shape) / (2*shape).
+    df = 2.0 * shape
+    z = jnp.sqrt(2.0) * jax.scipy.special.erfinv(2.0 * probs - 1.0)
+    chi2 = df * (1.0 - 2.0 / (9.0 * df) + z * jnp.sqrt(2.0 / (9.0 * df))) ** 3
+    rates = jnp.maximum(chi2 / df, 1e-6)
+    return rates / jnp.mean(rates)
+
+
+def tree_log_likelihood_gamma(
+    topology: Topology,
+    branch_lengths: jax.Array,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    gamma_shape: float | jax.Array = 1.0,
+    n_categories: int = 4,
+    site_mask: jax.Array | None = None,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+) -> jax.Array:
+    """Log-likelihood under discrete-Gamma rate heterogeneity (+G).
+
+    Each site's likelihood is the equal-weight mixture over ``n_categories``
+    Gamma rate categories; category r scales every branch length by its mean
+    rate. Differentiable in branch lengths AND ``gamma_shape``.
+    """
+    cat_rates = discrete_gamma_rates(gamma_shape, n_categories)
+
+    def per_site_ll(rate):
+        # Recover per-site log-liks by running the pruning with scaled
+        # branches; tree_log_likelihood sums over sites, so compute the
+        # per-site vector via the same recursion core.
+        return _per_site_log_likelihood(
+            topology, branch_lengths * rate, leaf_sequences, n_states,
+            rates=rates, freqs=freqs,
+        )
+
+    all_cat = jax.vmap(per_site_ll)(cat_rates)  # (K, L)
+    mixed = jax.nn.logsumexp(all_cat, axis=0) - jnp.log(n_categories)  # (L,)
+    if site_mask is not None:
+        mixed = mixed * site_mask.astype(mixed.dtype)
+    return jnp.sum(mixed)
+
+
+def _per_site_log_likelihood(
+    topology: Topology,
+    branch_lengths: jax.Array,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+) -> jax.Array:
+    """(L,) per-site log-likelihoods (same recursion as tree_log_likelihood)."""
     n_leaves = topology.n_leaves
     n_all = topology.n_all
     length = leaf_sequences.shape[-1]
@@ -118,51 +196,38 @@ def tree_log_likelihood(
         transition = lambda t: jc69_transition(t, q)
         root_prior = jnp.full((q,), 1.0 / q)
 
-    # Partial likelihoods, (n_all, Q, L); leaves one-hot.
     partials0 = jnp.zeros((n_all, q, length))
     states = jnp.arange(q, dtype=jnp.int32)
     leaf_onehot = (
         leaf_sequences.astype(jnp.int32)[:, None, :] == states[None, :, None]
     ).astype(jnp.float32)
     partials0 = partials0.at[:n_leaves].set(leaf_onehot)
-    # Ancestor rows start at 1 so un-filled rows cannot poison the scaling.
     partials0 = partials0.at[n_leaves:].set(1.0)
     logscale0 = jnp.zeros((length,))
 
     def up(carry, inputs):
         partials, logscale = carry
         anc_offset, child_pair = inputs
-        child_partials = partials[child_pair]  # (2, Q, L)
-        child_mats = jax.vmap(transition)(branch_lengths[child_pair])  # (2, Q, Q)
-        # message[c, i, l] = sum_j P_c[i, j] * L_c[j, l]
+        child_partials = partials[child_pair]
+        child_mats = jax.vmap(transition)(branch_lengths[child_pair])
         messages = jnp.einsum(
             "cij,cjl->cil", child_mats, child_partials,
             preferred_element_type=jnp.float32,
         )
-        combined = messages[0] * messages[1]  # (Q, L)
-        # Per-site scaling to avoid underflow.
-        scale = jnp.max(combined, axis=0)  # (L,)
-        safe = jnp.maximum(scale, 1e-300)
-        combined = combined / safe
+        combined = messages[0] * messages[1]
+        scale = jnp.maximum(jnp.max(combined, axis=0), 1e-300)
+        combined = combined / scale
         partials = jax.lax.dynamic_update_slice(
             partials, combined[None], (n_leaves + anc_offset, 0, 0)
         )
-        return (partials, logscale + jnp.log(safe)), None
+        return (partials, logscale + jnp.log(scale)), None
 
     offsets = jnp.arange(topology.n_ancestors, dtype=jnp.int32)
     (partials, logscale), _ = jax.lax.scan(
         up, (partials0, logscale0), (offsets, topology.children)
     )
-    site_lik = jnp.sum(root_prior[:, None] * partials[-1], axis=0)  # (L,)
-    per_site = jnp.log(site_lik) + logscale
-    if site_mask is not None:
-        per_site = per_site * site_mask.astype(per_site.dtype)
-    return jnp.sum(per_site)
-
-
-batched_tree_log_likelihood = jax.vmap(
-    tree_log_likelihood, in_axes=(0, 0, None, None)
-)
+    site_lik = jnp.sum(root_prior[:, None] * partials[-1], axis=0)
+    return jnp.log(site_lik) + logscale
 
 
 def optimize_branch_lengths(
