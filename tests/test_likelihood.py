@@ -262,3 +262,46 @@ def test_gamma_shape_gradient():
     )(jnp.asarray(0.8))
     assert bool(jnp.isfinite(grad))
     assert float(jnp.abs(grad)) > 0
+
+
+def test_gamma_invariant_model():
+    from trex_tpu.ops.likelihood import (
+        tree_log_likelihood_gamma,
+        tree_log_likelihood_gamma_invariant,
+    )
+
+    topo = balanced_topology(4)
+    # Mix of constant and variable sites.
+    leaf = jnp.array(
+        [[0, 1, 2, 0], [0, 1, 3, 0], [0, 1, 2, 1], [0, 1, 0, 2]],
+        dtype=jnp.int32,
+    )
+    blens = jnp.full((7,), 0.4)
+    # p_inv -> 0 reduces to the pure +G model.
+    g = float(tree_log_likelihood_gamma(topo, blens, leaf, 4, 0.8, 4))
+    gi0 = float(
+        tree_log_likelihood_gamma_invariant(topo, blens, leaf, 4, 0.8, 1e-9, 4)
+    )
+    assert gi0 == pytest.approx(g, abs=1e-3)
+    # With many constant sites, moderate p_inv increases the likelihood.
+    const_leaf = jnp.zeros((4, 20), dtype=jnp.int32).at[:, :2].set(
+        jnp.array([[0, 1], [1, 2], [2, 3], [3, 0]])
+    )
+    lo = float(
+        tree_log_likelihood_gamma_invariant(
+            topo, blens, const_leaf, 4, 0.8, 1e-6, 4
+        )
+    )
+    hi = float(
+        tree_log_likelihood_gamma_invariant(
+            topo, blens, const_leaf, 4, 0.8, 0.5, 4
+        )
+    )
+    assert hi > lo
+    # Gradients w.r.t. p_invariant flow.
+    grad = jax.grad(
+        lambda p: tree_log_likelihood_gamma_invariant(
+            topo, blens, const_leaf, 4, 0.8, p, 4
+        )
+    )(jnp.asarray(0.3))
+    assert bool(jnp.isfinite(grad))

@@ -27,6 +27,7 @@ from trex_tpu.ops.likelihood import (
     optimize_branch_lengths,
     discrete_gamma_rates,
     tree_log_likelihood_gamma,
+    tree_log_likelihood_gamma_invariant,
 )
 from trex_tpu.ops.soft_dp import (
     soft_sankoff_score,
@@ -60,6 +61,7 @@ __all__ = [
     "optimize_branch_lengths",
     "discrete_gamma_rates",
     "tree_log_likelihood_gamma",
+    "tree_log_likelihood_gamma_invariant",
     "soft_sankoff_score",
     "soft_sankoff_score_from_sequences",
     "batched_soft_sankoff_score",

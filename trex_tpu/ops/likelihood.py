@@ -170,6 +170,49 @@ def tree_log_likelihood_gamma(
     return jnp.sum(mixed)
 
 
+def tree_log_likelihood_gamma_invariant(
+    topology: Topology,
+    branch_lengths: jax.Array,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    gamma_shape: float | jax.Array = 1.0,
+    p_invariant: float | jax.Array = 0.0,
+    n_categories: int = 4,
+    site_mask: jax.Array | None = None,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+) -> jax.Array:
+    """+G+I model: Gamma rate mixture plus an invariant-sites category.
+
+    The rate-0 category's per-site likelihood is the prior mass of the shared
+    state for constant sites and 0 otherwise (a zero branch length makes
+    every transition matrix the identity, so the pruning recursion computes
+    exactly that — no special-casing needed). Differentiable in branch
+    lengths, ``gamma_shape``, and ``p_invariant``.
+    """
+    cat_rates = discrete_gamma_rates(gamma_shape, n_categories)
+
+    def per_site_ll(rate):
+        return _per_site_log_likelihood(
+            topology, branch_lengths * rate, leaf_sequences, n_states,
+            rates=rates, freqs=freqs,
+        )
+
+    all_cat = jax.vmap(per_site_ll)(cat_rates)  # (K, L)
+    inv_ll = _per_site_log_likelihood(
+        topology, jnp.zeros_like(branch_lengths), leaf_sequences, n_states,
+        rates=rates, freqs=freqs,
+    )  # (L,): log prior of shared state, or log(~0) for variable sites
+    gamma_mixed = jax.nn.logsumexp(all_cat, axis=0) - jnp.log(n_categories)
+    p_inv = jnp.clip(p_invariant, 1e-9, 1.0 - 1e-9)
+    mixed = jnp.logaddexp(
+        jnp.log(p_inv) + inv_ll, jnp.log1p(-p_inv) + gamma_mixed
+    )
+    if site_mask is not None:
+        mixed = mixed * site_mask.astype(mixed.dtype)
+    return jnp.sum(mixed)
+
+
 def _per_site_log_likelihood(
     topology: Topology,
     branch_lengths: jax.Array,
@@ -215,7 +258,7 @@ def _per_site_log_likelihood(
             preferred_element_type=jnp.float32,
         )
         combined = messages[0] * messages[1]
-        scale = jnp.maximum(jnp.max(combined, axis=0), 1e-300)
+        scale = jnp.maximum(jnp.max(combined, axis=0), 1e-30)
         combined = combined / scale
         partials = jax.lax.dynamic_update_slice(
             partials, combined[None], (n_leaves + anc_offset, 0, 0)
