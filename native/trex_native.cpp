@@ -455,4 +455,132 @@ int trex_spr(const int32_t* children, int n_leaves, int32_t prune_node,
   return 0;
 }
 
+// TBR: prune the subtree above `prune_node`, re-root it on the edge above
+// `reroot_node` (a node strictly inside the pruned subtree), and regraft the
+// re-rooted subtree onto the edge above `regraft_node` in the remainder.
+// With reroot_node == prune_node the move degenerates to SPR. Returns 0 on
+// success, -1 if invalid (nodes out of range, reroot outside the subtree,
+// regraft inside it, or a no-op).
+int trex_tbr(const int32_t* children, int n_leaves, int32_t prune_node,
+             int32_t reroot_node, int32_t regraft_node, int32_t* children_out,
+             int32_t* parents_out) {
+  const int n_all = 2 * n_leaves - 1;
+  if (prune_node >= n_all - 1 || regraft_node >= n_all - 1 ||
+      reroot_node >= n_all)
+    return -1;
+  auto kids = child_lists(children, n_leaves);
+  std::vector<int32_t> parent(n_all, -1);
+  for (int node = 0; node < n_all; ++node)
+    for (int32_t c : kids[node]) parent[c] = node;
+  parent[n_all - 1] = n_all - 1;
+
+  // Membership of the pruned subtree.
+  std::vector<bool> in_sub(n_all, false);
+  {
+    std::vector<int32_t> st = {prune_node};
+    while (!st.empty()) {
+      int32_t n = st.back();
+      st.pop_back();
+      in_sub[n] = true;
+      for (int32_t c : kids[n]) st.push_back(c);
+    }
+  }
+  if (!in_sub[reroot_node]) return -1;
+  if (in_sub[regraft_node]) return -1;
+
+  int32_t p = parent[prune_node];
+  int32_t sibling = kids[p][0] == prune_node ? kids[p][1] : kids[p][0];
+  bool plain_spr = (reroot_node == prune_node);
+  if (plain_spr && (regraft_node == sibling || regraft_node == p)) return -1;
+
+  // Splice p out of the remainder (sibling takes its place).
+  int32_t gp = parent[p];
+  if (gp != p) {
+    for (auto& k : kids[gp])
+      if (k == p) k = sibling;
+    parent[sibling] = gp;
+  } else {
+    parent[sibling] = sibling;  // sibling becomes the remainder's root
+  }
+
+  // Re-root the pruned subtree at the edge above reroot_node. The rerooted
+  // subtree's root takes children (reroot_node, reversed path); the old
+  // subtree root (degree 2 after reversal) is smoothed out. We reuse p as
+  // the junction node placed at the regraft edge.
+  int32_t sub_root;
+  if (plain_spr) {
+    sub_root = prune_node;
+  } else {
+    // Reverse parent pointers along reroot_node -> ... -> prune_node.
+    // rev(n): children = (n's children except path-child) + rev(parent(n));
+    // at prune_node the reversal yields its other child (smoothing).
+    std::vector<int32_t> path;  // reroot_node ... prune_node
+    for (int32_t n = reroot_node;; n = parent[n]) {
+      path.push_back(n);
+      if (n == prune_node) break;
+    }
+    // Walk from the top (prune_node) down, rebuilding reversed nodes.
+    // reversed(prune_node) = its child not on the path.
+    int32_t reversed = -1;
+    for (size_t i = path.size(); i-- > 1;) {
+      int32_t node = path[i];
+      int32_t path_child = path[i - 1];
+      if (node == prune_node) {
+        reversed = kids[node][0] == path_child ? kids[node][1] : kids[node][0];
+        kids[node].clear();  // smoothed out of the tree
+      } else {
+        // node keeps its non-path child and adopts the reversed upper part.
+        int32_t keep = kids[node][0] == path_child ? kids[node][1] : kids[node][0];
+        kids[node] = {keep, reversed};
+        reversed = node;
+      }
+    }
+    // New subtree root = old prune_node id is gone; reuse reroot's edge:
+    // the rerooted subtree hangs reroot_node next to `reversed`. Reuse the
+    // freed prune... the smoothed node is prune_node; reuse it as sub_root.
+    kids[prune_node] = {reroot_node, reversed};
+    sub_root = prune_node;
+  }
+
+  // Regraft sub_root onto the edge above regraft_node, reusing p.
+  int32_t rp = parent[regraft_node];
+  if (rp == regraft_node) {
+    kids[p] = {sub_root, regraft_node};
+    parent[p] = p;
+  } else {
+    for (auto& k : kids[rp])
+      if (k == regraft_node) k = p;
+    kids[p] = {sub_root, regraft_node};
+    parent[p] = rp;
+  }
+  parent[sub_root] = p;
+  parent[regraft_node] = p;
+
+  // Find root and validate binary shape before canonicalizing.
+  int32_t root = -1;
+  int internal = 0;
+  for (int node = 0; node < n_all; ++node) {
+    if (!kids[node].empty() && kids[node].size() != 2) return -1;
+    if (!kids[node].empty()) ++internal;
+  }
+  {
+    // root = the unique internal node not anyone's child.
+    std::vector<bool> is_child(n_all, false);
+    for (int node = 0; node < n_all; ++node)
+      for (int32_t c : kids[node]) is_child[c] = true;
+    for (int node = 0; node < n_all; ++node)
+      if (!kids[node].empty() && !is_child[node]) {
+        if (root != -1) return -1;
+        root = node;
+      }
+  }
+  if (root < 0 || internal != n_leaves - 1) return -1;
+  Tree t = canonicalize(n_leaves, kids, root);
+  std::memcpy(children_out, t.children.data(),
+              t.children.size() * sizeof(int32_t));
+  std::memcpy(parents_out, t.parents.data(),
+              t.parents.size() * sizeof(int32_t));
+  return 0;
+}
+
 }  // extern "C"

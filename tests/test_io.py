@@ -172,3 +172,48 @@ def test_spr_neighborhood_fuzz_validity():
             _assert_valid(
                 np.asarray(nbrs.children[i]), np.asarray(nbrs.parents[i]), 16
             )
+
+
+def test_tbr_move_validity_and_novelty():
+    if not native.available():
+        pytest.skip("no native library")
+    from trex_tpu.io import spr_move, tbr_move
+
+    topo = balanced_topology(8)
+    # Degenerate TBR (reroot == prune) == SPR.
+    a = tbr_move(topo, 8, 8, 2)
+    b = spr_move(topo, 8, 2)
+    np.testing.assert_array_equal(np.asarray(a.children), np.asarray(b.children))
+    # Full TBR with rerooting: valid tree, distinct from plain SPR.
+    moved = tbr_move(topo, 12, 0, 6)  # prune anc 12 (subtree {0,1,2,3,8,9}),
+    assert moved is not None          # reroot at leaf 0's edge, regraft at 6
+    _assert_valid(np.asarray(moved.children), np.asarray(moved.parents), 8)
+    # Invalid: reroot outside the subtree / regraft inside it.
+    assert tbr_move(topo, 12, 4, 6) is None
+    assert tbr_move(topo, 12, 0, 1) is None
+
+
+def test_tbr_fuzz_validity_and_scores():
+    if not native.available():
+        pytest.skip("no native library")
+    from trex_tpu.io import tbr_move
+
+    rng = np.random.default_rng(5)
+    topos = sample_topologies(11, 16, 2)
+    leaf = jax.random.randint(jax.random.PRNGKey(6), (16, 32), 0, 4)
+    cost = CostModel.hamming(4).matrix
+    for b in range(2):
+        topo = jax.tree_util.tree_map(lambda x: x[b], topos)
+        valid = 0
+        for _ in range(120):
+            args = rng.integers(0, 31, size=3)
+            moved = tbr_move(topo, int(args[0]), int(args[1]), int(args[2]))
+            if moved is None:
+                continue
+            valid += 1
+            _assert_valid(
+                np.asarray(moved.children), np.asarray(moved.parents), 16
+            )
+            s = sankoff_score(moved, cost, leaf)
+            assert np.isfinite(float(s))
+        assert valid > 5

@@ -173,6 +173,26 @@ def spr_neighborhood(topology: Topology) -> Topology:
     )
 
 
+def tbr_move(
+    topology: Topology, prune_node: int, reroot_node: int, regraft_node: int
+) -> Topology | None:
+    """One tree-bisection-reconnection move (native only; None if invalid).
+
+    Prunes the subtree above ``prune_node``, re-roots it at the edge above
+    ``reroot_node`` (inside the subtree; == prune_node for plain SPR), and
+    regrafts onto the edge above ``regraft_node``.
+    """
+    if not native.available():
+        raise NotImplementedError("TBR requires the native library")
+    result = native.tbr_move(
+        np.asarray(topology.children), prune_node, reroot_node, regraft_node
+    )
+    if result is None:
+        return None
+    nc, npar = result
+    return Topology(children=jnp.asarray(nc), parents=jnp.asarray(npar))
+
+
 def spr_move(topology: Topology, prune_node: int, regraft_node: int) -> Topology | None:
     """One subtree-prune-regraft move (native only; None if invalid)."""
     if not native.available():
@@ -197,4 +217,5 @@ __all__ = [
     "nni_neighbors",
     "spr_neighborhood",
     "spr_move",
+    "tbr_move",
 ]

@@ -60,6 +60,11 @@ def load_library() -> ctypes.CDLL | None:
     lib.trex_spr.argtypes = [
         i32p, ctypes.c_int, ctypes.c_int32, ctypes.c_int32, i32p, i32p,
     ]
+    lib.trex_tbr.restype = ctypes.c_int
+    lib.trex_tbr.argtypes = [
+        i32p, ctypes.c_int, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p,
+    ]
     return lib
 
 
@@ -159,6 +164,26 @@ def spr_move(children: np.ndarray, prune_node: int, regraft_node: int):
     out_parents = np.empty(2 * n_leaves - 1, dtype=np.int32)
     rc = lib.trex_spr(
         _i32(children), n_leaves, prune_node, regraft_node,
+        _i32(out_children), _i32(out_parents),
+    )
+    if rc != 0:
+        return None
+    return out_children, out_parents
+
+
+def tbr_move(
+    children: np.ndarray, prune_node: int, reroot_node: int, regraft_node: int
+):
+    """One TBR move (prune + reroot + regraft); None if invalid."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    children = np.ascontiguousarray(children, dtype=np.int32)
+    n_leaves = children.shape[0] + 1
+    out_children = np.empty((n_leaves - 1, 2), dtype=np.int32)
+    out_parents = np.empty(2 * n_leaves - 1, dtype=np.int32)
+    rc = lib.trex_tbr(
+        _i32(children), n_leaves, prune_node, reroot_node, regraft_node,
         _i32(out_children), _i32(out_parents),
     )
     if rc != 0:
