@@ -66,9 +66,10 @@ Tree canonicalize(int n_leaves, const std::vector<std::vector<int32_t>>& kids,
   for (int i = 0; i < n_leaves; ++i) relabel[i] = i;
   int next_id = n_leaves;
   // Preorder visiting the larger-minleaf child first, so in the reversed
-  // order the smaller-minleaf subtree is reached first and gets the smaller
-  // ancestor ids (canonicalize(balanced) == balanced; leaf print order is
-  // preserved on newick round trips).
+  // order the smaller-minleaf subtree is numbered first (DFS order; leaf
+  // print order is preserved on newick round trips). Note this canonical
+  // numbering is deterministic but generally differs from the balanced
+  // constructor's breadth-style numbering for >= 8 leaves.
   std::vector<int32_t> stack = {root};
   std::vector<int32_t> order;
   order.reserve(n_all);

@@ -50,3 +50,25 @@ def test_supports_are_fractions():
 def test_empty_input_raises():
     with pytest.raises(ValueError):
         majority_rule_consensus([])
+
+
+def test_consensus_topology_resolved_and_unresolved():
+    from trex_tpu.search.consensus import consensus_topology
+    import numpy as np
+
+    from trex_tpu.search.bootstrap import subtree_leaf_sets
+
+    topo = balanced_topology(8)
+    resolved = consensus_topology([topo, topo, topo])
+    assert resolved is not None
+    # Same labeled tree (ancestor numbering is canonical-DFS, which may
+    # differ from the balanced constructor's numbering).
+    assert set(subtree_leaf_sets(resolved)) == set(subtree_leaf_sets(topo))
+    # Conflicting random trees -> polytomies -> None.
+    trees = [
+        jax.tree_util.tree_map(
+            lambda x: x[b], random_topologies(jax.random.PRNGKey(3), 8, 10)
+        )
+        for b in range(10)
+    ]
+    assert consensus_topology(trees) is None

@@ -33,7 +33,9 @@ def _canonicalize(n_leaves: int, kids: dict[int, list[int]], root: int):
         node = stack.pop()
         order.append(node)
         # Push smaller-minleaf first so the larger-minleaf child pops first;
-        # reversed order then gives smaller-minleaf subtrees smaller ids.
+        # reversed order then numbers smaller-minleaf subtrees first (DFS
+        # order — deterministic, though it differs from balanced_topology's
+        # breadth-style numbering for >= 8 leaves).
         stack.extend(sorted(kids.get(node, []), key=lambda c: minleaf[c]))
     next_id = n_leaves
     for node in reversed(order):

@@ -17,7 +17,7 @@ from trex_tpu.search.bootstrap import (
     bootstrap_analysis,
     split_support,
 )
-from trex_tpu.search.consensus import majority_rule_consensus
+from trex_tpu.search.consensus import majority_rule_consensus, consensus_topology
 from trex_tpu.search.ratchet import parsimony_ratchet, robinson_foulds
 from trex_tpu.search.ml import ml_hill_climb
 from trex_tpu.search.runner import RunnerConfig, run_search
@@ -51,6 +51,7 @@ __all__ = [
     "bootstrap_analysis",
     "split_support",
     "majority_rule_consensus",
+    "consensus_topology",
     "parsimony_ratchet",
     "robinson_foulds",
     "ml_hill_climb",

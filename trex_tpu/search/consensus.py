@@ -68,3 +68,45 @@ def majority_rule_consensus(
     newick = render(all_leaves) + ";"
     kept_sorted = sorted(kept.items(), key=lambda kv: -len(kv[0]))
     return newick, kept_sorted
+
+
+def consensus_topology(
+    trees: list[Topology], threshold: float = 0.5
+) -> Topology | None:
+    """Majority-rule consensus as a ``Topology`` when fully resolved.
+
+    Returns None when the consensus contains polytomies (fewer than
+    ``n_leaves - 1`` majority splits) — use ``majority_rule_consensus`` for
+    the general (newick) form.
+    """
+    from trex_tpu.io.fallback import _canonicalize
+    import jax.numpy as jnp
+
+    n_leaves = trees[0].n_leaves
+    freqs = split_frequencies(trees)
+    all_leaves = frozenset(range(n_leaves))
+    kept = [s for s, f in freqs.items() if f > threshold and len(s) > 1]
+    if all_leaves not in kept:
+        kept.append(all_leaves)
+    if len(kept) != n_leaves - 1:
+        return None
+    # Nest splits into a binary tree: each split's node joins its two kept
+    # children (splits or single leaves).
+    ordered = sorted(kept, key=len)
+    tmp_of_split = {s: n_leaves + i for i, s in enumerate(ordered)}
+    kids: dict[int, list[int]] = {tmp_of_split[s]: [] for s in ordered}
+    direct: dict[frozenset, set[int]] = {s: set(s) for s in ordered}
+    for i, s in enumerate(ordered[:-1]):
+        parent = min((t for t in ordered[i + 1 :] if s < t), key=len)
+        kids[tmp_of_split[parent]].append(tmp_of_split[s])
+        direct[parent] -= s
+    for s in ordered:
+        kids[tmp_of_split[s]].extend(sorted(direct[s]))
+    if any(len(v) != 2 for v in kids.values()):
+        return None
+    children, parents, _ = _canonicalize(
+        n_leaves, kids, tmp_of_split[all_leaves]
+    )
+    return Topology(
+        children=jnp.asarray(children), parents=jnp.asarray(parents)
+    )

@@ -87,7 +87,12 @@ def parsimony_hill_climb(
             while len(extra_c) < random_kicks:
                 prune = int(rng.integers(0, n_all - 1))
                 regraft = int(rng.integers(0, n_all - 1))
-                moved = native.spr_move(children_np, prune, regraft)
+                reroot = int(rng.integers(0, n_all))
+                # Alternate SPR and TBR kicks for diversification.
+                if len(extra_c) % 2 == 0:
+                    moved = native.spr_move(children_np, prune, regraft)
+                else:
+                    moved = native.tbr_move(children_np, prune, reroot, regraft)
                 if moved is not None:
                     extra_c.append(moved[0])
                     extra_p.append(moved[1])
