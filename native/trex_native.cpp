@@ -20,6 +20,7 @@
 #include <cstring>
 #include <random>
 #include <string>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -119,6 +120,100 @@ std::vector<std::vector<int32_t>> child_lists(const int32_t* children,
     kids[n_leaves + a] = {children[2 * a], children[2 * a + 1]};
   }
   return kids;
+}
+
+// Allocation-free canonicalization over flat parent arrays (hot path for
+// neighborhood enumeration). Same numbering as canonicalize(): ancestors in
+// reversed min-leaf-ordered preorder. All scratch buffers are caller-owned
+// and n_all-sized; kids_flat is (n_all, 2) with -1 for leaves.
+struct CanonScratch {
+  std::vector<int32_t> kids;      // (n_all * 2)
+  std::vector<int32_t> minleaf;   // (n_all)
+  std::vector<int32_t> stack;     // (n_all)
+  std::vector<int32_t> order;     // (n_all)
+  std::vector<int32_t> relabel;   // (n_all)
+  void resize(int n_all) {
+    kids.assign(n_all * 2, -1);
+    minleaf.resize(n_all);
+    stack.resize(2 * n_all + 4);  // post-order pass stores revisit markers
+    order.resize(n_all);
+    relabel.resize(n_all);
+  }
+};
+
+inline void canonicalize_flat(int n_leaves, const int32_t* parent, int root,
+                              CanonScratch& s, int32_t* children_out,
+                              int32_t* parents_out) {
+  const int n_all = 2 * n_leaves - 1;
+  std::fill(s.kids.begin(), s.kids.end(), -1);
+  for (int node = 0; node < n_all; ++node) {
+    int32_t p = parent[node];
+    if (p == node) continue;
+    if (s.kids[2 * p] < 0)
+      s.kids[2 * p] = node;
+    else
+      s.kids[2 * p + 1] = node;
+  }
+  // Preorder (children pushed smaller-minleaf first after minleaf pass).
+  // First pass: compute minleaf with an explicit post-order stack encoded
+  // by sign bit (second visit = node + n_all).
+  {
+    int top = 0;
+    s.stack[top++] = root;
+    while (top > 0) {
+      int32_t node = s.stack[--top];
+      if (node >= n_all) {  // second visit
+        node -= n_all;
+        s.minleaf[node] =
+            std::min(s.minleaf[s.kids[2 * node]], s.minleaf[s.kids[2 * node + 1]]);
+        continue;
+      }
+      if (s.kids[2 * node] < 0) {
+        s.minleaf[node] = node;
+        continue;
+      }
+      s.stack[top++] = node + n_all;
+      s.stack[top++] = s.kids[2 * node];
+      s.stack[top++] = s.kids[2 * node + 1];
+    }
+  }
+  // NOTE: post-order stack depth can reach ~2*n_all; size generously.
+  {
+    int top = 0;
+    int n_order = 0;
+    s.stack[top++] = root;
+    while (top > 0) {
+      int32_t node = s.stack[--top];
+      s.order[n_order++] = node;
+      int32_t a = s.kids[2 * node];
+      if (a < 0) continue;
+      int32_t b = s.kids[2 * node + 1];
+      // Push smaller-minleaf first so larger pops first (visited earlier);
+      // reversed order then numbers smaller-minleaf subtrees first.
+      if (s.minleaf[a] > s.minleaf[b]) std::swap(a, b);
+      s.stack[top++] = a;
+      s.stack[top++] = b;
+    }
+    int next_id = n_leaves;
+    for (int i = 0; i < n_leaves; ++i) s.relabel[i] = i;
+    for (int i = n_order - 1; i >= 0; --i) {
+      int32_t node = s.order[i];
+      if (s.kids[2 * node] >= 0) s.relabel[node] = next_id++;
+    }
+  }
+  for (int node = 0; node < n_all; ++node) {
+    if (s.kids[2 * node] < 0) continue;
+    int32_t p = s.relabel[node];
+    int32_t a = p - n_leaves;
+    int32_t c0 = s.relabel[s.kids[2 * node]];
+    int32_t c1 = s.relabel[s.kids[2 * node + 1]];
+    if (c0 > c1) std::swap(c0, c1);
+    children_out[2 * a] = c0;
+    children_out[2 * a + 1] = c1;
+    parents_out[c0] = p;
+    parents_out[c1] = p;
+  }
+  parents_out[n_all - 1] = n_all - 1;
 }
 
 }  // namespace
@@ -454,6 +549,103 @@ int trex_spr(const int32_t* children, int n_leaves, int32_t prune_node,
   std::memcpy(parents_out, t.parents.data(),
               t.parents.size() * sizeof(int32_t));
   return 0;
+}
+
+// Enumerate the full SPR neighborhood in one call: every valid
+// (prune, regraft) pair, canonicalized and deduplicated (and excluding the
+// identity tree). Writes at most `max_out` trees and returns the count
+// (truncating once full — callers wanting the complete neighborhood of an
+// n-leaf tree should pass ~4*n^2). Allocation-free per move (flat parent
+// arrays + shared scratch) — one native call replaces O(n^2) per-move FFI
+// roundtrips, the host-side bottleneck of large searches.
+int trex_spr_neighborhood(const int32_t* children, int n_leaves,
+                          int32_t* children_out, int32_t* parents_out,
+                          int max_out) {
+  const int n_anc = n_leaves - 1;
+  const int n_all = 2 * n_leaves - 1;
+  // Base parent array and child lists (flat).
+  std::vector<int32_t> parent(n_all);
+  std::vector<int32_t> kids(n_all * 2, -1);
+  for (int a = 0; a < n_anc; ++a) {
+    int32_t node = n_leaves + a;
+    kids[2 * node] = children[2 * a];
+    kids[2 * node + 1] = children[2 * a + 1];
+    parent[children[2 * a]] = node;
+    parent[children[2 * a + 1]] = node;
+  }
+  parent[n_all - 1] = n_all - 1;
+
+  struct VecHash {
+    size_t operator()(const std::vector<int32_t>& v) const {
+      size_t h = 1469598103934665603ull;
+      for (int32_t x : v) {
+        h ^= (size_t)(uint32_t)x;
+        h *= 1099511628211ull;
+      }
+      return h;
+    }
+  };
+  std::unordered_set<std::vector<int32_t>, VecHash> seen;
+  seen.insert(std::vector<int32_t>(children, children + n_anc * 2));
+
+  CanonScratch scratch;
+  scratch.resize(n_all);
+  std::vector<int32_t> parent2(n_all);
+  std::vector<bool> in_sub(n_all);
+  std::vector<int32_t> dfs(n_all);
+  std::vector<int32_t> key(n_anc * 2);
+  int written = 0;
+
+  for (int prune = 0; prune < n_all - 1; ++prune) {
+    // Mark the pruned subtree.
+    std::fill(in_sub.begin(), in_sub.end(), false);
+    int top = 0;
+    dfs[top++] = prune;
+    while (top > 0) {
+      int32_t n = dfs[--top];
+      in_sub[n] = true;
+      if (kids[2 * n] >= 0) {
+        dfs[top++] = kids[2 * n];
+        dfs[top++] = kids[2 * n + 1];
+      }
+    }
+    int32_t p = parent[prune];
+    int32_t sibling =
+        kids[2 * p] == prune ? kids[2 * p + 1] : kids[2 * p];
+    for (int regraft = 0; regraft < n_all - 1; ++regraft) {
+      if (in_sub[regraft] || regraft == sibling || regraft == p) continue;
+      std::memcpy(parent2.data(), parent.data(), n_all * sizeof(int32_t));
+      int32_t root;
+      if (p == n_all - 1) {
+        parent2[sibling] = sibling;
+        root = sibling;
+      } else {
+        parent2[sibling] = parent[p];
+        root = n_all - 1;
+      }
+      parent2[p] = parent[regraft] == p ? p : parent[regraft];
+      if (parent[regraft] == regraft) {  // cannot happen (regraft != root)
+        continue;
+      }
+      parent2[regraft] = p;
+      parent2[prune] = p;
+      if (root == sibling) {
+        // p re-inserted below the new root; fix p's parent if it pointed at
+        // the old (removed) position of itself.
+        if (parent2[p] == p) parent2[p] = parent[regraft];
+      }
+      canonicalize_flat(n_leaves, parent2.data(), root, scratch,
+                        key.data(),
+                        parents_out + (size_t)written * n_all);
+      std::vector<int32_t> k(key);
+      if (!seen.insert(std::move(k)).second) continue;
+      if (written >= max_out) return written;
+      std::memcpy(children_out + (size_t)written * n_anc * 2, key.data(),
+                  key.size() * sizeof(int32_t));
+      ++written;
+    }
+  }
+  return written;
 }
 
 // TBR: prune the subtree above `prune_node`, re-root it on the edge above

@@ -150,27 +150,8 @@ def spr_neighborhood(topology: Topology) -> Topology:
     """
     if not native.available():
         raise NotImplementedError("SPR requires the native library")
-    children = np.asarray(topology.children)
-    n_all = topology.n_all
-    seen: set[bytes] = set()
-    out_c, out_p = [], []
-    for prune in range(n_all - 1):
-        for regraft in range(n_all - 1):
-            if prune == regraft:
-                continue
-            moved = native.spr_move(children, prune, regraft)
-            if moved is None:
-                continue
-            key = moved[0].tobytes()
-            if key in seen or np.array_equal(moved[0], children):
-                continue
-            seen.add(key)
-            out_c.append(moved[0])
-            out_p.append(moved[1])
-    return Topology(
-        children=jnp.asarray(np.stack(out_c)),
-        parents=jnp.asarray(np.stack(out_p)),
-    )
+    nc, npar = native.spr_neighborhood(np.asarray(topology.children))
+    return Topology(children=jnp.asarray(nc), parents=jnp.asarray(npar))
 
 
 def tbr_move(

@@ -65,6 +65,10 @@ def load_library() -> ctypes.CDLL | None:
         i32p, ctypes.c_int, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         i32p, i32p,
     ]
+    lib.trex_spr_neighborhood.restype = ctypes.c_int
+    lib.trex_spr_neighborhood.argtypes = [
+        i32p, ctypes.c_int, i32p, i32p, ctypes.c_int,
+    ]
     return lib
 
 
@@ -88,9 +92,9 @@ def parse_newick(text: str):
     n_leaves_guess = text.count(",") + 1
     n_anc = n_leaves_guess - 1
     n_all = 2 * n_leaves_guess - 1
-    children = np.empty((max(n_anc, 1), 2), dtype=np.int32)
-    parents = np.empty(max(n_all, 1), dtype=np.int32)
-    blens = np.empty(max(n_all, 1), dtype=np.float64)
+    children = np.zeros((max(n_anc, 1), 2), dtype=np.int32)
+    parents = np.zeros(max(n_all, 1), dtype=np.int32)
+    blens = np.zeros(max(n_all, 1), dtype=np.float64)
     names_buf = ctypes.create_string_buffer(len(text) + n_all * 8 + 16)
     n_leaves_out = np.zeros(1, dtype=np.int32)
     rc = lib.trex_parse_newick(
@@ -131,8 +135,8 @@ def sample_topologies(seed: int, n_leaves: int, batch: int):
     if lib is None:
         raise RuntimeError("native library unavailable")
     n_anc, n_all = n_leaves - 1, 2 * n_leaves - 1
-    children = np.empty((batch, n_anc, 2), dtype=np.int32)
-    parents = np.empty((batch, n_all), dtype=np.int32)
+    children = np.zeros((batch, n_anc, 2), dtype=np.int32)
+    parents = np.zeros((batch, n_all), dtype=np.int32)
     lib.trex_sample_topologies(seed, n_leaves, batch, _i32(children), _i32(parents))
     return children, parents
 
@@ -145,8 +149,8 @@ def nni_neighbors(children: np.ndarray):
     children = np.ascontiguousarray(children, dtype=np.int32)
     n_leaves = children.shape[0] + 1
     count = lib.trex_nni_count(_i32(children), n_leaves)
-    out_children = np.empty((max(count, 1), n_leaves - 1, 2), dtype=np.int32)
-    out_parents = np.empty((max(count, 1), 2 * n_leaves - 1), dtype=np.int32)
+    out_children = np.zeros((max(count, 1), n_leaves - 1, 2), dtype=np.int32)
+    out_parents = np.zeros((max(count, 1), 2 * n_leaves - 1), dtype=np.int32)
     written = lib.trex_nni_neighbors(
         _i32(children), n_leaves, _i32(out_children), _i32(out_parents)
     )
@@ -160,8 +164,8 @@ def spr_move(children: np.ndarray, prune_node: int, regraft_node: int):
         raise RuntimeError("native library unavailable")
     children = np.ascontiguousarray(children, dtype=np.int32)
     n_leaves = children.shape[0] + 1
-    out_children = np.empty((n_leaves - 1, 2), dtype=np.int32)
-    out_parents = np.empty(2 * n_leaves - 1, dtype=np.int32)
+    out_children = np.zeros((n_leaves - 1, 2), dtype=np.int32)
+    out_parents = np.zeros(2 * n_leaves - 1, dtype=np.int32)
     rc = lib.trex_spr(
         _i32(children), n_leaves, prune_node, regraft_node,
         _i32(out_children), _i32(out_parents),
@@ -180,8 +184,8 @@ def tbr_move(
         raise RuntimeError("native library unavailable")
     children = np.ascontiguousarray(children, dtype=np.int32)
     n_leaves = children.shape[0] + 1
-    out_children = np.empty((n_leaves - 1, 2), dtype=np.int32)
-    out_parents = np.empty(2 * n_leaves - 1, dtype=np.int32)
+    out_children = np.zeros((n_leaves - 1, 2), dtype=np.int32)
+    out_parents = np.zeros(2 * n_leaves - 1, dtype=np.int32)
     rc = lib.trex_tbr(
         _i32(children), n_leaves, prune_node, reroot_node, regraft_node,
         _i32(out_children), _i32(out_parents),
@@ -189,3 +193,28 @@ def tbr_move(
     if rc != 0:
         return None
     return out_children, out_parents
+
+
+def spr_neighborhood(children: np.ndarray, max_trees: int | None = None):
+    """SPR neighborhood in one native call (deduplicated).
+
+    ``max_trees`` caps the enumeration (default: the full O(n^2)
+    neighborhood, itself capped at 200k trees — the output is O(n) ints per
+    tree, so unbounded 1000-leaf neighborhoods would be gigabytes).
+    """
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    children = np.ascontiguousarray(children, dtype=np.int32)
+    n_leaves = children.shape[0] + 1
+    n_all = 2 * n_leaves - 1
+    cap = (n_all - 1) * (n_all - 1)
+    cap = min(cap, max_trees if max_trees is not None else 200_000)
+    out_children = np.zeros((cap, n_leaves - 1, 2), dtype=np.int32)
+    out_parents = np.zeros((cap, n_all), dtype=np.int32)
+    count = lib.trex_spr_neighborhood(
+        _i32(children), n_leaves, _i32(out_children), _i32(out_parents), cap
+    )
+    if count < 0:
+        raise RuntimeError(f"spr_neighborhood failed (code {count})")
+    return out_children[:count].copy(), out_parents[:count].copy()
