@@ -195,12 +195,20 @@ def tbr_move(
     return out_children, out_parents
 
 
+# Reused output buffers: page faults on fresh large allocations cost
+# ~0.5 ms/page under the microVM kernel, dwarfing the enumeration itself.
+_NEIGHBORHOOD_BUFFERS: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
 def spr_neighborhood(children: np.ndarray, max_trees: int | None = None):
     """SPR neighborhood in one native call (deduplicated).
 
     ``max_trees`` caps the enumeration (default: the full O(n^2)
     neighborhood, itself capped at 200k trees — the output is O(n) ints per
     tree, so unbounded 1000-leaf neighborhoods would be gigabytes).
+
+    Returns VIEWS into per-shape cached buffers (overwritten by the next
+    call with the same shape); copy if you need persistence.
     """
     lib = load_library()
     if lib is None:
@@ -210,11 +218,16 @@ def spr_neighborhood(children: np.ndarray, max_trees: int | None = None):
     n_all = 2 * n_leaves - 1
     cap = (n_all - 1) * (n_all - 1)
     cap = min(cap, max_trees if max_trees is not None else 200_000)
-    out_children = np.zeros((cap, n_leaves - 1, 2), dtype=np.int32)
-    out_parents = np.zeros((cap, n_all), dtype=np.int32)
+    key = (cap, n_leaves)
+    if key not in _NEIGHBORHOOD_BUFFERS:
+        _NEIGHBORHOOD_BUFFERS[key] = (
+            np.zeros((cap, n_leaves - 1, 2), dtype=np.int32),
+            np.zeros((cap, n_all), dtype=np.int32),
+        )
+    out_children, out_parents = _NEIGHBORHOOD_BUFFERS[key]
     count = lib.trex_spr_neighborhood(
         _i32(children), n_leaves, _i32(out_children), _i32(out_parents), cap
     )
     if count < 0:
         raise RuntimeError(f"spr_neighborhood failed (code {count})")
-    return out_children[:count].copy(), out_parents[:count].copy()
+    return out_children[:count], out_parents[:count]
