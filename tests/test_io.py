@@ -217,3 +217,18 @@ def test_tbr_fuzz_validity_and_scores():
             s = sankoff_score(moved, cost, leaf)
             assert np.isfinite(float(s))
         assert valid > 5
+
+
+def test_spr_neighborhood_truncating_cap():
+    if not native.available():
+        pytest.skip("no native library")
+    from trex_tpu.io import spr_neighborhood
+
+    nbrs = spr_neighborhood(balanced_topology(16))
+    capped = native.spr_neighborhood(
+        np.asarray(balanced_topology(16).children), max_trees=10
+    )
+    assert capped[0].shape[0] == 10
+    np.testing.assert_array_equal(
+        capped[0], np.asarray(nbrs.children[:10])
+    )
