@@ -594,6 +594,7 @@ int trex_spr_neighborhood(const int32_t* children, int n_leaves,
   std::vector<bool> in_sub(n_all);
   std::vector<int32_t> dfs(n_all);
   std::vector<int32_t> key(n_anc * 2);
+  std::vector<int32_t> par_buf(n_all);
   int written = 0;
 
   for (int prune = 0; prune < n_all - 1; ++prune) {
@@ -635,13 +636,14 @@ int trex_spr_neighborhood(const int32_t* children, int n_leaves,
         if (parent2[p] == p) parent2[p] = parent[regraft];
       }
       canonicalize_flat(n_leaves, parent2.data(), root, scratch,
-                        key.data(),
-                        parents_out + (size_t)written * n_all);
+                        key.data(), par_buf.data());
       std::vector<int32_t> k(key);
       if (!seen.insert(std::move(k)).second) continue;
       if (written >= max_out) return written;
       std::memcpy(children_out + (size_t)written * n_anc * 2, key.data(),
                   key.size() * sizeof(int32_t));
+      std::memcpy(parents_out + (size_t)written * n_all, par_buf.data(),
+                  n_all * sizeof(int32_t));
       ++written;
     }
   }
