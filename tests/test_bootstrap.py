@@ -90,3 +90,26 @@ def test_bootstrap_analysis_on_clean_signal():
     )
     assert support.shape == (7,)
     assert support.mean() > 0.5
+
+
+def test_bootstrap_log_likelihoods():
+    from trex_tpu.search.bootstrap import bootstrap_log_likelihoods
+
+    topo = balanced_topology(8)
+    leaf = jax.random.randint(jax.random.PRNGKey(7), (8, 40), 0, 4)
+    blens = jnp.full((15,), 0.3)
+    weights = bootstrap_site_weights(jax.random.PRNGKey(8), 40, 5).astype(
+        jnp.float32
+    )
+    lls = bootstrap_log_likelihoods(topo, blens, leaf, 4, weights)
+    assert lls.shape == (5,)
+    assert bool(jnp.all(jnp.isfinite(lls)))
+    # All-ones weights reproduce the plain log-likelihood.
+    from trex_tpu.ops.likelihood import tree_log_likelihood
+
+    ones = jnp.ones((1, 40), jnp.float32)
+    plain = float(tree_log_likelihood(topo, blens, leaf, 4))
+    np.testing.assert_allclose(
+        float(bootstrap_log_likelihoods(topo, blens, leaf, 4, ones)[0]),
+        plain, rtol=1e-6,
+    )

@@ -232,3 +232,30 @@ def test_spr_neighborhood_truncating_cap():
     np.testing.assert_array_equal(
         capped[0], np.asarray(nbrs.children[:10])
     )
+
+
+def test_spr_neighborhood_matches_per_move_enumeration():
+    """The single-call fast path == the per-move reference enumeration."""
+    if not native.available():
+        pytest.skip("no native library")
+    for seed in range(3):
+        topo = jax.tree_util.tree_map(
+            lambda x: x[0], sample_topologies(40 + seed, 10, 1)
+        )
+        children = np.asarray(topo.children)
+        n_all = topo.n_all
+        expected = set()
+        for prune in range(n_all - 1):
+            for regraft in range(n_all - 1):
+                if prune == regraft:
+                    continue
+                moved = native.spr_move(children, prune, regraft)
+                if moved is None or np.array_equal(moved[0], children):
+                    continue
+                expected.add(moved[0].tobytes())
+        fast_c, fast_p = native.spr_neighborhood(children)
+        got = {fast_c[i].tobytes() for i in range(fast_c.shape[0])}
+        assert got == expected
+        # parents consistent with children for every emitted tree
+        for i in range(fast_c.shape[0]):
+            _assert_valid(fast_c[i], fast_p[i], 10)

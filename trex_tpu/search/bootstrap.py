@@ -51,6 +51,27 @@ def bootstrap_scores(
     return jax.vmap(fn)(weights)
 
 
+def bootstrap_log_likelihoods(
+    topology: Topology,
+    branch_lengths: jax.Array,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    weights: jax.Array,
+) -> jax.Array:
+    """(R,) log-likelihoods of one tree under R bootstrap weight vectors.
+
+    Works because the pruning log-likelihood is also a site-sum
+    (``tree_log_likelihood``'s ``site_mask`` doubles as weights).
+    """
+    from trex_tpu.ops.likelihood import tree_log_likelihood
+
+    return jax.vmap(
+        lambda w: tree_log_likelihood(
+            topology, branch_lengths, leaf_sequences, n_states, site_mask=w
+        )
+    )(weights)
+
+
 def subtree_leaf_sets(topology: Topology) -> list[frozenset[int]]:
     """Leaf set (bipartition) below each ancestor, host-side."""
     children = np.asarray(topology.children)
