@@ -259,3 +259,14 @@ def test_spr_neighborhood_matches_per_move_enumeration():
         # parents consistent with children for every emitted tree
         for i in range(fast_c.shape[0]):
             _assert_valid(fast_c[i], fast_p[i], 10)
+
+
+def test_format_tree():
+    from trex_tpu.io import format_tree
+
+    text = format_tree(
+        balanced_topology(4), list("ABCD"), annotations={6: "root", 0: "0.99"}
+    )
+    assert "root" in text and "A  0.99" in text
+    assert text.count("`--") == 3  # one closing branch per internal node
+    assert all(name in text for name in "ABCD")

@@ -86,6 +86,43 @@ def write_fasta(names: list[str], sequences: np.ndarray, alphabet: str = DNA) ->
     return "\n".join(rows) + "\n"
 
 
+def format_tree(
+    topology: Topology,
+    leaf_names: list[str] | None = None,
+    annotations: dict[int, str] | None = None,
+) -> str:
+    """ASCII rendering of a topology (debugging / logging aid).
+
+    ``annotations`` maps node index -> extra text (e.g. support values or
+    reconstructed states).
+    """
+    children = np.asarray(topology.children)
+    n_leaves = topology.n_leaves
+    names = leaf_names or [f"L{i}" for i in range(n_leaves)]
+    ann = annotations or {}
+
+    lines: list[str] = []
+
+    def walk(node: int, prefix: str, is_last: bool) -> None:
+        branch = "`-- " if is_last else "|-- "
+        label = names[node] if node < n_leaves else f"[{node}]"
+        extra = f"  {ann[node]}" if node in ann else ""
+        lines.append(prefix + branch + label + extra)
+        if node >= n_leaves:
+            child_prefix = prefix + ("    " if is_last else "|   ")
+            a, b = children[node - n_leaves]
+            walk(int(a), child_prefix, False)
+            walk(int(b), child_prefix, True)
+
+    root = topology.n_all - 1
+    lines.append(f"[{root}]" + (f"  {ann[root]}" if root in ann else ""))
+    a, b = children[root - n_leaves]
+    walk(int(a), "", False)
+    walk(int(b), "", True)
+    return "
+".join(lines)
+
+
 def relabel_leaves(topology: Topology, new_ids: np.ndarray) -> Topology:
     """Permute leaf indices (``new_ids[i]`` = new index of current leaf i)
     and re-canonicalize the ancestor numbering."""
@@ -192,6 +229,7 @@ __all__ = [
     "save_newick",
     "parse_fasta",
     "write_fasta",
+    "format_tree",
     "relabel_leaves",
     "align_leaf_order",
     "sample_topologies",
