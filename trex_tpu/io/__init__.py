@@ -119,8 +119,7 @@ def format_tree(
     a, b = children[root - n_leaves]
     walk(int(a), "", False)
     walk(int(b), "", True)
-    return "
-".join(lines)
+    return "\n".join(lines)
 
 
 def relabel_leaves(topology: Topology, new_ids: np.ndarray) -> Topology:
