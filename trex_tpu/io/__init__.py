@@ -102,23 +102,22 @@ def format_tree(
     ann = annotations or {}
 
     lines: list[str] = []
-
-    def walk(node: int, prefix: str, is_last: bool) -> None:
+    root = topology.n_all - 1
+    lines.append(f"[{root}]" + (f"  {ann[root]}" if root in ann else ""))
+    # Iterative DFS (deep caterpillar trees would blow Python recursion).
+    a, b = children[root - n_leaves]
+    stack = [(int(b), "", True), (int(a), "", False)]
+    while stack:
+        node, prefix, is_last = stack.pop()
         branch = "`-- " if is_last else "|-- "
         label = names[node] if node < n_leaves else f"[{node}]"
         extra = f"  {ann[node]}" if node in ann else ""
         lines.append(prefix + branch + label + extra)
         if node >= n_leaves:
             child_prefix = prefix + ("    " if is_last else "|   ")
-            a, b = children[node - n_leaves]
-            walk(int(a), child_prefix, False)
-            walk(int(b), child_prefix, True)
-
-    root = topology.n_all - 1
-    lines.append(f"[{root}]" + (f"  {ann[root]}" if root in ann else ""))
-    a, b = children[root - n_leaves]
-    walk(int(a), "", False)
-    walk(int(b), "", True)
+            a2, b2 = children[node - n_leaves]
+            stack.append((int(b2), child_prefix, True))
+            stack.append((int(a2), child_prefix, False))
     return "\n".join(lines)
 
 
