@@ -135,6 +135,7 @@ def _fitch_kernel_multi(
     n_leaves: int,
     pack: int,
     trees: int,
+    unroll: int,
 ):
     """Fitch recursion over T trees per instance, with per-site weights.
 
@@ -173,13 +174,15 @@ def _fitch_kernel_multi(
             ] + jnp.where(empty, weights, 0.0)
         return 0
 
-    jax.lax.fori_loop(0, n_anc, visit, 0)
+    jax.lax.fori_loop(0, n_anc, visit, 0, unroll=unroll)
     for t in range(trees):
         total = jnp.sum(count_ref[pl.ds(t * pack, pack), :])
         out_ref[0, 0, t, :, :] = jnp.full((8, 128), total, dtype=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "trees_per_block"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "trees_per_block", "unroll")
+)
 def batched_fitch_score_pallas(
     topologies: Topology,
     leaf_sequences: jax.Array,
@@ -187,6 +190,7 @@ def batched_fitch_score_pallas(
     site_weights: jax.Array | None = None,
     interpret: bool = False,
     trees_per_block: int = 1,
+    unroll: int = 1,
 ) -> jax.Array:
     """Unit-cost parsimony scores of a candidate batch via fused Fitch.
 
@@ -253,7 +257,8 @@ def batched_fitch_score_pallas(
             [children, jnp.broadcast_to(children[-1:], (reps, n_anc, 2))]
         )
     kernel = functools.partial(
-        _fitch_kernel_multi, n_leaves=n_leaves, pack=pack, trees=trees
+        _fitch_kernel_multi, n_leaves=n_leaves, pack=pack, trees=trees,
+        unroll=unroll,
     )
     block_counts = pl.pallas_call(
         kernel,
