@@ -194,6 +194,10 @@ def batched_fitch_score_pallas(
 ) -> jax.Array:
     """Unit-cost parsimony scores of a candidate batch via fused Fitch.
 
+    ``unroll``: Mosaic supports only 1 (hardware loop) or the full ancestor
+    count; full unroll measured +2% on v5e at 64 taxa — not worth the
+    compile-time scaling, so the default stays 1.
+
     The fastest scoring path for Hamming costs (the reference's universal
     choice): state sets are int32 bitmasks, 1024 sites per (8, 128) VPU
     tile, ~4 integer ops per ancestor — ~8x less arithmetic and VMEM than
