@@ -163,3 +163,29 @@ class TestNKModel:
 
         seq = jnp.zeros(16, dtype=jnp.int32)
         assert jnp.isfinite(f(landscape, seq))
+
+
+def test_evolve_tree_random_topology_order():
+    """Root-down walk is valid on arbitrary (non-balanced) topologies."""
+    from trex_tpu.topology import random_topologies
+
+    landscape = make_landscape(12, 2, jax.random.PRNGKey(10), n_states=2)
+    topo = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.PRNGKey(11), 16, 1)
+    )
+    root = jnp.zeros(12, dtype=jnp.int32)
+    seqs = evolve_tree(
+        landscape, topo, root, 0.4, jax.random.PRNGKey(12), branch_length=3
+    )
+    assert seqs.shape == (31, 12)
+    parents = np.asarray(topo.parents)
+    s = np.asarray(seqs)
+    # Every non-root node evolved FROM its parent's final sequence: with
+    # rate 0 it must copy the parent exactly.
+    seqs0 = evolve_tree(
+        landscape, topo, root, 0.0, jax.random.PRNGKey(13), branch_length=1,
+        coupled_prob=0.0,
+    )
+    s0 = np.asarray(seqs0)
+    for node in range(30):
+        np.testing.assert_array_equal(s0[node], s0[parents[node]])
