@@ -75,3 +75,35 @@ def test_cli_bench_smoke(capsys):
     main(["bench", "--leaves", "8", "--sites", "32", "--batch", "8", "--reps", "2"])
     out = json.loads(capsys.readouterr().out)
     assert out["value"] > 0
+
+
+def test_enable_nan_checks_toggles_config():
+    from trex_tpu.utils.debug import enable_nan_checks
+
+    enable_nan_checks(True)
+    assert jax.config.jax_debug_nans and jax.config.jax_debug_infs
+    enable_nan_checks(False)
+    assert not jax.config.jax_debug_nans and not jax.config.jax_debug_infs
+
+
+def test_annotations_module_imports():
+    from trex_tpu import annotations
+
+    assert annotations.DPTable is not None
+    assert annotations.ChildIndexPairs is not None
+
+
+def test_initialize_distributed_single_host_noop():
+    from trex_tpu.parallel.distributed import initialize_distributed
+
+    # No coordinator configured and no pod env: returns False, raises nothing.
+    assert initialize_distributed() in (False, True)
+
+
+def test_latest_step_dir(tmp_path):
+    from trex_tpu.utils.checkpoint import latest_step_dir
+
+    assert latest_step_dir(str(tmp_path / "missing")) is None
+    (tmp_path / "step_10").mkdir()
+    (tmp_path / "step_2").mkdir()
+    assert latest_step_dir(str(tmp_path)).endswith("step_10")
