@@ -107,3 +107,21 @@ def test_latest_step_dir(tmp_path):
     (tmp_path / "step_10").mkdir()
     (tmp_path / "step_2").mkdir()
     assert latest_step_dir(str(tmp_path)).endswith("step_10")
+
+
+def test_cli_nk_bench_smoke(capsys):
+    from trex_tpu.cli import main
+
+    main([
+        "nk-bench", "--leaves", "4", "--sites", "10", "--k-values", "1",
+        "--lambdas", "0.0", "0.5", "--iterations", "50",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert "K=1" in out and "sankoff" in out["K=1"]
+
+
+def test_top_level_exports():
+    import trex_tpu
+
+    for name in trex_tpu.__all__:
+        assert getattr(trex_tpu, name) is not None
