@@ -40,3 +40,20 @@ def test_ratchet_improves_or_matches_plain_climb():
     assert result.score <= oracle * 1.15
     # Score claims are honest: re-score the returned topology.
     assert float(sankoff_score(result.topology, cost, leaf)) == result.score
+
+
+def test_ratchet_progress_dump(tmp_path):
+    import json
+    import os
+
+    gt = generate_groundtruth(8, 4, 3, 40, seed=2)
+    leaf = gt.all_sequences[:8].astype(jnp.int32)
+    cost = CostModel.hamming(4).matrix
+    result = parsimony_ratchet(
+        jax.random.PRNGKey(1), balanced_topology(8), cost, leaf,
+        n_iterations=2, climb_rounds=5, progress_dir=str(tmp_path),
+    )
+    assert os.path.exists(tmp_path / "best.nwk")
+    lines = [json.loads(l) for l in open(tmp_path / "trace.jsonl")]
+    assert lines[-1]["best_score"] == result.score
+    assert len(lines) == 3  # initial + 2 iterations

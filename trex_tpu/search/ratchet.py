@@ -37,6 +37,7 @@ def parsimony_ratchet(
     perturb_weight: float = 3.0,
     climb_rounds: int = 30,
     neighborhood: str = "spr",
+    progress_dir: str | None = None,
 ) -> SearchResult:
     """Run the parsimony ratchet from ``start``.
 
@@ -45,8 +46,31 @@ def parsimony_ratchet(
     (2) re-climb under the true objective from wherever that landed;
     (3) keep the best true-score tree seen.
 
+    ``progress_dir``: when set, the best tree so far (newick) and the score
+    trace (JSON lines) are written after every iteration, so long runs
+    survive interruption with their best result on disk.
+
     Returns the best ``SearchResult`` (trace = best true score per iteration).
     """
+    import json
+    import os
+
+    def dump_progress(iteration: int) -> None:
+        if progress_dir is None:
+            return
+        from trex_tpu.io import save_newick
+
+        os.makedirs(progress_dir, exist_ok=True)
+        with open(os.path.join(progress_dir, "best.nwk"), "w") as fh:
+            fh.write(save_newick(best_topo) + "\n")
+        with open(os.path.join(progress_dir, "trace.jsonl"), "a") as fh:
+            fh.write(
+                json.dumps(
+                    {"iteration": iteration, "best_score": best_score,
+                     "evaluations": evaluations}
+                )
+                + "\n"
+            )
     length = leaf_sequences.shape[-1]
 
     def true_scores(topos, cost, leaves):
@@ -64,6 +88,7 @@ def parsimony_ratchet(
     best_topo, best_score = best_result.topology, best_result.score
     trace = [best_score]
     evaluations = best_result.evaluations
+    dump_progress(0)
 
     for i in range(n_iterations):
         key, perturb_key = jax.random.split(key)
@@ -99,6 +124,7 @@ def parsimony_ratchet(
         if reclimbed.score < best_score:
             best_topo, best_score = reclimbed.topology, reclimbed.score
         trace.append(best_score)
+        dump_progress(i + 1)
 
     return SearchResult(
         topology=best_topo,
