@@ -24,6 +24,17 @@ from trex_tpu.topology import Topology
 DNA = "ACGT"
 PROTEIN = "ARNDCQEGHILKMFPSTWYV"
 
+# IUPAC nucleotide ambiguity codes -> state-set bitmasks over DNA (A=1, C=2,
+# G=4, T=8). Gaps and '?' are treated as fully missing (any state), the
+# standard parsimony/likelihood convention.
+IUPAC_DNA_MASKS = {
+    "A": 0b0001, "C": 0b0010, "G": 0b0100, "T": 0b1000, "U": 0b1000,
+    "R": 0b0101, "Y": 0b1010, "S": 0b0110, "W": 0b1001,
+    "K": 0b1100, "M": 0b0011,
+    "B": 0b1110, "D": 0b1101, "H": 0b1011, "V": 0b0111,
+    "N": 0b1111, "X": 0b1111, "-": 0b1111, "?": 0b1111, ".": 0b1111,
+}
+
 
 def load_newick(text: str) -> tuple[Topology, np.ndarray, list[str]]:
     """Parse newick into (Topology, branch_lengths by child node, leaf names)."""
@@ -42,8 +53,8 @@ def save_newick(topology: Topology, leaf_names: list[str] | None = None) -> str:
     return py_write_newick(children, leaf_names)
 
 
-def parse_fasta(text: str, alphabet: str = DNA) -> tuple[list[str], np.ndarray]:
-    """Parse FASTA text into (names, (n_seqs, L) int8 state matrix)."""
+def _split_fasta(text: str) -> tuple[list[str], np.ndarray]:
+    """FASTA text -> (names, (n_seqs, L) uint8 raw character matrix)."""
     names: list[str] = []
     chunks: list[str] = []
     current: list[str] = []
@@ -65,14 +76,60 @@ def parse_fasta(text: str, alphabet: str = DNA) -> tuple[list[str], np.ndarray]:
     lengths = {len(c) for c in chunks}
     if len(lengths) != 1:
         raise ValueError(f"unaligned sequences (lengths {sorted(lengths)})")
+    data = np.frombuffer(
+        "".join(chunks).encode("ascii"), dtype=np.uint8
+    ).reshape(len(names), -1)
+    return names, data
+
+
+def parse_fasta(text: str, alphabet: str = DNA) -> tuple[list[str], np.ndarray]:
+    """Parse FASTA text into (names, (n_seqs, L) int8 state matrix).
+
+    Unknown characters (gaps, ambiguity codes) map to state 0; use
+    ``parse_fasta_masks`` to preserve them as state-set bitmasks.
+    """
+    names, data = _split_fasta(text)
     lookup = np.zeros(256, dtype=np.int8)
     for i, ch in enumerate(alphabet):
         lookup[ord(ch)] = i
         lookup[ord(ch.lower())] = i
-    data = np.frombuffer(
-        "".join(chunks).encode("ascii"), dtype=np.uint8
-    ).reshape(len(names), -1)
     return names, lookup[data]
+
+
+def parse_fasta_masks(
+    text: str, alphabet: str = DNA
+) -> tuple[list[str], np.ndarray]:
+    """Parse FASTA into (names, (n_seqs, L) int32 state-set bitmasks).
+
+    The ambiguity-preserving loader: IUPAC nucleotide codes, gaps, ``?`` and
+    ``N``/``X`` become multi-bit masks (for DNA via ``IUPAC_DNA_MASKS``; for
+    other alphabets only gap/missing characters are ambiguous). Feed the
+    result to any scorer with ``sequences_are_masks=True`` — parsimony then
+    minimizes over all resolutions of the ambiguity, the standard
+    missing-data semantics the integer loader cannot express.
+    """
+    names, data = _split_fasta(text)
+    full = (1 << len(alphabet)) - 1
+    lookup = np.zeros(256, dtype=np.int32)
+    if alphabet == DNA:
+        for ch, mask in IUPAC_DNA_MASKS.items():
+            lookup[ord(ch)] = mask
+            lookup[ord(ch.lower())] = mask
+    else:
+        for i, ch in enumerate(alphabet):
+            lookup[ord(ch)] = 1 << i
+            lookup[ord(ch.lower())] = 1 << i
+        for ch in "-?.Xx":
+            lookup[ord(ch)] = full
+    masks = lookup[data]
+    bad = masks == 0
+    if bad.any():
+        seq_i, col = np.argwhere(bad)[0]
+        raise ValueError(
+            f"character {chr(data[seq_i, col])!r} at sequence {seq_i} column "
+            f"{col} is not in the alphabet or IUPAC table"
+        )
+    return names, masks
 
 
 def write_fasta(names: list[str], sequences: np.ndarray, alphabet: str = DNA) -> str:
@@ -223,9 +280,11 @@ def spr_move(topology: Topology, prune_node: int, regraft_node: int) -> Topology
 __all__ = [
     "DNA",
     "PROTEIN",
+    "IUPAC_DNA_MASKS",
     "load_newick",
     "save_newick",
     "parse_fasta",
+    "parse_fasta_masks",
     "write_fasta",
     "format_tree",
     "relabel_leaves",

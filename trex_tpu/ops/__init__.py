@@ -34,6 +34,11 @@ from trex_tpu.ops.soft_dp import (
     soft_sankoff_score_from_sequences,
     batched_soft_sankoff_score,
 )
+from trex_tpu.ops.distances import (
+    hamming_distance_matrix,
+    p_distance_matrix,
+    jc_distance_matrix,
+)
 from trex_tpu.ops.relax import (
     soft_topology,
     soft_sequences,
@@ -68,6 +73,9 @@ __all__ = [
     "surrogate_cost",
     "soft_parsimony_cost",
     "exact_cost",
+    "hamming_distance_matrix",
+    "p_distance_matrix",
+    "jc_distance_matrix",
     "soft_topology",
     "soft_sequences",
     "discretize_topology",

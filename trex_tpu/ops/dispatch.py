@@ -30,12 +30,15 @@ def batched_scores_fastest(
     cost_matrix: jax.Array,
     leaf_sequences: jax.Array,
     site_weights: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
 ) -> jax.Array:
     """Score a candidate batch with the fastest available backend.
 
     Selection: Hamming cost + n_states<=32 -> Fitch bitsets (fused kernel on
     TPU, lax elsewhere); other costs -> min-plus Sankoff (fused kernel on
-    TPU, lax elsewhere).
+    TPU, lax elsewhere). ``sequences_are_masks``: leaves are int32 state-set
+    bitmasks (IUPAC ambiguity / gaps), not integer states.
 
     Do NOT wrap this dispatcher in ``jax.jit``: fast-path selection inspects
     the concrete cost matrix (a traced matrix conservatively falls back to
@@ -52,23 +55,28 @@ def batched_scores_fastest(
             return batched_fitch_score_pallas(
                 topologies, leaf_sequences,
                 site_weights=site_weights, trees_per_block=4,
+                sequences_are_masks=sequences_are_masks,
             )
         from trex_tpu.ops.fitch import fitch_score
 
         return jax.vmap(
-            lambda t: fitch_score(t, leaf_sequences, site_mask=site_weights)
+            lambda t: fitch_score(
+                t, leaf_sequences, site_mask=site_weights,
+                sequences_are_masks=sequences_are_masks,
+            )
         )(topologies)
-    if on_tpu:
+    from trex_tpu.ops.sankoff import sankoff_score
+
+    if on_tpu and not sequences_are_masks:
         from trex_tpu.ops.sankoff_pallas import batched_sankoff_score_pallas
 
         return batched_sankoff_score_pallas(
             topologies, cost_matrix, leaf_sequences,
             site_weights=site_weights, hamming=False,
         )
-    from trex_tpu.ops.sankoff import sankoff_score
-
     return jax.vmap(
         lambda t: sankoff_score(
-            t, cost_matrix, leaf_sequences, site_mask=site_weights
+            t, cost_matrix, leaf_sequences, site_mask=site_weights,
+            sequences_are_masks=sequences_are_masks,
         )
     )(topologies)

@@ -31,21 +31,37 @@ def leaf_masks(leaf_sequences: jax.Array) -> jax.Array:
     return (jnp.int32(1) << leaf_sequences.astype(jnp.int32)).astype(jnp.int32)
 
 
+def _as_masks(leaf_sequences: jax.Array, sequences_are_masks: bool) -> jax.Array:
+    if sequences_are_masks:
+        return leaf_sequences.astype(jnp.int32)
+    return leaf_masks(leaf_sequences)
+
+
 def fitch_score(
     topology: Topology,
     leaf_sequences: jax.Array,
     site_mask: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
 ) -> jax.Array:
     """Unit-cost parsimony score of one tree via Fitch bitsets (scalar f32).
 
     Equivalent to ``sankoff_score(topology, ones - eye, leaf_sequences)``.
+
+    ``sequences_are_masks=True`` treats ``leaf_sequences`` as (n_leaves, L)
+    int32 state-set bitmasks instead of integer states — the encoding for
+    ambiguous characters (IUPAC codes, gaps, missing taxa). Fitch over sets
+    computes exactly ``min`` over all per-site resolutions of the ambiguity
+    (it IS unit-cost Sankoff with a 0-cost leaf init over the allowed set),
+    so a fully ambiguous leaf contributes 0 everywhere. Masks must be
+    nonzero.
     """
     n_leaves = topology.n_leaves
     n_all = topology.n_all
     length = leaf_sequences.shape[-1]
 
     sets0 = jnp.zeros((n_all, length), dtype=jnp.int32)
-    sets0 = sets0.at[:n_leaves].set(leaf_masks(leaf_sequences))
+    sets0 = sets0.at[:n_leaves].set(_as_masks(leaf_sequences, sequences_are_masks))
     events0 = jnp.zeros((length,), dtype=jnp.int32)
 
     def step(carry, inputs):
@@ -73,7 +89,10 @@ batched_fitch_score = jax.vmap(fitch_score, in_axes=(0, None))
 
 
 def fitch_state_sets(
-    topology: Topology, leaf_sequences: jax.Array
+    topology: Topology,
+    leaf_sequences: jax.Array,
+    *,
+    sequences_are_masks: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-node optimal-state sets and their ambiguity.
 
@@ -88,7 +107,7 @@ def fitch_state_sets(
     n_all = topology.n_all
     length = leaf_sequences.shape[-1]
     sets0 = jnp.zeros((n_all, length), dtype=jnp.int32)
-    sets0 = sets0.at[:n_leaves].set(leaf_masks(leaf_sequences))
+    sets0 = sets0.at[:n_leaves].set(_as_masks(leaf_sequences, sequences_are_masks))
 
     def step(sets, inputs):
         anc_offset, child_pair = inputs
@@ -106,11 +125,13 @@ def fitch_state_sets(
     return sets, ambiguity
 
 
-@partial(jax.jit, static_argnames=("n_states",))
+@partial(jax.jit, static_argnames=("n_states", "sequences_are_masks"))
 def fitch_reconstruct(
     topology: Topology,
     leaf_sequences: jax.Array,
     n_states: int,
+    *,
+    sequences_are_masks: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fitch score + one optimal ancestral labeling (top-down refinement).
 
@@ -119,8 +140,13 @@ def fitch_reconstruct(
     the lowest bit of its own set. This yields a minimum-parsimony labeling
     (standard Fitch refinement).
 
+    With ``sequences_are_masks=True`` (ambiguous leaves as state-set
+    bitmasks), leaves are resolved by the same downward rule instead of
+    passed through verbatim, yielding one minimum-parsimony resolution of
+    the ambiguity.
+
     Returns:
-        sequences: (n_all, L) int32 states (leaves verbatim).
+        sequences: (n_all, L) int32 states (unambiguous leaves verbatim).
         score: scalar f32 parsimony score.
     """
     n_leaves = topology.n_leaves
@@ -128,7 +154,7 @@ def fitch_reconstruct(
     length = leaf_sequences.shape[-1]
 
     sets0 = jnp.zeros((n_all, length), dtype=jnp.int32)
-    sets0 = sets0.at[:n_leaves].set(leaf_masks(leaf_sequences))
+    sets0 = sets0.at[:n_leaves].set(_as_masks(leaf_sequences, sequences_are_masks))
     events0 = jnp.zeros((length,), dtype=jnp.int32)
 
     def up(carry, inputs):
@@ -172,5 +198,6 @@ def fitch_reconstruct(
     chosen, _ = jax.lax.scan(
         down, chosen, (offsets, topology.children), reverse=True
     )
-    chosen = chosen.at[:n_leaves].set(leaf_sequences.astype(jnp.int32))
+    if not sequences_are_masks:
+        chosen = chosen.at[:n_leaves].set(leaf_sequences.astype(jnp.int32))
     return chosen, jnp.sum(events).astype(jnp.float32)

@@ -54,6 +54,30 @@ def leaf_dp_table(
     return jnp.where(observed, jnp.zeros((), dtype), jnp.asarray(BIG_COST, dtype))
 
 
+def leaf_dp_table_from_masks(
+    leaf_masks: jax.Array,
+    n_states: int,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Initial DP block for (possibly ambiguous) leaves given state-set masks.
+
+    Args:
+        leaf_masks: (n_leaves, L) int32 bitmasks of allowed states (IUPAC
+            ambiguity codes, gaps/missing = full mask). Must be nonzero.
+        n_states: alphabet size Q.
+
+    Returns:
+        (n_leaves, Q, L): 0 at every allowed state, ``BIG_COST`` elsewhere —
+        the min-plus encoding of "min over all resolutions of the ambiguity".
+    """
+    states = jnp.arange(n_states, dtype=jnp.int32)
+    allowed = (
+        jnp.right_shift(leaf_masks.astype(jnp.int32)[:, None, :], states[None, :, None])
+        & 1
+    ) == 1
+    return jnp.where(allowed, jnp.zeros((), dtype), jnp.asarray(BIG_COST, dtype))
+
+
 def _minplus_messages(child_dp: jax.Array, cost: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Min-plus contraction for one ancestor.
 
@@ -86,13 +110,16 @@ def sankoff_tables(
     cost_matrix: jax.Array,
     leaf_sequences: jax.Array,
     dtype=jnp.float32,
+    *,
+    sequences_are_masks: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fill the Sankoff DP and backtracking tables for one tree.
 
     Args:
         topology: tree over ``n_all`` nodes (single, unbatched).
         cost_matrix: (Q, Q) substitution costs.
-        leaf_sequences: (n_leaves, L) int states.
+        leaf_sequences: (n_leaves, L) int states, or int32 state-set
+            bitmasks when ``sequences_are_masks`` (ambiguity/gap support).
 
     Returns:
         dp: (n_all, Q, L) filled DP table.
@@ -104,8 +131,13 @@ def sankoff_tables(
     length = leaf_sequences.shape[-1]
     cost = cost_matrix.astype(dtype)
 
+    leaf_dp = (
+        leaf_dp_table_from_masks(leaf_sequences, n_states, dtype)
+        if sequences_are_masks
+        else leaf_dp_table(leaf_sequences, n_states, dtype)
+    )
     dp0 = jnp.full((n_all, n_states, length), jnp.asarray(BIG_COST, dtype))
-    dp0 = dp0.at[:n_leaves].set(leaf_dp_table(leaf_sequences, n_states, dtype))
+    dp0 = dp0.at[:n_leaves].set(leaf_dp)
 
     def step(dp, inputs):
         anc_offset, child_pair = inputs
@@ -128,21 +160,29 @@ def sankoff_score(
     site_mask: jax.Array | None = None,
     dtype=jnp.float32,
     hamming: bool = False,
+    *,
+    sequences_are_masks: bool = False,
 ) -> jax.Array:
     """Exact parsimony score of one tree (scalar).
 
     Score = per-site min over root states, summed over (unmasked) sites —
     the reference's reduction order (``sankoff.py:187``). Pass
     ``hamming=True`` when ``cost_matrix`` is ``ones - eye`` to take the O(Q)
-    closed-form message path (cost_matrix is then ignored).
+    closed-form message path (cost_matrix is then ignored);
+    ``sequences_are_masks=True`` for ambiguous leaves as state-set bitmasks.
     """
     if hamming:
         n_leaves = topology.n_leaves
         n_all = topology.n_all
         n_states = cost_matrix.shape[-1]
         length = leaf_sequences.shape[-1]
+        leaf_dp = (
+            leaf_dp_table_from_masks(leaf_sequences, n_states, dtype)
+            if sequences_are_masks
+            else leaf_dp_table(leaf_sequences, n_states, dtype)
+        )
         dp0 = jnp.full((n_all, n_states, length), jnp.asarray(BIG_COST, dtype))
-        dp0 = dp0.at[:n_leaves].set(leaf_dp_table(leaf_sequences, n_states, dtype))
+        dp0 = dp0.at[:n_leaves].set(leaf_dp)
 
         def step(dp, inputs):
             anc_offset, child_pair = inputs
@@ -155,7 +195,10 @@ def sankoff_score(
         offsets = jnp.arange(topology.n_ancestors, dtype=jnp.int32)
         dp, _ = jax.lax.scan(step, dp0, (offsets, topology.children))
     else:
-        dp, _ = sankoff_tables(topology, cost_matrix, leaf_sequences, dtype)
+        dp, _ = sankoff_tables(
+            topology, cost_matrix, leaf_sequences, dtype,
+            sequences_are_masks=sequences_are_masks,
+        )
     per_site = jnp.min(dp[-1], axis=0)  # (L,)
     if site_mask is not None:
         per_site = per_site * site_mask.astype(per_site.dtype)
@@ -167,6 +210,8 @@ def sankoff_reconstruct(
     cost_matrix: jax.Array,
     leaf_sequences: jax.Array,
     dtype=jnp.float32,
+    *,
+    sequences_are_masks: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Score a tree and reconstruct ancestral sequences.
 
@@ -185,7 +230,10 @@ def sankoff_reconstruct(
     n_all = topology.n_all
     length = leaf_sequences.shape[-1]
 
-    dp, back = sankoff_tables(topology, cost_matrix, leaf_sequences, dtype)
+    dp, back = sankoff_tables(
+        topology, cost_matrix, leaf_sequences, dtype,
+        sequences_are_masks=sequences_are_masks,
+    )
 
     chosen0 = jnp.zeros((n_all, length), dtype=jnp.int32)
     root_states = jnp.argmin(dp[-1], axis=0).astype(jnp.int32)  # (L,)
@@ -208,7 +256,10 @@ def sankoff_reconstruct(
     )
 
     # Leaves are observed: pass them through verbatim (``sankoff.py:162``).
-    chosen = chosen.at[:n_leaves].set(leaf_sequences.astype(jnp.int32))
+    # With ambiguous leaves the downward pass already picked an allowed
+    # (0-cost-init) state per leaf, so keep its resolution instead.
+    if not sequences_are_masks:
+        chosen = chosen.at[:n_leaves].set(leaf_sequences.astype(jnp.int32))
     score = jnp.sum(jnp.min(dp[-1], axis=0))
     return chosen, dp, score
 

@@ -181,7 +181,10 @@ def _fitch_kernel_multi(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "trees_per_block", "unroll")
+    jax.jit,
+    static_argnames=(
+        "interpret", "trees_per_block", "unroll", "sequences_are_masks"
+    ),
 )
 def batched_fitch_score_pallas(
     topologies: Topology,
@@ -191,6 +194,7 @@ def batched_fitch_score_pallas(
     interpret: bool = False,
     trees_per_block: int = 1,
     unroll: int = 1,
+    sequences_are_masks: bool = False,
 ) -> jax.Array:
     """Unit-cost parsimony scores of a candidate batch via fused Fitch.
 
@@ -232,10 +236,16 @@ def batched_fitch_score_pallas(
     padded_len = _round_up(length, sites_per_block)
     seqs = leaf_sequences.astype(jnp.int32)
     if padded_len != length:
-        seqs = jnp.pad(seqs, ((0, 0), (0, padded_len - length)))
+        # Padded sites: state 0 on every leaf (mask 1), provably 0 events.
+        pad_value = 1 if sequences_are_masks else 0
+        seqs = jnp.pad(
+            seqs, ((0, 0), (0, padded_len - length)), constant_values=pad_value
+        )
     n_blocks = padded_len // sites_per_block
 
-    masks = (jnp.int32(1) << seqs).astype(jnp.int32)
+    # ``sequences_are_masks``: inputs are already int32 state-set bitmasks
+    # (ambiguity/gap encoding); otherwise integer states -> singleton bits.
+    masks = seqs if sequences_are_masks else (jnp.int32(1) << seqs).astype(jnp.int32)
     # (n_leaves, L) -> (n_blocks, n_leaves * pack, 128): node-major tiles.
     packed = (
         masks.reshape(n_leaves, n_blocks, pack, _LANES)

@@ -18,7 +18,14 @@ from trex_tpu.search.bootstrap import (
     split_support,
 )
 from trex_tpu.search.consensus import majority_rule_consensus, consensus_topology
-from trex_tpu.search.ratchet import parsimony_ratchet, robinson_foulds
+from trex_tpu.search.ratchet import (
+    parsimony_ratchet,
+    rf_distance_unrooted,
+    robinson_foulds,
+    unrooted_splits,
+)
+from trex_tpu.search.nj import neighbor_joining, nj_start_tree, upgma
+from trex_tpu.search.stepwise import stepwise_addition, stepwise_addition_multi
 from trex_tpu.search.ml import ml_hill_climb
 from trex_tpu.search.runner import RunnerConfig, run_search
 from trex_tpu.search.joint import (
@@ -54,6 +61,13 @@ __all__ = [
     "consensus_topology",
     "parsimony_ratchet",
     "robinson_foulds",
+    "rf_distance_unrooted",
+    "unrooted_splits",
+    "neighbor_joining",
+    "nj_start_tree",
+    "upgma",
+    "stepwise_addition",
+    "stepwise_addition_multi",
     "ml_hill_climb",
     "RunnerConfig",
     "run_search",

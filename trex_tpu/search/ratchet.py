@@ -20,10 +20,32 @@ from trex_tpu.topology import Topology
 
 
 def robinson_foulds(a: Topology, b: Topology) -> int:
-    """Unrooted-style RF distance: splits present in exactly one tree."""
+    """Rooted RF distance: clades present in exactly one tree."""
     sa = set(subtree_leaf_sets(a))
     sb = set(subtree_leaf_sets(b))
     return len(sa ^ sb)
+
+
+def unrooted_splits(topology: Topology) -> set[frozenset[int]]:
+    """Canonical nontrivial bipartitions, root placement ignored.
+
+    Each clade is normalized to whichever side of the split excludes leaf 0;
+    trivial splits (single leaf / all-but-root) are dropped. Two rootings of
+    the same unrooted tree yield identical sets.
+    """
+    n_leaves = topology.n_leaves
+    all_leaves = frozenset(range(n_leaves))
+    out = set()
+    for clade in subtree_leaf_sets(topology):
+        side = all_leaves - clade if 0 in clade else clade
+        if 1 < len(side) < n_leaves - 1:
+            out.add(side)
+    return out
+
+
+def rf_distance_unrooted(a: Topology, b: Topology) -> int:
+    """Robinson-Foulds distance on unrooted splits (root-invariant)."""
+    return len(unrooted_splits(a) ^ unrooted_splits(b))
 
 
 def parsimony_ratchet(
