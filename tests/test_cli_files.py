@@ -1,0 +1,82 @@
+"""File-based CLI workflows: ``infer`` and ``score --fasta/--tree``."""
+
+import json
+
+import pytest
+
+FASTA = """>taxA
+ACGTACGTACGTACGTACGT
+>taxB
+ACGTACGAACGTACGTACGW
+>taxC
+ACGAACGAACGTACRTACGT
+>taxD
+ACGAACGAACTTACGTACGT
+>taxE
+NNGAACGAACTTACGTAC-T
+>taxF
+ACGTACGTACGTTCGTACGT
+"""
+
+
+@pytest.fixture
+def fasta_path(tmp_path):
+    path = tmp_path / "aln.fasta"
+    path.write_text(FASTA)
+    return str(path)
+
+
+@pytest.mark.parametrize("start", ["stepwise", "nj", "upgma", "random"])
+def test_cli_infer_starts(capsys, tmp_path, fasta_path, start):
+    from trex_tpu.cli import main
+
+    out_tree = str(tmp_path / "out.nwk")
+    main([
+        "infer", "--fasta", fasta_path, "--start", start,
+        "--neighborhood", "nni", "--output-tree", out_tree,
+    ])
+    out = json.loads(capsys.readouterr().out)
+    # All starts reach the same optimum on this tiny instance.
+    assert out["parsimony_score"] == 4.0
+    assert out["n_taxa"] == 6 and out["n_sites"] == 20
+    assert open(out_tree).read().strip() == out["tree"]
+
+
+def test_cli_score_fasta_roundtrip(capsys, tmp_path, fasta_path):
+    from trex_tpu.cli import main
+
+    out_tree = str(tmp_path / "t.nwk")
+    main(["infer", "--fasta", fasta_path, "--output-tree", out_tree,
+          "--neighborhood", "nni"])
+    infer_out = json.loads(capsys.readouterr().out)
+
+    anc = str(tmp_path / "anc.fasta")
+    main(["score", "--fasta", fasta_path, "--tree", out_tree,
+          "--output-fasta", anc])
+    score_out = json.loads(capsys.readouterr().out)
+    assert score_out["parsimony_score"] == infer_out["parsimony_score"]
+    text = open(anc).read()
+    # 6 leaves + 5 reconstructed ancestors, ambiguity resolved to ACGT.
+    assert text.count(">") == 11
+    body = "".join(l for l in text.splitlines() if not l.startswith(">"))
+    assert set(body) <= set("ACGT")
+
+
+def test_cli_score_fasta_without_tree(capsys, fasta_path):
+    from trex_tpu.cli import main
+
+    main(["score", "--fasta", fasta_path])
+    out = json.loads(capsys.readouterr().out)
+    assert out["tree_source"] == "stepwise addition"
+    assert out["parsimony_score"] == 4.0
+
+
+def test_cli_errors(tmp_path, fasta_path):
+    from trex_tpu.cli import main
+
+    bad_tree = tmp_path / "bad.nwk"
+    bad_tree.write_text("((taxA,taxB),(taxC,(taxD,(taxE,taxZ))));\n")
+    with pytest.raises(SystemExit, match="taxa differ"):
+        main(["score", "--fasta", fasta_path, "--tree", str(bad_tree)])
+    with pytest.raises(SystemExit, match="power-of-two"):
+        main(["infer", "--fasta", fasta_path, "--start", "balanced"])

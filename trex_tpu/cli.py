@@ -2,7 +2,10 @@
 
 Commands
 --------
-score       Exact Sankoff scoring of random/generated data (single or batch).
+score       Exact Sankoff scoring of generated data, or of a real alignment
+            (``--fasta`` + optional ``--tree``) with full IUPAC/gap support.
+infer       File-based tree inference: FASTA in, searched tree (newick) out —
+            distance/stepwise starting trees + SPR/NNI hill climbing.
 search      Joint topology + sequence optimization with restarts.
 asr         Gradient ASR on a fixed topology, accuracy vs exact Sankoff.
 bench       Throughput benchmark (same metric as bench.py, more knobs).
@@ -31,11 +34,107 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--metrics-file", type=str, default=None)
 
 
+def _load_alignment(path: str, alphabet_name: str):
+    """Read FASTA -> (names, (n, L) int32 state-set masks, n_states).
+
+    Always loads through the ambiguity-preserving parser so gaps and IUPAC
+    codes get standard missing-data semantics.
+    """
+    import numpy as np
+
+    from trex_tpu.io import DNA, PROTEIN, parse_fasta_masks
+
+    alphabet = {"dna": DNA, "protein": PROTEIN}[alphabet_name]
+    with open(path) as fh:
+        names, masks = parse_fasta_masks(fh.read(), alphabet)
+    return names, np.asarray(masks, dtype=np.int32), len(alphabet)
+
+
+def _start_tree(kind: str, masks, n_states: int, seed: int, weights, orders: int):
+    """Build the requested starting topology from (possibly ambiguous) leaves."""
+    import numpy as np
+
+    from trex_tpu.search.nj import nj_start_tree
+    from trex_tpu.search.stepwise import stepwise_addition_multi
+    from trex_tpu.topology import balanced_topology, random_topologies
+
+    n_leaves = masks.shape[0]
+    if kind == "stepwise":
+        topo, _ = stepwise_addition_multi(
+            masks, n_states, n_orders=orders, seed=seed,
+            sequences_are_masks=True, site_weights=weights,
+        )
+        return topo
+    if kind in ("nj", "upgma"):
+        # Distance matrices want integer states; resolve ambiguity to the
+        # lowest allowed state (heuristic — the search refines from here).
+        ints = np.zeros_like(masks)
+        lsb = masks & -masks
+        for b in range(n_states):
+            ints[lsb == (1 << b)] = b
+        topo, _ = nj_start_tree(ints, n_states, weights, method=kind)
+        return topo
+    if kind == "random":
+        return jax.tree_util.tree_map(
+            lambda x: x[0], random_topologies(jax.random.key(seed), n_leaves, 1)
+        )
+    if kind == "balanced":
+        if n_leaves & (n_leaves - 1):
+            raise SystemExit(
+                f"--start balanced needs a power-of-two taxon count, got {n_leaves}"
+            )
+        return balanced_topology(n_leaves)
+    raise SystemExit(f"unknown --start {kind!r}")
+
+
 def cmd_score(args) -> None:
-    from trex_tpu.models.mutation_tree import generate_groundtruth
     from trex_tpu.ops.sankoff import sankoff_reconstruct
     from trex_tpu.topology import balanced_topology
     from trex_tpu.types import CostModel
+
+    if args.fasta:
+        import numpy as np
+
+        from trex_tpu.io import align_leaf_order, load_newick
+        from trex_tpu.ops.fitch import fitch_reconstruct
+
+        names, masks, n_states = _load_alignment(args.fasta, args.alphabet)
+        if args.tree:
+            with open(args.tree) as fh:
+                topo, _, tree_names = load_newick(fh.read())
+            if sorted(tree_names) != sorted(names):
+                raise SystemExit("tree and alignment taxa differ")
+            topo = align_leaf_order(topo, tree_names, names)
+        else:
+            from trex_tpu.search.stepwise import stepwise_addition
+
+            topo, _ = stepwise_addition(
+                masks, n_states, sequences_are_masks=True, seed=args.seed
+            )
+        recon, score = fitch_reconstruct(
+            topo, jnp.asarray(masks), n_states=n_states,
+            sequences_are_masks=True,
+        )
+        out = {
+            "parsimony_score": float(score),
+            "n_taxa": len(names),
+            "n_sites": int(masks.shape[1]),
+            "tree_source": args.tree or "stepwise addition",
+        }
+        if args.output_fasta:
+            from trex_tpu.io import DNA, PROTEIN, write_fasta
+
+            alphabet = {"dna": DNA, "protein": PROTEIN}[args.alphabet]
+            anc_names = names + [
+                f"anc{i}" for i in range(len(names) - 1)
+            ]
+            with open(args.output_fasta, "w") as fh:
+                fh.write(write_fasta(anc_names, np.asarray(recon), alphabet))
+            out["output_fasta"] = args.output_fasta
+        print(json.dumps(out))
+        return
+
+    from trex_tpu.models.mutation_tree import generate_groundtruth
 
     gt = generate_groundtruth(
         args.leaves, args.states, args.mutations, args.sites, seed=args.seed
@@ -53,6 +152,60 @@ def cmd_score(args) -> None:
             {
                 "parsimony_score": float(score),
                 "ancestor_identity_vs_truth": acc,
+            }
+        )
+    )
+
+
+def cmd_infer(args) -> None:
+    """FASTA in, inferred tree out: start tree + discrete hill climbing."""
+    import numpy as np
+
+    from trex_tpu.alignment import compress_alignment
+    from trex_tpu.io import save_newick
+    from trex_tpu.ops.dispatch import batched_scores_fastest
+    from trex_tpu.search.hillclimb import parsimony_hill_climb
+    from trex_tpu.types import CostModel
+
+    names, masks, n_states = _load_alignment(args.fasta, args.alphabet)
+    patterns, weights = compress_alignment(masks)
+    weights = jnp.asarray(weights, jnp.float32)
+    patterns = np.asarray(patterns, dtype=np.int32)
+
+    start = _start_tree(
+        args.start, patterns, n_states, args.seed, weights, args.orders
+    )
+    cost = CostModel.hamming(n_states).matrix
+
+    def score_batch(topos, cost_m, leaves):
+        return batched_scores_fastest(
+            topos, cost_m, leaves, site_weights=weights,
+            sequences_are_masks=True,
+        )
+
+    result = parsimony_hill_climb(
+        start,
+        cost,
+        jnp.asarray(patterns),
+        max_rounds=args.rounds,
+        neighborhood=args.neighborhood,
+        score_batch_fn=score_batch,
+    )
+    newick = save_newick(result.topology, names)
+    if args.output_tree:
+        with open(args.output_tree, "w") as fh:
+            fh.write(newick + "\n")
+    print(
+        json.dumps(
+            {
+                "parsimony_score": result.score,
+                "start": args.start,
+                "search_rounds": result.rounds,
+                "evaluations": result.evaluations,
+                "n_taxa": len(names),
+                "n_sites": int(masks.shape[1]),
+                "unique_patterns": int((np.asarray(weights) > 0).sum()),
+                "tree": newick,
             }
         )
     )
@@ -319,7 +472,29 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("score", help="exact Sankoff scoring + reconstruction")
     _add_common(p)
     p.add_argument("--mutations", type=int, default=3)
+    p.add_argument("--fasta", type=str, default=None,
+                   help="score a real alignment instead of generated data")
+    p.add_argument("--tree", type=str, default=None,
+                   help="newick tree to score (default: stepwise addition)")
+    p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
+    p.add_argument("--output-fasta", type=str, default=None,
+                   help="write leaves + reconstructed ancestors here")
     p.set_defaults(fn=cmd_score)
+
+    p = sub.add_parser("infer", help="infer a tree from a FASTA alignment")
+    p.add_argument("--fasta", type=str, required=True)
+    p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
+    p.add_argument("--start",
+                   choices=("stepwise", "nj", "upgma", "random", "balanced"),
+                   default="stepwise")
+    p.add_argument("--orders", type=int, default=4,
+                   help="random addition orders for --start stepwise")
+    p.add_argument("--neighborhood", choices=("spr", "nni"), default="spr")
+    p.add_argument("--rounds", type=int, default=100,
+                   help="max hill-climb rounds")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output-tree", type=str, default=None)
+    p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("search", help="joint topology+sequence search")
     _add_common(p)
