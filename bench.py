@@ -36,17 +36,27 @@ def main() -> None:
     # concrete cost matrix to pick the Fitch/Hamming fast paths, and its
     # targets are already jitted.
     score_fn = batched_scores_fastest
-    # Warmup / compile.
+    # Warmup: compile, then run untimed until the chip reaches steady state
+    # (the tunneled chip ramps over the first seconds after a claim; timing
+    # too early under-reports by up to 2x).
     scores = score_fn(topos, cost, leaf)
     scores.block_until_ready()
-
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    t_warm = time.perf_counter()
+    while time.perf_counter() - t_warm < 3.0:
         scores = score_fn(topos, cost, leaf)
-    scores.block_until_ready()
-    elapsed = time.perf_counter() - t0
+        scores.block_until_ready()
 
-    trees_per_s = batch * reps / elapsed
+    # Best of 3 timed trials (steady-state throughput, robust to transient
+    # tunnel stalls).
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            scores = score_fn(topos, cost, leaf)
+        scores.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+
+    trees_per_s = batch * reps / best
     print(
         json.dumps(
             {

@@ -70,7 +70,7 @@ def test_fitch_site_mask():
     )
 
 
-@pytest.mark.parametrize("trees_per_block", [2, 4])
+@pytest.mark.parametrize("trees_per_block", [2, 4, 8])
 def test_fitch_pallas_multi_tree_parity(trees_per_block):
     n_leaves, q, length = 8, 4, 1024
     topos = random_topologies(jax.random.PRNGKey(8), n_leaves, 6)  # 6 % T != 0

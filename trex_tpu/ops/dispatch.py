@@ -50,11 +50,11 @@ def batched_scores_fastest(
         if on_tpu:
             from trex_tpu.ops.sankoff_pallas import batched_fitch_score_pallas
 
-            # 4 trees per kernel instance: independent work between the DP's
-            # serial ancestor steps (+~35% measured on v5e).
+            # trees_per_block auto-picked by the kernel (SMEM-safe cap; see
+            # batched_fitch_score_pallas docstring).
             return batched_fitch_score_pallas(
                 topologies, leaf_sequences,
-                site_weights=site_weights, trees_per_block=4,
+                site_weights=site_weights,
                 sequences_are_masks=sequences_are_masks,
             )
         from trex_tpu.ops.fitch import fitch_score

@@ -192,11 +192,21 @@ def batched_fitch_score_pallas(
     *,
     site_weights: jax.Array | None = None,
     interpret: bool = False,
-    trees_per_block: int = 1,
+    trees_per_block: int | None = None,
     unroll: int = 1,
     sequences_are_masks: bool = False,
 ) -> jax.Array:
     """Unit-cost parsimony scores of a candidate batch via fused Fitch.
+
+    ``trees_per_block`` (T): independent trees per kernel instance — the
+    latency-hiding work between the DP's serial dependent tile ops. Default
+    ``None`` auto-picks ``min(8, 512 // n_ancestors)``. Same-process
+    interleaved measurement on v5e at 64 taxa shows T in {4, 8} within noise
+    of each other (~860k trees/s; earlier sweeps that suggested large T
+    gains were confounded by chip warm-up drift between configs). The cap
+    matters for compile safety: the T-unrolled ancestor body's register
+    spill slots live in SMEM and overflow its 1 MiB once T x n_anc exceeds
+    ~1000 (T=8 compiles at 63 ancestors, not at 127).
 
     ``unroll``: Mosaic supports only 1 (hardware loop) or the full ancestor
     count; full unroll measured +2% on v5e at 64 taxa — not worth the
@@ -221,6 +231,9 @@ def batched_fitch_score_pallas(
     n_leaves = n_anc + 1
     n_all = 2 * n_leaves - 1
     length = leaf_sequences.shape[-1]
+
+    if trees_per_block is None:
+        trees_per_block = max(1, min(8, 512 // max(n_anc, 1)))
 
     # Node tiles are (pack, 128); shrink pack for very large trees so the
     # per-instance state-set scratch stays within a VMEM budget.

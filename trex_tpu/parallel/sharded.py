@@ -77,7 +77,7 @@ def sharded_batch_scores(
             from trex_tpu.ops.sankoff_pallas import batched_fitch_score_pallas
 
             partial_scores = batched_fitch_score_pallas(
-                topos, leaf_shard, trees_per_block=4
+                topos, leaf_shard
             )
         elif use_fitch:
             from trex_tpu.ops.fitch import batched_fitch_score

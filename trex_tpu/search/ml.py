@@ -53,8 +53,12 @@ def ml_hill_climb(
                 batched_log_likelihood_pallas,
             )
 
+            # T=2 measured fastest on v5e at 64 taxa (interleaved: ~96k
+            # trees/s vs 78k at T=1 and 84k at T=4; T=8 fails to compile —
+            # f32 DP tables are 8x the Fitch bitsets, so the sweet spot is
+            # lower than the Fitch kernel's).
             return -batched_log_likelihood_pallas(
-                topos, blens, leaves, n_states, trees_per_block=4
+                topos, blens, leaves, n_states, trees_per_block=2
             )
         return -batched_tree_log_likelihood(topos, blens, leaves, n_states)
 
