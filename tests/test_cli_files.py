@@ -71,6 +71,47 @@ def test_cli_score_fasta_without_tree(capsys, fasta_path):
     assert out["parsimony_score"] == 4.0
 
 
+def test_cli_infer_ml_with_branch_lengths(capsys, tmp_path, fasta_path):
+    from trex_tpu.cli import main
+    from trex_tpu.io import load_newick
+
+    out_tree = str(tmp_path / "ml.nwk")
+    main([
+        "infer", "--fasta", fasta_path, "--criterion", "ml",
+        "--neighborhood", "nni", "--rounds", "2", "--output-tree", out_tree,
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["criterion"] == "ml"
+    assert out["neg_log_likelihood"] > 0
+    assert out["mean_branch_length"] > 0
+    # The emitted newick carries branch lengths and round-trips exactly.
+    topo, blens, names = load_newick(open(out_tree).read())
+    assert sorted(names) == ["taxA", "taxB", "taxC", "taxD", "taxE", "taxF"]
+    assert (blens[:-1] > 0).all()
+
+
+def test_save_newick_lengths_roundtrip():
+    import numpy as np
+
+    from trex_tpu.io import load_newick, save_newick
+    from trex_tpu.topology import balanced_topology
+
+    topo = balanced_topology(8)
+    rng = np.random.default_rng(0)
+    blens = rng.uniform(0.01, 2.0, size=topo.n_all)
+    blens[-1] = 0.0
+    names = [f"t{i}" for i in range(8)]
+    text = save_newick(topo, names, blens)
+    topo2, blens2, names2 = load_newick(text)
+    # Same unrooted structure and, leaf-name-matched, the same lengths.
+    by_name = dict(zip(names2, blens2[:8]))
+    for i, n in enumerate(names):
+        np.testing.assert_allclose(by_name[n], blens[i], rtol=1e-6)
+    assert sorted(np.asarray(topo2.children).ravel().tolist()) == sorted(
+        np.asarray(topo.children).ravel().tolist()
+    )
+
+
 def test_cli_errors(tmp_path, fasta_path):
     from trex_tpu.cli import main
 

@@ -175,40 +175,61 @@ def cmd_infer(args) -> None:
     start = _start_tree(
         args.start, patterns, n_states, args.seed, weights, args.orders
     )
-    cost = CostModel.hamming(n_states).matrix
 
-    def score_batch(topos, cost_m, leaves):
-        return batched_scores_fastest(
-            topos, cost_m, leaves, site_weights=weights,
+    out: dict[str, object] = {
+        "criterion": args.criterion,
+        "start": args.start,
+        "n_taxa": len(names),
+        "n_sites": int(masks.shape[1]),
+        "unique_patterns": int((np.asarray(weights) > 0).sum()),
+    }
+    if args.criterion == "ml":
+        from trex_tpu.search.ml import ml_hill_climb
+
+        # ML runs on the uncompressed alignment (per-site log-liks are
+        # weighted sums only in the lax path; keep it exact here).
+        result, lengths, losses = ml_hill_climb(
+            start,
+            jnp.asarray(masks),
+            n_states,
+            max_rounds=args.rounds,
+            neighborhood=args.neighborhood,
             sequences_are_masks=True,
         )
+        newick = save_newick(result.topology, names, np.asarray(lengths))
+        out.update(
+            neg_log_likelihood=float(losses[-1]),
+            ranking_score=result.score,
+            mean_branch_length=float(np.asarray(lengths).mean()),
+        )
+    else:
+        cost = CostModel.hamming(n_states).matrix
 
-    result = parsimony_hill_climb(
-        start,
-        cost,
-        jnp.asarray(patterns),
-        max_rounds=args.rounds,
-        neighborhood=args.neighborhood,
-        score_batch_fn=score_batch,
+        def score_batch(topos, cost_m, leaves):
+            return batched_scores_fastest(
+                topos, cost_m, leaves, site_weights=weights,
+                sequences_are_masks=True,
+            )
+
+        result = parsimony_hill_climb(
+            start,
+            cost,
+            jnp.asarray(patterns),
+            max_rounds=args.rounds,
+            neighborhood=args.neighborhood,
+            score_batch_fn=score_batch,
+        )
+        newick = save_newick(result.topology, names)
+        out["parsimony_score"] = result.score
+    out.update(
+        search_rounds=result.rounds,
+        evaluations=result.evaluations,
+        tree=newick,
     )
-    newick = save_newick(result.topology, names)
     if args.output_tree:
         with open(args.output_tree, "w") as fh:
             fh.write(newick + "\n")
-    print(
-        json.dumps(
-            {
-                "parsimony_score": result.score,
-                "start": args.start,
-                "search_rounds": result.rounds,
-                "evaluations": result.evaluations,
-                "n_taxa": len(names),
-                "n_sites": int(masks.shape[1]),
-                "unique_patterns": int((np.asarray(weights) > 0).sum()),
-                "tree": newick,
-            }
-        )
-    )
+    print(json.dumps(out))
 
 
 def cmd_search(args) -> None:
@@ -484,6 +505,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("infer", help="infer a tree from a FASTA alignment")
     p.add_argument("--fasta", type=str, required=True)
     p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
+    p.add_argument("--criterion", choices=("parsimony", "ml"),
+                   default="parsimony")
     p.add_argument("--start",
                    choices=("stepwise", "nj", "upgma", "random", "balanced"),
                    default="stepwise")

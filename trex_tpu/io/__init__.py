@@ -46,11 +46,39 @@ def load_newick(text: str) -> tuple[Topology, np.ndarray, list[str]]:
     return topo, blens, names
 
 
-def save_newick(topology: Topology, leaf_names: list[str] | None = None) -> str:
+def save_newick(
+    topology: Topology,
+    leaf_names: list[str] | None = None,
+    branch_lengths=None,
+) -> str:
+    """Serialize a topology to newick, optionally with branch lengths.
+
+    ``branch_lengths``: (n_all,) lengths indexed by child node (the same
+    convention ``load_newick`` returns); the root entry is ignored.
+    Round-trips through ``load_newick`` exactly.
+    """
     children = np.asarray(topology.children)
+    if branch_lengths is not None:
+        return _write_newick_lengths(
+            children, leaf_names, np.asarray(branch_lengths, dtype=np.float64)
+        )
     if native.available():
         return native.write_newick(children, leaf_names)
     return py_write_newick(children, leaf_names)
+
+
+def _write_newick_lengths(
+    children: np.ndarray, leaf_names: list[str] | None, blens: np.ndarray
+) -> str:
+    n_leaves = children.shape[0] + 1
+    names = leaf_names or [f"L{i}" for i in range(n_leaves)]
+    repr_ = list(names) + [""] * (n_leaves - 1)
+    for a in range(n_leaves - 1):
+        c0, c1 = int(children[a, 0]), int(children[a, 1])
+        repr_[n_leaves + a] = (
+            f"({repr_[c0]}:{blens[c0]:.8g},{repr_[c1]}:{blens[c1]:.8g})"
+        )
+    return repr_[2 * n_leaves - 2] + ";"
 
 
 def _split_fasta(text: str) -> tuple[list[str], np.ndarray]:

@@ -87,13 +87,19 @@ def tree_log_likelihood(
     site_mask: jax.Array | None = None,
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
 ) -> jax.Array:
     """Log-likelihood of the alignment given topology + branch lengths.
 
     Args:
         branch_lengths: (n_all,) per-node branch length ABOVE each node (the
             root entry is ignored). Must be positive.
-        leaf_sequences: (n_leaves, L) int states.
+        leaf_sequences: (n_leaves, L) int states, or int32 state-set
+            bitmasks with ``sequences_are_masks=True`` (IUPAC ambiguity /
+            gaps): the tip partial is 1 at every allowed state, the standard
+            missing-data treatment — the likelihood sums over all
+            resolutions of the ambiguity.
         rates / freqs: optional GTR exchangeabilities (Q, Q) and stationary
             frequencies (Q,); both None -> JC69 with a uniform prior.
 
@@ -103,7 +109,7 @@ def tree_log_likelihood(
     """
     per_site = _per_site_log_likelihood(
         topology, branch_lengths, leaf_sequences, n_states,
-        rates=rates, freqs=freqs,
+        rates=rates, freqs=freqs, sequences_are_masks=sequences_are_masks,
     )
     if site_mask is not None:
         per_site = per_site * site_mask.astype(per_site.dtype)
@@ -145,6 +151,8 @@ def tree_log_likelihood_gamma(
     site_mask: jax.Array | None = None,
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
 ) -> jax.Array:
     """Log-likelihood under discrete-Gamma rate heterogeneity (+G).
 
@@ -160,7 +168,7 @@ def tree_log_likelihood_gamma(
         # per-site vector via the same recursion core.
         return _per_site_log_likelihood(
             topology, branch_lengths * rate, leaf_sequences, n_states,
-            rates=rates, freqs=freqs,
+            rates=rates, freqs=freqs, sequences_are_masks=sequences_are_masks,
         )
 
     all_cat = jax.vmap(per_site_ll)(cat_rates)  # (K, L)
@@ -181,6 +189,8 @@ def tree_log_likelihood_gamma_invariant(
     site_mask: jax.Array | None = None,
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
 ) -> jax.Array:
     """+G+I model: Gamma rate mixture plus an invariant-sites category.
 
@@ -195,13 +205,13 @@ def tree_log_likelihood_gamma_invariant(
     def per_site_ll(rate):
         return _per_site_log_likelihood(
             topology, branch_lengths * rate, leaf_sequences, n_states,
-            rates=rates, freqs=freqs,
+            rates=rates, freqs=freqs, sequences_are_masks=sequences_are_masks,
         )
 
     all_cat = jax.vmap(per_site_ll)(cat_rates)  # (K, L)
     inv_ll = _per_site_log_likelihood(
         topology, jnp.zeros_like(branch_lengths), leaf_sequences, n_states,
-        rates=rates, freqs=freqs,
+        rates=rates, freqs=freqs, sequences_are_masks=sequences_are_masks,
     )  # (L,): log prior of shared state, or log(~0) for variable sites
     gamma_mixed = jax.nn.logsumexp(all_cat, axis=0) - jnp.log(n_categories)
     p_inv = jnp.clip(p_invariant, 1e-9, 1.0 - 1e-9)
@@ -220,6 +230,7 @@ def _per_site_log_likelihood(
     n_states: int,
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
+    sequences_are_masks: bool = False,
 ) -> jax.Array:
     """(L,) per-site log-likelihoods (same recursion as tree_log_likelihood)."""
     n_leaves = topology.n_leaves
@@ -241,9 +252,15 @@ def _per_site_log_likelihood(
 
     partials0 = jnp.zeros((n_all, q, length))
     states = jnp.arange(q, dtype=jnp.int32)
-    leaf_onehot = (
-        leaf_sequences.astype(jnp.int32)[:, None, :] == states[None, :, None]
-    ).astype(jnp.float32)
+    if sequences_are_masks:
+        # Tip partial = 1 at every allowed state (ambiguity/gap support).
+        leaf_onehot = (
+            (leaf_sequences.astype(jnp.int32)[:, None, :] >> states[None, :, None]) & 1
+        ).astype(jnp.float32)
+    else:
+        leaf_onehot = (
+            leaf_sequences.astype(jnp.int32)[:, None, :] == states[None, :, None]
+        ).astype(jnp.float32)
     partials0 = partials0.at[:n_leaves].set(leaf_onehot)
     partials0 = partials0.at[n_leaves:].set(1.0)
     logscale0 = jnp.zeros((length,))
@@ -281,6 +298,7 @@ def optimize_branch_lengths(
     init_length: float = 0.1,
     learning_rate: float = 0.05,
     n_iterations: int = 500,
+    sequences_are_masks: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """ML branch lengths on a fixed topology by gradient ascent.
 
@@ -294,7 +312,8 @@ def optimize_branch_lengths(
 
     def loss_fn(theta):
         return -tree_log_likelihood(
-            topology, lengths(theta), leaf_sequences, n_states
+            topology, lengths(theta), leaf_sequences, n_states,
+            sequences_are_masks=sequences_are_masks,
         )
 
     theta0 = jnp.full(

@@ -50,6 +50,7 @@ def _likelihood_kernel(
     q_pad: int,
     trees: int,
     real_length: int,
+    masks: bool,
 ):
     n_all = 2 * n_leaves - 1
     n_anc = n_leaves - 1
@@ -63,7 +64,11 @@ def _likelihood_kernel(
 
     def init_leaf(i, _):
         observed = seq_ref[pl.ds(i, 1), :]
-        onehot = jnp.where(state_iota == observed, 1.0, 0.0)
+        if masks:
+            # State-set bitmask tips: partial 1 at every allowed state.
+            onehot = jnp.where((observed >> state_iota) & 1 == 1, 1.0, 0.0)
+        else:
+            onehot = jnp.where(state_iota == observed, 1.0, 0.0)
         for t in range(trees):
             part_ref[pl.ds(t * stride + i * q_pad, q_pad), :] = onehot
         return 0
@@ -119,7 +124,10 @@ def _likelihood_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_states", "site_block", "interpret", "trees_per_block"),
+    static_argnames=(
+        "n_states", "site_block", "interpret", "trees_per_block",
+        "sequences_are_masks",
+    ),
 )
 def batched_log_likelihood_pallas(
     topologies: Topology,
@@ -132,6 +140,7 @@ def batched_log_likelihood_pallas(
     site_block: int | None = None,
     interpret: bool = False,
     trees_per_block: int = 1,
+    sequences_are_masks: bool = False,
 ) -> jax.Array:
     """(B,) log-likelihoods of a candidate batch via the fused kernel.
 
@@ -141,6 +150,8 @@ def batched_log_likelihood_pallas(
         transition_matrices: optional precomputed (B, n_all, Q, Q) P-matrices
             (e.g. from a GTR eigensystem); overrides ``branch_lengths``.
         root_prior: (Q,) stationary distribution; uniform when None.
+        sequences_are_masks: leaves are int32 state-set bitmasks (IUPAC
+            ambiguity / gaps); tip partials are 1 at every allowed state.
     """
     batch = topologies.children.shape[0]
     n_anc = topologies.children.shape[-2]
@@ -161,7 +172,12 @@ def batched_log_likelihood_pallas(
     padded_len = _round_up(length, site_block)
     seqs = leaf_sequences.astype(jnp.int32)
     if padded_len != length:
-        seqs = jnp.pad(seqs, ((0, 0), (0, padded_len - length)))
+        # Padded sites are excluded via the in-kernel valid-site count; pad
+        # with a nonempty mask (1) in mask mode to keep partials sane.
+        seqs = jnp.pad(
+            seqs, ((0, 0), (0, padded_len - length)),
+            constant_values=1 if sequences_are_masks else 0,
+        )
     n_blocks = padded_len // site_block
 
     if transition_matrices is None:
@@ -199,6 +215,7 @@ def batched_log_likelihood_pallas(
         q_pad=q_pad,
         trees=trees,
         real_length=length,
+        masks=sequences_are_masks,
     )
     block_ll = pl.pallas_call(
         kernel,

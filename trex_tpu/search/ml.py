@@ -12,8 +12,8 @@ import jax
 import jax.numpy as jnp
 
 from trex_tpu.ops.likelihood import (
-    batched_tree_log_likelihood,
     optimize_branch_lengths,
+    tree_log_likelihood,
 )
 from trex_tpu.search.hillclimb import SearchResult, parsimony_hill_climb
 from trex_tpu.topology import Topology
@@ -29,11 +29,14 @@ def ml_hill_climb(
     neighborhood: str = "spr",
     optimize_final_lengths: bool = True,
     n_length_iterations: int = 400,
+    sequences_are_masks: bool = False,
 ) -> tuple[SearchResult, jax.Array, jax.Array]:
     """Greedy ML topology search + final branch-length optimization.
 
     Candidates are ranked by log-likelihood with every branch fixed at
     ``ranking_branch_length`` (negated so the hill climber minimizes).
+    ``sequences_are_masks``: leaves are int32 state-set bitmasks (IUPAC
+    ambiguity / gaps).
 
     Returns:
         (search_result, branch_lengths, loss_curve): the result's ``score``
@@ -58,9 +61,14 @@ def ml_hill_climb(
             # f32 DP tables are 8x the Fitch bitsets, so the sweet spot is
             # lower than the Fitch kernel's).
             return -batched_log_likelihood_pallas(
-                topos, blens, leaves, n_states, trees_per_block=2
+                topos, blens, leaves, n_states, trees_per_block=2,
+                sequences_are_masks=sequences_are_masks,
             )
-        return -batched_tree_log_likelihood(topos, blens, leaves, n_states)
+        return -jax.vmap(
+            lambda t, b: tree_log_likelihood(
+                t, b, leaves, n_states, sequences_are_masks=sequences_are_masks
+            )
+        )(topos, blens)
 
     dummy_cost = jnp.zeros((n_states, n_states))
     result = parsimony_hill_climb(
@@ -78,6 +86,7 @@ def ml_hill_climb(
             n_states,
             init_length=ranking_branch_length,
             n_iterations=n_length_iterations,
+            sequences_are_masks=sequences_are_masks,
         )
     else:
         lengths = jnp.full((n_all,), ranking_branch_length)
