@@ -90,6 +90,22 @@ def test_cli_infer_ml_with_branch_lengths(capsys, tmp_path, fasta_path):
     assert (blens[:-1] > 0).all()
 
 
+def test_cli_infer_ml_gtr_model(capsys, fasta_path):
+    from trex_tpu.cli import main
+
+    main([
+        "infer", "--fasta", fasta_path, "--criterion", "ml",
+        "--model", "gtr+g", "--neighborhood", "nni", "--rounds", "1",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["model"] == "gtr+g"
+    assert out["gamma_shape"] > 0
+    freqs = out["base_frequencies"]
+    assert abs(sum(freqs) - 1.0) < 1e-3
+    rates = out["gtr_rates"]
+    assert rates[2][3] == 1.0  # pinned exchangeability
+
+
 def test_save_newick_lengths_roundtrip():
     import numpy as np
 

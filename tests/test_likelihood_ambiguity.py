@@ -128,6 +128,47 @@ def test_pallas_interpret_matches_lax_with_masks(trees_per_block):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-5)
 
 
+def test_compressed_patterns_exact_for_likelihood():
+    # Weighted unique-pattern log-lik == full-alignment log-lik, on the lax
+    # path and the kernel (interpret mode), with ambiguity present.
+    from trex_tpu.alignment import compress_alignment
+
+    rng = np.random.default_rng(21)
+    n_leaves, length = 7, 60
+    topos = random_topologies(jax.random.key(21), n_leaves, 2)
+    # Few distinct columns -> real compression.
+    base = rng.integers(0, Q, size=(n_leaves, 6)).astype(np.int32)
+    seqs = base[:, rng.integers(0, 6, size=length)]
+    masks = (1 << seqs).astype(np.int32)
+    masks[0, :3] = 0b1111
+    patterns, weights = compress_alignment(masks)
+    assert patterns.shape[1] < length
+    blens = jnp.full((2, 2 * n_leaves - 1), 0.2)
+
+    topo0 = jax.tree.map(lambda a: a[0], topos)
+    full = tree_log_likelihood(
+        topo0, blens[0], jnp.asarray(masks), Q, sequences_are_masks=True
+    )
+    compressed = tree_log_likelihood(
+        topo0, blens[0], jnp.asarray(patterns), Q,
+        site_mask=jnp.asarray(weights, jnp.float32), sequences_are_masks=True,
+    )
+    np.testing.assert_allclose(float(compressed), float(full), rtol=1e-6)
+
+    kernel_full = batched_log_likelihood_pallas(
+        topos, blens, jnp.asarray(masks), Q,
+        interpret=True, sequences_are_masks=True,
+    )
+    kernel_compressed = batched_log_likelihood_pallas(
+        topos, blens, jnp.asarray(patterns), Q,
+        site_weights=jnp.asarray(weights, jnp.float32),
+        interpret=True, sequences_are_masks=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(kernel_compressed), np.asarray(kernel_full), rtol=2e-5
+    )
+
+
 def test_branch_length_optimization_with_masks():
     topo, seqs, _ = _case(13, n_leaves=5, length=40)
     masks = (1 << seqs).astype(np.int32)

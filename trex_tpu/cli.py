@@ -186,22 +186,44 @@ def cmd_infer(args) -> None:
     if args.criterion == "ml":
         from trex_tpu.search.ml import ml_hill_climb
 
-        # ML runs on the uncompressed alignment (per-site log-liks are
-        # weighted sums only in the lax path; keep it exact here).
+        # Compressed patterns + weights are exact for ML too: the total
+        # log-likelihood is a weighted per-site sum.
         result, lengths, losses = ml_hill_climb(
             start,
-            jnp.asarray(masks),
+            jnp.asarray(patterns),
             n_states,
             max_rounds=args.rounds,
             neighborhood=args.neighborhood,
             sequences_are_masks=True,
+            site_weights=weights,
         )
-        newick = save_newick(result.topology, names, np.asarray(lengths))
         out.update(
             neg_log_likelihood=float(losses[-1]),
             ranking_score=result.score,
-            mean_branch_length=float(np.asarray(lengths).mean()),
+            model=args.model,
         )
+        if args.model != "jc":
+            from trex_tpu.ops.likelihood import optimize_model
+
+            params, model_losses = optimize_model(
+                result.topology, jnp.asarray(patterns), n_states,
+                model=args.model, sequences_are_masks=True,
+                site_weights=weights,
+            )
+            lengths = params["branch_lengths"]
+            out["neg_log_likelihood"] = float(model_losses[-1])
+            out["gtr_rates"] = np.round(
+                np.asarray(params["rates"]), 5
+            ).tolist()
+            out["base_frequencies"] = np.round(
+                np.asarray(params["freqs"]), 5
+            ).tolist()
+            if "gamma_shape" in params:
+                out["gamma_shape"] = float(params["gamma_shape"])
+            if "p_invariant" in params:
+                out["p_invariant"] = float(params["p_invariant"])
+        newick = save_newick(result.topology, names, np.asarray(lengths))
+        out["mean_branch_length"] = float(np.asarray(lengths).mean())
     else:
         cost = CostModel.hamming(n_states).matrix
 
@@ -507,6 +529,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
     p.add_argument("--criterion", choices=("parsimony", "ml"),
                    default="parsimony")
+    p.add_argument("--model", choices=("jc", "gtr", "gtr+g", "gtr+g+i"),
+                   default="jc",
+                   help="substitution model fitted on the final ML tree")
     p.add_argument("--start",
                    choices=("stepwise", "nj", "upgma", "random", "balanced"),
                    default="stepwise")

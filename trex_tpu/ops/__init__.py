@@ -25,6 +25,7 @@ from trex_tpu.ops.likelihood import (
     tree_log_likelihood,
     batched_tree_log_likelihood,
     optimize_branch_lengths,
+    optimize_model,
     discrete_gamma_rates,
     tree_log_likelihood_gamma,
     tree_log_likelihood_gamma_invariant,
@@ -64,6 +65,7 @@ __all__ = [
     "tree_log_likelihood",
     "batched_tree_log_likelihood",
     "optimize_branch_lengths",
+    "optimize_model",
     "discrete_gamma_rates",
     "tree_log_likelihood_gamma",
     "tree_log_likelihood_gamma_invariant",

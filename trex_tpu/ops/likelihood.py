@@ -38,6 +38,24 @@ def jc69_transition(branch_length: jax.Array, n_states: int) -> jax.Array:
     return jnp.full((q, q), diff) + (same - diff) * jnp.eye(q)
 
 
+def gtr_generator(rates: jax.Array, freqs: jax.Array) -> jax.Array:
+    """Normalized reversible (GTR) rate matrix Q.
+
+    Off-diagonals ``Q_ij = s_ij * pi_j`` from symmetric exchangeabilities,
+    diagonal set so rows sum to 0, scaled to one expected substitution per
+    unit branch length. ``P(t) = expm(Q t)`` — the AD-robust transition path
+    (``jnp.linalg.eigh``'s gradient blows up when eigenvalues collide, which
+    free rate/frequency optimization routinely drives them to; ``expm``'s
+    does not).
+    """
+    sym = (rates + rates.T) / 2.0
+    gen = sym * freqs[None, :]
+    gen = gen - jnp.diag(jnp.diag(gen))
+    gen = gen - jnp.diag(jnp.sum(gen, axis=1))
+    scale = -jnp.sum(freqs * jnp.diag(gen))
+    return gen / scale
+
+
 def gtr_eigensystem(
     rates: jax.Array, freqs: jax.Array
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -194,11 +212,14 @@ def tree_log_likelihood_gamma_invariant(
 ) -> jax.Array:
     """+G+I model: Gamma rate mixture plus an invariant-sites category.
 
-    The rate-0 category's per-site likelihood is the prior mass of the shared
-    state for constant sites and 0 otherwise (a zero branch length makes
-    every transition matrix the identity, so the pruning recursion computes
-    exactly that — no special-casing needed). Differentiable in branch
-    lengths, ``gamma_shape``, and ``p_invariant``.
+    The rate-0 category's per-site likelihood has the closed form
+    ``sum_s prior[s] * [every leaf allows state s]`` — the prior mass of the
+    shared state for constant sites, (floored) 0 otherwise. It is computed
+    directly rather than by running the pruning with zero branch lengths:
+    zero lengths make entire partial columns exactly 0, and the per-node
+    rescaling's ``log(scale)`` backward then multiplies a unit cotangent by
+    1/floor = 1e30, overflowing f32 gradients to NaN. Differentiable in
+    branch lengths, ``gamma_shape``, ``p_invariant``, and the model.
     """
     cat_rates = discrete_gamma_rates(gamma_shape, n_categories)
 
@@ -209,10 +230,17 @@ def tree_log_likelihood_gamma_invariant(
         )
 
     all_cat = jax.vmap(per_site_ll)(cat_rates)  # (K, L)
-    inv_ll = _per_site_log_likelihood(
-        topology, jnp.zeros_like(branch_lengths), leaf_sequences, n_states,
-        rates=rates, freqs=freqs, sequences_are_masks=sequences_are_masks,
-    )  # (L,): log prior of shared state, or log(~0) for variable sites
+    q = n_states
+    prior = freqs if freqs is not None else jnp.full((q,), 1.0 / q)
+    states = jnp.arange(q, dtype=jnp.int32)
+    leaves = leaf_sequences.astype(jnp.int32)
+    if sequences_are_masks:
+        allows = ((leaves[:, None, :] >> states[None, :, None]) & 1) == 1
+    else:
+        allows = leaves[:, None, :] == states[None, :, None]
+    shared = jnp.all(allows, axis=0)  # (Q, L): state s possible at EVERY leaf
+    inv_lik = jnp.sum(prior[:, None] * shared.astype(prior.dtype), axis=0)
+    inv_ll = jnp.log(jnp.maximum(inv_lik, 1e-30))  # (L,)
     gamma_mixed = jax.nn.logsumexp(all_cat, axis=0) - jnp.log(n_categories)
     p_inv = jnp.clip(p_invariant, 1e-9, 1.0 - 1e-9)
     mixed = jnp.logaddexp(
@@ -243,8 +271,10 @@ def _per_site_log_likelihood(
             freqs = jnp.full((q,), 1.0 / q)
         if rates is None:
             rates = jnp.ones((q, q))
-        eigvals, left, right = gtr_eigensystem(rates, freqs)
-        transition = lambda t: gtr_transition(t, eigvals, left, right)
+        gen = gtr_generator(rates, freqs)
+        # expm, not the eigensystem: eigh's gradient is undefined at
+        # degenerate spectra, which rate/frequency optimization hits.
+        transition = lambda t: jax.scipy.linalg.expm(gen * t)
         root_prior = freqs
     else:
         transition = lambda t: jc69_transition(t, q)
@@ -287,7 +317,11 @@ def _per_site_log_likelihood(
         up, (partials0, logscale0), (offsets, topology.children)
     )
     site_lik = jnp.sum(root_prior[:, None] * partials[-1], axis=0)
-    return jnp.log(site_lik) + logscale
+    # Floor before the log (same 1e-30 as the fused kernel): a zero-probability
+    # site (e.g. a variable site in the +I model's rate-0 category) must yield
+    # a very negative but FINITE log-lik, and a zero gradient rather than the
+    # 0/0 = NaN that d(log 0)/d(freqs) produces.
+    return jnp.log(jnp.maximum(site_lik, 1e-30)) + logscale
 
 
 def optimize_branch_lengths(
@@ -299,6 +333,7 @@ def optimize_branch_lengths(
     learning_rate: float = 0.05,
     n_iterations: int = 500,
     sequences_are_masks: bool = False,
+    site_weights: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """ML branch lengths on a fixed topology by gradient ascent.
 
@@ -313,6 +348,7 @@ def optimize_branch_lengths(
     def loss_fn(theta):
         return -tree_log_likelihood(
             topology, lengths(theta), leaf_sequences, n_states,
+            site_mask=site_weights,
             sequences_are_masks=sequences_are_masks,
         )
 
@@ -339,3 +375,145 @@ def optimize_branch_lengths(
 
     theta_f, losses = run(theta0)
     return lengths(theta_f), losses
+
+
+def optimize_model(
+    topology: Topology,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    *,
+    model: str = "gtr+g",
+    n_categories: int = 4,
+    init_length: float = 0.1,
+    learning_rate: float = 0.05,
+    n_iterations: int = 800,
+    sequences_are_masks: bool = False,
+    site_weights: jax.Array | None = None,
+) -> tuple[dict[str, jax.Array], jax.Array]:
+    """Joint ML estimation of branch lengths + substitution-model parameters.
+
+    Everything is fit by gradient ascent on the log-likelihood in one jitted
+    ``lax.scan`` — the same recipe as ``optimize_branch_lengths`` but over the
+    full parameter pytree:
+
+    - branch lengths: softplus-positive, one per node;
+    - GTR exchangeabilities: softplus-positive distinct pairs, the last pair
+      pinned to 1 for identifiability (rate-matrix scale lives in the branch
+      lengths);
+    - stationary frequencies: softmax over Q logits;
+    - Gamma shape (``+g`` models): softplus-positive;
+    - invariant fraction (``+i`` models): sigmoid in (0, 1).
+
+    Args:
+        model: "jc", "gtr", "gtr+g", or "gtr+g+i".
+
+    Returns:
+        (params, losses): ``params`` maps "branch_lengths" (n_all,), and for
+        GTR models "rates" (Q, Q, symmetric, last pair 1.0) and "freqs"
+        (Q,); plus "gamma_shape" / "p_invariant" when fit. ``losses`` is the
+        negative-log-likelihood curve.
+
+    Note: GTR transition matrices go through ``jnp.linalg.eigh`` of the
+    symmetrized generator; its gradient is undefined at exactly degenerate
+    spectra (e.g. perfectly uniform JC-like rates), so GTR initialization
+    perturbs the rates slightly off uniform.
+    """
+    model = model.lower()
+    if model not in ("jc", "gtr", "gtr+g", "gtr+g+i"):
+        raise ValueError(f"unknown model {model!r}")
+    q = n_states
+    n_all = topology.n_all
+    use_gtr = model.startswith("gtr")
+    use_gamma = "+g" in model
+    use_inv = "+i" in model
+
+    pair_i, pair_j = jnp.triu_indices(q, k=1)
+    n_pairs = pair_i.shape[0]
+
+    def build(params):
+        lengths = jax.nn.softplus(params["theta_len"])
+        out = {"branch_lengths": lengths}
+        rates = freqs = None
+        if use_gtr:
+            pair_rates = jax.nn.softplus(params["theta_rates"])
+            # Pin the last exchangeability to 1 (identifiability).
+            pair_rates = jnp.concatenate(
+                [pair_rates, jnp.ones((1,), pair_rates.dtype)]
+            )
+            rates = jnp.zeros((q, q))
+            rates = rates.at[pair_i, pair_j].set(pair_rates)
+            rates = rates + rates.T
+            freqs = jax.nn.softmax(params["logit_freqs"])
+            out["rates"] = rates
+            out["freqs"] = freqs
+        if use_gamma:
+            out["gamma_shape"] = jax.nn.softplus(params["theta_shape"])
+        if use_inv:
+            out["p_invariant"] = jax.nn.sigmoid(params["logit_inv"])
+        return out, rates, freqs
+
+    def loss_fn(params):
+        built, rates, freqs = build(params)
+        lengths = built["branch_lengths"]
+        common = dict(
+            site_mask=site_weights,
+            rates=rates,
+            freqs=freqs,
+            sequences_are_masks=sequences_are_masks,
+        )
+        if use_inv:
+            ll = tree_log_likelihood_gamma_invariant(
+                topology, lengths, leaf_sequences, n_states,
+                gamma_shape=built["gamma_shape"],
+                p_invariant=built["p_invariant"],
+                n_categories=n_categories, **common,
+            )
+        elif use_gamma:
+            ll = tree_log_likelihood_gamma(
+                topology, lengths, leaf_sequences, n_states,
+                gamma_shape=built["gamma_shape"],
+                n_categories=n_categories, **common,
+            )
+        else:
+            ll = tree_log_likelihood(
+                topology, lengths, leaf_sequences, n_states, **common
+            )
+        return -ll
+
+    params0 = {
+        "theta_len": jnp.full(
+            (n_all,), jnp.log(jnp.expm1(jnp.asarray(init_length)))
+        )
+    }
+    if use_gtr:
+        # Slightly off-uniform so the eigh gradient is defined at step 0.
+        params0["theta_rates"] = 0.01 * jnp.arange(
+            1, n_pairs, dtype=jnp.float32
+        )
+        params0["logit_freqs"] = jnp.zeros((q,))
+    if use_gamma:
+        params0["theta_shape"] = jnp.asarray(jnp.log(jnp.expm1(1.0)))
+    if use_inv:
+        params0["logit_inv"] = jnp.asarray(-2.0)
+
+    optimizer = optax.adam(learning_rate)
+
+    @jax.jit
+    def run(params):
+        opt_state = optimizer.init(params)
+
+        def step(carry, _):
+            p, st = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, st = optimizer.update(grads, st, p)
+            p = optax.apply_updates(p, updates)
+            return (p, st), loss
+
+        (params_f, _), losses = jax.lax.scan(
+            step, (params, opt_state), None, length=n_iterations
+        )
+        return params_f, losses
+
+    params_f, losses = run(params0)
+    built, _, _ = build(params_f)
+    return built, losses

@@ -41,6 +41,7 @@ def _likelihood_kernel(
     prior_ref,  # SMEM (1, Q_pad) f32 — root prior (0 at padded states)
     seq_ref,  # VMEM (n_leaves, L_BLK) int32
     pmats_ref,  # VMEM (T, n_all * Q_pad, Q_pad) f32 — per-node P, row-padded 0
+    weight_ref,  # VMEM (1, 8, L_BLK) f32 — row 0 = per-site weights (0 at pads)
     out_ref,  # VMEM (1, 1, T, 8, 128) f32; per-block log-lik sums at [...,t,0,0]
     part_ref,  # VMEM scratch (T * n_all * Q_pad, L_BLK) f32 — partials
     ls_ref,  # VMEM scratch (T * 8, L_BLK) f32 — rows t*8 accumulate log-scales
@@ -49,16 +50,12 @@ def _likelihood_kernel(
     n_states: int,
     q_pad: int,
     trees: int,
-    real_length: int,
     masks: bool,
 ):
     n_all = 2 * n_leaves - 1
     n_anc = n_leaves - 1
     l_blk = seq_ref.shape[-1]
     stride = n_all * q_pad
-    # Valid (unpadded) sites in this block, from static shapes + block index.
-    block_idx = pl.program_id(1)
-    valid = jnp.clip(real_length - block_idx * l_blk, 0, l_blk)
 
     state_iota = jax.lax.broadcasted_iota(jnp.int32, (q_pad, l_blk), 0)
 
@@ -105,7 +102,7 @@ def _likelihood_kernel(
 
     jax.lax.fori_loop(0, n_anc, visit, 0)
 
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, l_blk), 1)
+    weights_row = weight_ref[0][0:1, :]  # (1, L_BLK); 0 at padded sites
     for t in range(trees):
         root = part_ref[
             pl.ds(t * stride + (n_all - 1) * q_pad, q_pad), :
@@ -116,9 +113,8 @@ def _likelihood_kernel(
         per_site = (
             jnp.log(jnp.maximum(site_lik, 1e-30)) + ls_ref[pl.ds(t * 8, 1), :]
         )
-        per_site = jnp.where(col_iota < valid, per_site, 0.0)
         out_ref[0, 0, t, :, :] = jnp.full(
-            (8, 128), jnp.sum(per_site), dtype=jnp.float32
+            (8, 128), jnp.sum(per_site * weights_row), dtype=jnp.float32
         )
 
 
@@ -137,6 +133,7 @@ def batched_log_likelihood_pallas(
     *,
     transition_matrices: jax.Array | None = None,
     root_prior: jax.Array | None = None,
+    site_weights: jax.Array | None = None,
     site_block: int | None = None,
     interpret: bool = False,
     trees_per_block: int = 1,
@@ -150,6 +147,8 @@ def batched_log_likelihood_pallas(
         transition_matrices: optional precomputed (B, n_all, Q, Q) P-matrices
             (e.g. from a GTR eigensystem); overrides ``branch_lengths``.
         root_prior: (Q,) stationary distribution; uniform when None.
+        site_weights: optional (L,) multiplicities for the per-site log-liks
+            (compressed site patterns / bootstrap); padded sites weigh 0.
         sequences_are_masks: leaves are int32 state-set bitmasks (IUPAC
             ambiguity / gaps); tip partials are 1 at every allowed state.
     """
@@ -172,13 +171,23 @@ def batched_log_likelihood_pallas(
     padded_len = _round_up(length, site_block)
     seqs = leaf_sequences.astype(jnp.int32)
     if padded_len != length:
-        # Padded sites are excluded via the in-kernel valid-site count; pad
-        # with a nonempty mask (1) in mask mode to keep partials sane.
+        # Padded sites carry weight 0; pad with a nonempty mask (1) in mask
+        # mode to keep partials sane.
         seqs = jnp.pad(
             seqs, ((0, 0), (0, padded_len - length)),
             constant_values=1 if sequences_are_masks else 0,
         )
     n_blocks = padded_len // site_block
+    if site_weights is None:
+        weights = jnp.ones((length,), jnp.float32)
+    else:
+        weights = site_weights.astype(jnp.float32)
+    weights = jnp.pad(weights, (0, padded_len - length))
+    # Row 0 carries the weights; rows 1..7 pad the f32 tile.
+    weights_tiled = jnp.zeros((n_blocks, 8, site_block), jnp.float32)
+    weights_tiled = weights_tiled.at[:, 0, :].set(
+        weights.reshape(n_blocks, site_block)
+    )
 
     if transition_matrices is None:
         transition_matrices = jax.vmap(
@@ -214,7 +223,6 @@ def batched_log_likelihood_pallas(
         n_states=q,
         q_pad=q_pad,
         trees=trees,
-        real_length=length,
         masks=sequences_are_masks,
     )
     block_ll = pl.pallas_call(
@@ -231,6 +239,7 @@ def batched_log_likelihood_pallas(
             pl.BlockSpec(
                 (trees, n_all * q_pad, q_pad), lambda b, l: (b, 0, 0)
             ),
+            pl.BlockSpec((1, 8, site_block), lambda b, l: (l, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, trees, 8, 128), lambda b, l: (b, l, 0, 0, 0)
@@ -243,6 +252,6 @@ def batched_log_likelihood_pallas(
             pltpu.VMEM((trees * 8, site_block), jnp.float32),
         ],
         interpret=interpret,
-    )(children, prior, seqs, pmats)
+    )(children, prior, seqs, pmats, weights_tiled)
     scores = jnp.sum(block_ll[:, :, :, 0, 0], axis=1)  # (B//T, T)
     return scores.reshape(padded_batch)[:batch]

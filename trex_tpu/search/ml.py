@@ -30,13 +30,16 @@ def ml_hill_climb(
     optimize_final_lengths: bool = True,
     n_length_iterations: int = 400,
     sequences_are_masks: bool = False,
+    site_weights: jax.Array | None = None,
 ) -> tuple[SearchResult, jax.Array, jax.Array]:
     """Greedy ML topology search + final branch-length optimization.
 
     Candidates are ranked by log-likelihood with every branch fixed at
     ``ranking_branch_length`` (negated so the hill climber minimizes).
     ``sequences_are_masks``: leaves are int32 state-set bitmasks (IUPAC
-    ambiguity / gaps).
+    ambiguity / gaps). ``site_weights``: per-site log-lik multiplicities
+    (compressed site patterns / bootstrap) — exact, since the total
+    log-likelihood is a weighted site-sum.
 
     Returns:
         (search_result, branch_lengths, loss_curve): the result's ``score``
@@ -63,10 +66,12 @@ def ml_hill_climb(
             return -batched_log_likelihood_pallas(
                 topos, blens, leaves, n_states, trees_per_block=2,
                 sequences_are_masks=sequences_are_masks,
+                site_weights=site_weights,
             )
         return -jax.vmap(
             lambda t, b: tree_log_likelihood(
-                t, b, leaves, n_states, sequences_are_masks=sequences_are_masks
+                t, b, leaves, n_states, site_mask=site_weights,
+                sequences_are_masks=sequences_are_masks,
             )
         )(topos, blens)
 
@@ -87,6 +92,7 @@ def ml_hill_climb(
             init_length=ranking_branch_length,
             n_iterations=n_length_iterations,
             sequences_are_masks=sequences_are_masks,
+            site_weights=site_weights,
         )
     else:
         lengths = jnp.full((n_all,), ranking_branch_length)
