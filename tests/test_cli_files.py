@@ -90,6 +90,20 @@ def test_cli_infer_ml_with_branch_lengths(capsys, tmp_path, fasta_path):
     assert (blens[:-1] > 0).all()
 
 
+def test_cli_score_ml_asr(capsys, tmp_path, fasta_path):
+    from trex_tpu.cli import main
+
+    anc = str(tmp_path / "ml_anc.fasta")
+    main(["score", "--fasta", fasta_path, "--criterion", "ml",
+          "--output-fasta", anc])
+    out = json.loads(capsys.readouterr().out)
+    assert out["log_likelihood"] < 0
+    assert 0 < out["mean_ancestor_posterior"] <= 1
+    assert out["mean_branch_length"] > 0
+    text = open(anc).read()
+    assert text.count(">") == 11  # 6 leaves + 5 ML ancestors
+
+
 def test_cli_infer_ml_gtr_model(capsys, fasta_path):
     from trex_tpu.cli import main
 

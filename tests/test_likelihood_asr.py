@@ -1,0 +1,153 @@
+"""ML ancestral reconstruction (inside-outside) + analytic branch gradients.
+
+Oracles: brute-force enumeration of all ancestor state assignments for the
+posteriors; ``jax.grad`` of the pruning log-likelihood for the gradients.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trex_tpu.ops.likelihood import (
+    gtr_generator,
+    jc69_transition,
+    tree_log_likelihood,
+)
+from trex_tpu.ops.likelihood_asr import (
+    branch_length_gradients,
+    marginal_ancestral_posteriors,
+)
+from trex_tpu.topology import Topology, random_topologies
+
+Q = 4
+
+
+def _case(seed: int, n_leaves: int = 4, length: int = 6):
+    rng = np.random.default_rng(seed)
+    topo = jax.tree.map(
+        lambda a: a[0], random_topologies(jax.random.key(seed), n_leaves, 1)
+    )
+    seqs = rng.integers(0, Q, size=(n_leaves, length)).astype(np.int32)
+    blens = rng.uniform(0.05, 0.6, size=topo.n_all)
+    return topo, seqs, jnp.asarray(blens)
+
+
+def _brute_posteriors(topo: Topology, seqs, blens, rates=None, freqs=None):
+    """Enumerate every ancestor labeling; exact marginals per site."""
+    n_leaves = topo.n_leaves
+    n_all = topo.n_all
+    n_anc = n_all - n_leaves
+    parents = np.asarray(topo.parents)
+    if rates is None:
+        pmats = np.stack([np.asarray(jc69_transition(t, Q)) for t in blens])
+        prior = np.full(Q, 0.25)
+    else:
+        gen = np.asarray(gtr_generator(jnp.asarray(rates), jnp.asarray(freqs)))
+        import scipy.linalg as sla
+
+        pmats = np.stack([sla.expm(gen * float(t)) for t in blens])
+        prior = np.asarray(freqs)
+
+    length = seqs.shape[1]
+    post = np.zeros((n_all, Q, length))
+    for site in range(length):
+        for combo in itertools.product(range(Q), repeat=n_anc):
+            states = np.concatenate([seqs[:, site], np.asarray(combo)])
+            p = prior[states[-1]]
+            for child in range(n_all - 1):
+                p *= pmats[child][states[parents[child]], states[child]]
+            for node in range(n_all):
+                post[node, states[node], site] += p
+        post[:, :, site] /= post[:, :, site].sum(axis=1, keepdims=True)
+    return post
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_posteriors_match_enumeration_jc(seed):
+    topo, seqs, blens = _case(seed)
+    posts, maps = marginal_ancestral_posteriors(
+        topo, blens, jnp.asarray(seqs), Q
+    )
+    oracle = _brute_posteriors(topo, seqs, np.asarray(blens))
+    np.testing.assert_allclose(np.asarray(posts), oracle, atol=2e-5)
+    # Leaves: observed states get posterior 1.
+    np.testing.assert_array_equal(np.asarray(maps)[: seqs.shape[0]], seqs)
+
+
+def test_posteriors_match_enumeration_gtr():
+    topo, seqs, blens = _case(3)
+    rng = np.random.default_rng(3)
+    rates = rng.uniform(0.5, 2.0, size=(Q, Q))
+    rates = (rates + rates.T) / 2
+    freqs = rng.dirichlet(np.ones(Q) * 5)
+    posts, _ = marginal_ancestral_posteriors(
+        topo, blens, jnp.asarray(seqs), Q,
+        rates=jnp.asarray(rates), freqs=jnp.asarray(freqs),
+    )
+    oracle = _brute_posteriors(topo, seqs, np.asarray(blens), rates, freqs)
+    np.testing.assert_allclose(np.asarray(posts), oracle, atol=2e-5)
+
+
+def test_posteriors_with_ambiguous_leaf():
+    topo, seqs, blens = _case(5)
+    masks = (1 << seqs).astype(np.int32)
+    masks[1, :] = 0b0110  # leaf 1: C or G everywhere
+    posts, maps = marginal_ancestral_posteriors(
+        topo, blens, jnp.asarray(masks), Q, sequences_are_masks=True
+    )
+    posts = np.asarray(posts)
+    # Disallowed states get zero posterior at the ambiguous leaf; the
+    # posterior over {C, G} is data-informed (sums to 1).
+    assert np.allclose(posts[1, 0], 0) and np.allclose(posts[1, 3], 0)
+    np.testing.assert_allclose(posts[1].sum(axis=0), 1.0, atol=1e-5)
+    assert set(np.asarray(maps)[1].tolist()) <= {1, 2}
+
+
+@pytest.mark.parametrize("use_gtr", [False, True])
+def test_analytic_gradients_match_autodiff(use_gtr):
+    topo, seqs, blens = _case(7, n_leaves=8, length=20)
+    rng = np.random.default_rng(7)
+    if use_gtr:
+        rates = rng.uniform(0.5, 2.0, size=(Q, Q))
+        rates = jnp.asarray((rates + rates.T) / 2)
+        freqs = jnp.asarray(rng.dirichlet(np.ones(Q) * 5))
+    else:
+        rates = freqs = None
+    weights = jnp.asarray(rng.integers(1, 3, size=seqs.shape[1]), jnp.float32)
+
+    analytic = branch_length_gradients(
+        topo, blens, jnp.asarray(seqs), Q,
+        rates=rates, freqs=freqs, site_weights=weights,
+    )
+    autodiff = jax.grad(
+        lambda b: tree_log_likelihood(
+            topo, b, jnp.asarray(seqs), Q,
+            site_mask=weights, rates=rates, freqs=freqs,
+        )
+    )(blens)
+    np.testing.assert_allclose(
+        np.asarray(analytic)[:-1], np.asarray(autodiff)[:-1],
+        rtol=2e-3, atol=2e-4,
+    )
+    assert float(analytic[-1]) == 0.0
+
+
+def test_analytic_gradients_with_masks():
+    topo, seqs, blens = _case(9, n_leaves=6, length=12)
+    masks = (1 << seqs).astype(np.int32)
+    masks[0, :4] = 0b1111
+    analytic = branch_length_gradients(
+        topo, blens, jnp.asarray(masks), Q, sequences_are_masks=True
+    )
+    autodiff = jax.grad(
+        lambda b: tree_log_likelihood(
+            topo, b, jnp.asarray(masks), Q, sequences_are_masks=True
+        )
+    )(blens)
+    np.testing.assert_allclose(
+        np.asarray(analytic)[:-1], np.asarray(autodiff)[:-1],
+        rtol=2e-3, atol=2e-4,
+    )

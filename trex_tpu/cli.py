@@ -111,16 +111,44 @@ def cmd_score(args) -> None:
             topo, _ = stepwise_addition(
                 masks, n_states, sequences_are_masks=True, seed=args.seed
             )
-        recon, score = fitch_reconstruct(
-            topo, jnp.asarray(masks), n_states=n_states,
-            sequences_are_masks=True,
-        )
         out = {
-            "parsimony_score": float(score),
             "n_taxa": len(names),
             "n_sites": int(masks.shape[1]),
             "tree_source": args.tree or "stepwise addition",
         }
+        if args.criterion == "ml":
+            from trex_tpu.ops.likelihood import (
+                optimize_branch_lengths,
+                tree_log_likelihood,
+            )
+            from trex_tpu.ops.likelihood_asr import (
+                marginal_ancestral_posteriors,
+            )
+
+            lengths, _ = optimize_branch_lengths(
+                topo, jnp.asarray(masks), n_states,
+                sequences_are_masks=True,
+            )
+            posteriors, recon = marginal_ancestral_posteriors(
+                topo, lengths, jnp.asarray(masks), n_states,
+                sequences_are_masks=True,
+            )
+            ll = tree_log_likelihood(
+                topo, lengths, jnp.asarray(masks), n_states,
+                sequences_are_masks=True,
+            )
+            anc_conf = jnp.max(posteriors, axis=1)[len(names):]
+            out.update(
+                log_likelihood=float(ll),
+                mean_branch_length=float(jnp.mean(lengths[:-1])),
+                mean_ancestor_posterior=float(jnp.mean(anc_conf)),
+            )
+        else:
+            recon, score = fitch_reconstruct(
+                topo, jnp.asarray(masks), n_states=n_states,
+                sequences_are_masks=True,
+            )
+            out["parsimony_score"] = float(score)
         if args.output_fasta:
             from trex_tpu.io import DNA, PROTEIN, write_fasta
 
@@ -520,6 +548,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tree", type=str, default=None,
                    help="newick tree to score (default: stepwise addition)")
     p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
+    p.add_argument("--criterion", choices=("parsimony", "ml"),
+                   default="parsimony",
+                   help="ml = ML branch lengths + marginal posterior ASR")
     p.add_argument("--output-fasta", type=str, default=None,
                    help="write leaves + reconstructed ancestors here")
     p.set_defaults(fn=cmd_score)

@@ -30,6 +30,10 @@ from trex_tpu.ops.likelihood import (
     tree_log_likelihood_gamma,
     tree_log_likelihood_gamma_invariant,
 )
+from trex_tpu.ops.likelihood_asr import (
+    branch_length_gradients,
+    marginal_ancestral_posteriors,
+)
 from trex_tpu.ops.soft_dp import (
     soft_sankoff_score,
     soft_sankoff_score_from_sequences,
@@ -69,6 +73,8 @@ __all__ = [
     "discrete_gamma_rates",
     "tree_log_likelihood_gamma",
     "tree_log_likelihood_gamma_invariant",
+    "marginal_ancestral_posteriors",
+    "branch_length_gradients",
     "soft_sankoff_score",
     "soft_sankoff_score_from_sequences",
     "batched_soft_sankoff_score",

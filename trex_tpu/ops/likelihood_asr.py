@@ -1,0 +1,243 @@
+"""Marginal ancestral state reconstruction under the likelihood model.
+
+The parsimony side reconstructs ancestors by backtracking
+(``ops.sankoff.sankoff_reconstruct``, ``ops.fitch.fitch_reconstruct``); this
+module is the ML counterpart: per-node **marginal posterior** state
+probabilities via the standard inside-outside (up-down) pruning passes.
+
+For node v with parent p and sibling s:
+
+    outside(v) = P_v^T @ ( outside(p) * (P_s @ inside(s)) )
+    posterior(v) ∝ outside(v) * inside(v)
+
+with ``outside(root) = prior``. Both passes are ``lax.scan``s over the
+ancestor index order (upward forward, downward reverse — children always
+have smaller indices than their parent, the engine's topological-numbering
+invariant), laid out (nodes, states, sites) so sites ride the TPU lanes.
+Per-site normalization of the posterior cancels all underflow scalings, so
+no log-scale bookkeeping is needed in the downward pass beyond per-node
+renormalization.
+
+The same outside pass yields analytic branch-length gradients
+(d logL / d t_v = Σ_sites outside(v)ᵀ (dP/dt) inside(v) / site_lik); see
+``branch_length_gradients``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from trex_tpu.ops.likelihood import gtr_generator, jc69_transition
+from trex_tpu.topology import Topology
+
+
+def _transitions(branch_lengths, n_states, rates, freqs):
+    """(n_all, Q, Q) per-node transition matrices + (Q,) root prior + generator."""
+    q = n_states
+    if rates is not None or freqs is not None:
+        if freqs is None:
+            freqs = jnp.full((q,), 1.0 / q)
+        if rates is None:
+            rates = jnp.ones((q, q))
+        gen = gtr_generator(rates, freqs)
+        pmats = jax.vmap(lambda t: jax.scipy.linalg.expm(gen * t))(
+            branch_lengths
+        )
+        prior = freqs
+    else:
+        # JC69 generator: off-diagonal 1/(Q-1), diagonal -1 (normalized).
+        gen = (jnp.ones((q, q)) - q * jnp.eye(q)) / (q - 1.0)
+        pmats = jax.vmap(lambda t: jc69_transition(t, q))(branch_lengths)
+        prior = jnp.full((q,), 1.0 / q)
+    return pmats, prior, gen
+
+
+def _inside_partials(topology, pmats, leaf_sequences, n_states, masks):
+    """Upward (inside) partials, per-node renormalized; (n_all, Q, L)."""
+    n_leaves = topology.n_leaves
+    n_all = topology.n_all
+    length = leaf_sequences.shape[-1]
+    q = n_states
+
+    states = jnp.arange(q, dtype=jnp.int32)
+    if masks:
+        tip = (
+            (leaf_sequences.astype(jnp.int32)[:, None, :] >> states[None, :, None]) & 1
+        ).astype(jnp.float32)
+    else:
+        tip = (
+            leaf_sequences.astype(jnp.int32)[:, None, :] == states[None, :, None]
+        ).astype(jnp.float32)
+    inside0 = jnp.zeros((n_all, q, length))
+    inside0 = inside0.at[:n_leaves].set(tip)
+
+    def up(inside, inputs):
+        anc_offset, child_pair = inputs
+        child_inside = inside[child_pair]  # (2, Q, L)
+        child_mats = pmats[child_pair]  # (2, Q, Q)
+        messages = jnp.einsum(
+            "cij,cjl->cil", child_mats, child_inside,
+            preferred_element_type=jnp.float32,
+        )
+        combined = messages[0] * messages[1]
+        # Renormalize per site; posteriors normalize per site anyway, so the
+        # dropped constant never matters downstream.
+        combined = combined / jnp.maximum(
+            jnp.max(combined, axis=0, keepdims=True), 1e-30
+        )
+        inside = jax.lax.dynamic_update_slice(
+            inside, combined[None], (n_leaves + anc_offset, 0, 0)
+        )
+        return inside, None
+
+    offsets = jnp.arange(topology.n_ancestors, dtype=jnp.int32)
+    inside, _ = jax.lax.scan(up, inside0, (offsets, topology.children))
+    return inside
+
+
+def _outside_partials(topology, pmats, inside, prior):
+    """Downward pass. Returns (outside, upstream), each (n_all, Q, L).
+
+    Conventions (per non-root node v with parent p, sibling s):
+
+    - ``upstream(v)`` lives at the PARENT's states: everything outside
+      subtree(v), EXCLUDING v's own branch —
+      ``outside(p) * (P_s @ inside(s))``. ``site_lik ∝ upstream(v)ᵀ P_v
+      inside(v)`` (the branch-gradient denominator).
+    - ``outside(v) = P_vᵀ @ upstream(v)`` lives at v's own states;
+      ``posterior(v) ∝ outside(v) * inside(v)``.
+
+    Both are per-site renormalized; the shared scalar cancels in posteriors
+    and in the gradient ratio. The root's outside is the prior and its
+    upstream row is zero (no branch above).
+    """
+    n_leaves = topology.n_leaves
+    n_all = topology.n_all
+    q, length = inside.shape[-2:]
+
+    outside0 = jnp.zeros((n_all, q, length))
+    outside0 = outside0.at[-1].set(
+        jnp.broadcast_to(prior[:, None], (q, length))
+    )
+    upstream0 = jnp.zeros((n_all, q, length))
+
+    def down(carry, inputs):
+        outside, upstream = carry
+        anc_offset, child_pair = inputs
+        parent_outside = outside[n_leaves + anc_offset]  # (Q, L)
+        child_mats = pmats[child_pair]  # (2, Q, Q)
+        # Sibling message of each child = P_sib @ inside(sib), swapped.
+        sib_msgs = jnp.einsum(
+            "cij,cjl->cil", child_mats, inside[child_pair],
+            preferred_element_type=jnp.float32,
+        )[::-1]
+        up = parent_outside[None] * sib_msgs  # (2, Q, L) at parent states
+        up = up / jnp.maximum(jnp.max(up, axis=1, keepdims=True), 1e-30)
+        child_outside = jnp.einsum(
+            "cji,cjl->cil", child_mats, up,
+            preferred_element_type=jnp.float32,
+        )
+        outside = outside.at[child_pair[0]].set(child_outside[0])
+        outside = outside.at[child_pair[1]].set(child_outside[1])
+        upstream = upstream.at[child_pair[0]].set(up[0])
+        upstream = upstream.at[child_pair[1]].set(up[1])
+        return (outside, upstream), None
+
+    offsets = jnp.arange(topology.n_ancestors, dtype=jnp.int32)
+    (outside, upstream), _ = jax.lax.scan(
+        down, (outside0, upstream0), (offsets, topology.children),
+        reverse=True,
+    )
+    return outside, upstream
+
+
+@partial(jax.jit, static_argnames=("n_states", "sequences_are_masks"))
+def marginal_ancestral_posteriors(
+    topology: Topology,
+    branch_lengths: jax.Array,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-node marginal posterior state probabilities + MAP states.
+
+    Args:
+        branch_lengths: (n_all,) length above each node (root ignored).
+        rates/freqs: optional GTR model (JC69 + uniform prior when None).
+
+    Returns:
+        posteriors: (n_all, Q, L) — P(state at node | data, tree); leaf rows
+            are the (normalized) tip distributions, so ambiguous leaves get
+            data-informed posteriors too.
+        map_states: (n_all, L) int32 argmax states.
+    """
+    pmats, prior, _ = _transitions(branch_lengths, n_states, rates, freqs)
+    inside = _inside_partials(
+        topology, pmats, leaf_sequences, n_states, sequences_are_masks
+    )
+    outside, _ = _outside_partials(topology, pmats, inside, prior)
+    joint = inside * outside  # (n_all, Q, L), unnormalized
+    posteriors = joint / jnp.maximum(
+        jnp.sum(joint, axis=1, keepdims=True), 1e-30
+    )
+    map_states = jnp.argmax(posteriors, axis=1).astype(jnp.int32)
+    return posteriors, map_states
+
+
+@partial(jax.jit, static_argnames=("n_states", "sequences_are_masks"))
+def branch_length_gradients(
+    topology: Topology,
+    branch_lengths: jax.Array,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    site_weights: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
+) -> jax.Array:
+    """Analytic d logL / d branch_lengths, all branches in two passes.
+
+    The inside-outside identity (cf. BEAGLE-style linear-time gradients;
+    autodiff through the pruning scan computes the same thing with a stored
+    transposed scan — this form is the explicit two-pass version), with
+    ``upstream(v)`` the parent-side outside EXCLUDING v's own branch:
+
+        d logL / d t_v = Σ_sites w_s ·
+            upstream(v)ᵀ (Q P(t_v)) inside(v) / (upstream(v)ᵀ P(t_v) inside(v))
+
+    Per-node rescalings of inside/upstream cancel in the ratio. Verified
+    against ``jax.grad`` of ``tree_log_likelihood`` in
+    ``tests/test_likelihood_asr.py``.
+
+    Returns (n_all,) gradients; the root entry is 0 (no branch above).
+    """
+    pmats, prior, gen = _transitions(branch_lengths, n_states, rates, freqs)
+    inside = _inside_partials(
+        topology, pmats, leaf_sequences, n_states, sequences_are_masks
+    )
+    _, upstream = _outside_partials(topology, pmats, inside, prior)
+
+    # For every non-root node v: numerator uses d P/d t = Q @ P(t).
+    dpmats = jnp.einsum(
+        "ij,njk->nik", gen, pmats, preferred_element_type=jnp.float32
+    )
+    denom = jnp.einsum(
+        "nil,nij,njl->nl", upstream, pmats, inside,
+        preferred_element_type=jnp.float32,
+    )
+    numer = jnp.einsum(
+        "nil,nij,njl->nl", upstream, dpmats, inside,
+        preferred_element_type=jnp.float32,
+    )
+    ratio = numer / jnp.maximum(denom, 1e-30)  # (n_all, L)
+    if site_weights is not None:
+        ratio = ratio * site_weights.astype(ratio.dtype)[None, :]
+    grads = jnp.sum(ratio, axis=-1)
+    return grads.at[-1].set(0.0)
