@@ -90,6 +90,20 @@ def test_cli_infer_ml_with_branch_lengths(capsys, tmp_path, fasta_path):
     assert (blens[:-1] > 0).all()
 
 
+def test_cli_infer_ratchet_and_bootstrap(capsys, fasta_path):
+    from trex_tpu.cli import main
+
+    main([
+        "infer", "--fasta", fasta_path, "--neighborhood", "nni",
+        "--ratchet", "1", "--bootstrap", "5", "--rounds", "5",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["parsimony_score"] == 4.0  # ratchet never worse than climb
+    assert out["ratchet_iterations"] == 1
+    assert len(out["split_support"]) == 5  # one per ancestor
+    assert all(0.0 <= s <= 1.0 for s in out["split_support"])
+
+
 def test_cli_score_ml_asr(capsys, tmp_path, fasta_path):
     from trex_tpu.cli import main
 

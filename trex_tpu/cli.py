@@ -261,16 +261,49 @@ def cmd_infer(args) -> None:
                 sequences_are_masks=True,
             )
 
-        result = parsimony_hill_climb(
-            start,
-            cost,
-            jnp.asarray(patterns),
-            max_rounds=args.rounds,
-            neighborhood=args.neighborhood,
-            score_batch_fn=score_batch,
-        )
+        if args.ratchet > 0:
+            from trex_tpu.search.ratchet import parsimony_ratchet
+
+            result = parsimony_ratchet(
+                jax.random.PRNGKey(args.seed),
+                start,
+                cost,
+                jnp.asarray(patterns),
+                n_iterations=args.ratchet,
+                climb_rounds=args.rounds,
+                neighborhood=args.neighborhood,
+                site_weights=weights,
+                sequences_are_masks=True,
+            )
+            out["ratchet_iterations"] = args.ratchet
+        else:
+            result = parsimony_hill_climb(
+                start,
+                cost,
+                jnp.asarray(patterns),
+                max_rounds=args.rounds,
+                neighborhood=args.neighborhood,
+                score_batch_fn=score_batch,
+            )
         newick = save_newick(result.topology, names)
         out["parsimony_score"] = result.score
+        if args.bootstrap > 0:
+            from trex_tpu.search.bootstrap import bootstrap_analysis
+
+            support, _ = bootstrap_analysis(
+                jax.random.PRNGKey(args.seed + 1),
+                result.topology,
+                cost,
+                jnp.asarray(patterns),
+                n_replicates=args.bootstrap,
+                search_rounds=max(args.rounds // 4, 3),
+                neighborhood="nni",
+                site_weights=weights,
+                sequences_are_masks=True,
+            )
+            out["bootstrap_replicates"] = args.bootstrap
+            out["mean_split_support"] = float(np.mean(support))
+            out["split_support"] = [round(float(s), 3) for s in support]
     out.update(
         search_rounds=result.rounds,
         evaluations=result.evaluations,
@@ -571,6 +604,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neighborhood", choices=("spr", "nni"), default="spr")
     p.add_argument("--rounds", type=int, default=100,
                    help="max hill-climb rounds")
+    p.add_argument("--ratchet", type=int, default=0,
+                   help="parsimony-ratchet iterations (0 = plain climb)")
+    p.add_argument("--bootstrap", type=int, default=0,
+                   help="bootstrap replicates for split support (0 = none)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-tree", type=str, default=None)
     p.set_defaults(fn=cmd_infer)

@@ -109,6 +109,8 @@ def bootstrap_analysis(
     n_replicates: int = 100,
     search_rounds: int = 20,
     neighborhood: str = "nni",
+    site_weights: jax.Array | None = None,
+    sequences_are_masks: bool = False,
 ) -> tuple[np.ndarray, list[Topology]]:
     """Bootstrap split support for ``reference``.
 
@@ -116,19 +118,40 @@ def bootstrap_analysis(
     tree; support is the fraction of replicate optima retaining each
     reference split.
 
+    ``site_weights``: base pattern multiplicities (compressed alignments) —
+    the bootstrap then resamples PATTERN OCCURRENCES: replicate weights are
+    multinomial over patterns with probabilities proportional to the base
+    weights, total count preserved. ``sequences_are_masks``: leaves are
+    int32 state-set bitmasks.
+
     Returns (support (n_ancestors,), replicate best topologies).
     """
     from trex_tpu.search.hillclimb import parsimony_hill_climb
 
     from trex_tpu.ops.dispatch import batched_scores_fastest
 
-    weights = bootstrap_site_weights(key, leaf_sequences.shape[-1], n_replicates)
+    length = leaf_sequences.shape[-1]
+    if site_weights is None:
+        weights = bootstrap_site_weights(key, length, n_replicates)
+    else:
+        base = jnp.asarray(site_weights, jnp.float32)
+        total = int(jnp.sum(base))
+        probs = base / jnp.sum(base)
+
+        def one(k):
+            picks = jax.random.choice(k, length, (total,), p=probs)
+            return jnp.zeros((length,), jnp.int32).at[picks].add(1)
+
+        weights = jax.vmap(one)(jax.random.split(key, n_replicates))
     best: list[Topology] = []
     for r in range(n_replicates):
         w = weights[r].astype(jnp.float32)
 
         def score_batch(topos, cost, leaves):
-            return batched_scores_fastest(topos, cost_matrix, leaves, w)
+            return batched_scores_fastest(
+                topos, cost_matrix, leaves, w,
+                sequences_are_masks=sequences_are_masks,
+            )
 
         result = parsimony_hill_climb(
             reference,

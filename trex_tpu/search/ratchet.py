@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from trex_tpu.ops.fitch import fitch_score
 from trex_tpu.search.bootstrap import subtree_leaf_sets
 from trex_tpu.search.hillclimb import SearchResult, parsimony_hill_climb
 from trex_tpu.topology import Topology
@@ -60,6 +59,8 @@ def parsimony_ratchet(
     climb_rounds: int = 30,
     neighborhood: str = "spr",
     progress_dir: str | None = None,
+    site_weights: jax.Array | None = None,
+    sequences_are_masks: bool = False,
 ) -> SearchResult:
     """Run the parsimony ratchet from ``start``.
 
@@ -72,10 +73,17 @@ def parsimony_ratchet(
     trace (JSON lines) are written after every iteration, so long runs
     survive interruption with their best result on disk.
 
+    ``site_weights``: base per-site multiplicities (compressed patterns);
+    the ratchet's perturbation multiplies them. ``sequences_are_masks``:
+    leaves are int32 state-set bitmasks (IUPAC ambiguity / gaps). All
+    scoring goes through the fastest dispatch (fused kernels on TPU).
+
     Returns the best ``SearchResult`` (trace = best true score per iteration).
     """
     import json
     import os
+
+    from trex_tpu.ops.dispatch import batched_scores_fastest
 
     def dump_progress(iteration: int) -> None:
         if progress_dir is None:
@@ -94,9 +102,22 @@ def parsimony_ratchet(
                 + "\n"
             )
     length = leaf_sequences.shape[-1]
+    base_weights = (
+        jnp.ones((length,), jnp.float32)
+        if site_weights is None
+        else site_weights.astype(jnp.float32)
+    )
 
-    def true_scores(topos, cost, leaves):
-        return jax.vmap(lambda t: fitch_score(t, leaves))(topos)
+    def scores_with(w):
+        def fn(topos, cost, leaves):
+            return batched_scores_fastest(
+                topos, cost, leaves, site_weights=w,
+                sequences_are_masks=sequences_are_masks,
+            )
+
+        return fn
+
+    true_scores = scores_with(base_weights)
 
     current = start
     best_result = parsimony_hill_climb(
@@ -104,6 +125,7 @@ def parsimony_ratchet(
         cost_matrix,
         leaf_sequences,
         max_rounds=climb_rounds,
+        score_batch_fn=true_scores,
         neighborhood=neighborhood,
     )
     current = best_result.topology
@@ -117,12 +139,8 @@ def parsimony_ratchet(
         upweighted = jax.random.bernoulli(
             perturb_key, perturb_fraction, (length,)
         )
-        weights = jnp.where(upweighted, perturb_weight, 1.0)
-
-        def weighted_scores(topos, cost, leaves):
-            return jax.vmap(
-                lambda t: fitch_score(t, leaves, site_mask=weights)
-            )(topos)
+        weights = base_weights * jnp.where(upweighted, perturb_weight, 1.0)
+        weighted_scores = scores_with(weights)
 
         perturbed = parsimony_hill_climb(
             current,
