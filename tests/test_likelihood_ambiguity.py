@@ -169,6 +169,30 @@ def test_compressed_patterns_exact_for_likelihood():
     )
 
 
+def test_kernel_site_block_shrink_stays_lane_aligned():
+    # 64 leaves x 1331 sites with T=2 exceeds the kernel's VMEM budget and
+    # forces the site_block shrink; the shrunk block must stay a multiple of
+    # 128 (1408 -> 704 = 5.5 x 128 was rejected by Mosaic on real TPU).
+    # Interpret mode checks the host-side logic + value correctness.
+    rng = np.random.default_rng(31)
+    n_leaves, length = 64, 1331
+    topos = random_topologies(jax.random.key(31), n_leaves, 2)
+    seqs = jnp.asarray(rng.integers(0, Q, size=(n_leaves, length)).astype(np.int32))
+    blens = jnp.full((2, 2 * n_leaves - 1), 0.1)
+    got = batched_log_likelihood_pallas(
+        topos, blens, seqs, Q, interpret=True, trees_per_block=2
+    )
+    expected = jnp.stack(
+        [
+            tree_log_likelihood(
+                jax.tree.map(lambda a, i=i: a[i], topos), blens[i], seqs, Q
+            )
+            for i in range(2)
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-5)
+
+
 def test_branch_length_optimization_with_masks():
     topo, seqs, _ = _case(13, n_leaves=5, length=40)
     masks = (1 << seqs).astype(np.int32)

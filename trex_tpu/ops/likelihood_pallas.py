@@ -163,11 +163,12 @@ def batched_log_likelihood_pallas(
     trees = max(trees_per_block, 1)
     if site_block is None:
         site_block = _round_up(length, _LANES) if length <= 2048 else 2048
-        # Keep T partial tables within a VMEM budget.
+        # Keep T partial tables within a VMEM budget; blocks must stay
+        # 128-lane-aligned (Mosaic rejects e.g. 1408 -> 704 = 5.5 x 128).
         while trees * n_all * q_pad * site_block * 4 > 8 * 1024 * 1024 and (
             site_block > _LANES
         ):
-            site_block //= 2
+            site_block = _round_up(site_block // 2, _LANES)
     padded_len = _round_up(length, site_block)
     seqs = leaf_sequences.astype(jnp.int32)
     if padded_len != length:
