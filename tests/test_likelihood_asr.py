@@ -135,6 +135,55 @@ def test_analytic_gradients_match_autodiff(use_gtr):
     assert float(analytic[-1]) == 0.0
 
 
+@pytest.mark.parametrize("use_gtr", [False, True])
+def test_newton_matches_adam_optimum(use_gtr):
+    from trex_tpu.ops.likelihood import optimize_branch_lengths
+    from trex_tpu.ops.likelihood_asr import optimize_branch_lengths_newton
+
+    topo, seqs, _ = _case(11, n_leaves=8, length=60)
+    rng = np.random.default_rng(11)
+    if use_gtr:
+        rates = rng.uniform(0.5, 2.0, size=(Q, Q))
+        rates = jnp.asarray((rates + rates.T) / 2)
+        freqs = jnp.asarray(rng.dirichlet(np.ones(Q) * 5))
+    else:
+        rates = freqs = None
+    lengths, curve = optimize_branch_lengths_newton(
+        topo, jnp.asarray(seqs), Q, rates=rates, freqs=freqs, n_sweeps=12
+    )
+    curve = np.asarray(curve)
+    assert (np.diff(curve) <= 1e-4).all()  # monotone non-increasing
+    assert np.all(np.asarray(lengths)[:-1] > 0)
+    if not use_gtr:
+        _, adam_curve = optimize_branch_lengths(
+            topo, jnp.asarray(seqs), Q, n_iterations=500
+        )
+        # 12 Newton sweeps reach (or beat) 500 Adam steps.
+        assert curve[-1] <= float(adam_curve[-1]) + 0.05
+
+
+def test_newton_with_masks_and_weights():
+    from trex_tpu.alignment import compress_alignment
+    from trex_tpu.ops.likelihood import tree_log_likelihood
+    from trex_tpu.ops.likelihood_asr import optimize_branch_lengths_newton
+
+    topo, seqs, _ = _case(13, n_leaves=6, length=50)
+    masks = (1 << seqs).astype(np.int32)
+    masks[2, :8] = 0b1111
+    patterns, weights = compress_alignment(masks)
+    lengths, curve = optimize_branch_lengths_newton(
+        topo, jnp.asarray(patterns), Q,
+        site_weights=jnp.asarray(weights, jnp.float32),
+        sequences_are_masks=True, n_sweeps=10,
+    )
+    # Final curve value is the real (weighted) nll of the final lengths.
+    nll = -tree_log_likelihood(
+        topo, lengths, jnp.asarray(patterns), Q,
+        site_mask=jnp.asarray(weights, jnp.float32), sequences_are_masks=True,
+    )
+    np.testing.assert_allclose(float(nll), float(curve[-1]), rtol=1e-5)
+
+
 def test_analytic_gradients_with_masks():
     topo, seqs, blens = _case(9, n_leaves=6, length=12)
     masks = (1 << seqs).astype(np.int32)

@@ -33,6 +33,7 @@ from trex_tpu.ops.likelihood import (
 from trex_tpu.ops.likelihood_asr import (
     branch_length_gradients,
     marginal_ancestral_posteriors,
+    optimize_branch_lengths_newton,
 )
 from trex_tpu.ops.soft_dp import (
     soft_sankoff_score,
@@ -75,6 +76,7 @@ __all__ = [
     "tree_log_likelihood_gamma_invariant",
     "marginal_ancestral_posteriors",
     "branch_length_gradients",
+    "optimize_branch_lengths_newton",
     "soft_sankoff_score",
     "soft_sankoff_score_from_sequences",
     "batched_soft_sankoff_score",

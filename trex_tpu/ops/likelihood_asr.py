@@ -247,3 +247,114 @@ def branch_length_gradients(
         ratio = ratio * site_weights.astype(ratio.dtype)[None, :]
     grads = jnp.sum(ratio, axis=-1)
     return grads.at[-1].set(0.0)
+
+
+def _branch_curvatures(
+    topology, branch_lengths, leaf_sequences, n_states,
+    rates, freqs, site_weights, masks,
+):
+    """(gradient, hessian-diagonal) of logL w.r.t. every branch length.
+
+    Per site u = upstreamᵀ P inside (∝ site likelihood):
+        d logL/dt   = Σ w u'/u          with u'  = upstreamᵀ (G P) inside
+        d² logL/dt² = Σ w (u''/u − (u'/u)²),  u'' = upstreamᵀ (G² P) inside
+    """
+    pmats, prior, gen = _transitions(branch_lengths, n_states, rates, freqs)
+    inside = _inside_partials(topology, pmats, leaf_sequences, n_states, masks)
+    _, upstream = _outside_partials(topology, pmats, inside, prior)
+
+    dpmats = jnp.einsum("ij,njk->nik", gen, pmats)
+    d2pmats = jnp.einsum("ij,njk->nik", gen, dpmats)
+
+    def contract(mats):
+        return jnp.einsum(
+            "nil,nij,njl->nl", upstream, mats, inside,
+            preferred_element_type=jnp.float32,
+        )
+
+    u = jnp.maximum(contract(pmats), 1e-30)
+    r1 = contract(dpmats) / u  # (n_all, L)
+    r2 = contract(d2pmats) / u
+    if site_weights is None:
+        w = 1.0
+    else:
+        w = site_weights.astype(r1.dtype)[None, :]
+    grad = jnp.sum(w * r1, axis=-1)
+    hess = jnp.sum(w * (r2 - r1 * r1), axis=-1)
+    return grad.at[-1].set(0.0), hess.at[-1].set(-1.0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_states", "sequences_are_masks", "n_sweeps"),
+)
+def optimize_branch_lengths_newton(
+    topology: Topology,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    site_weights: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
+    init_length: float = 0.1,
+    n_sweeps: int = 12,
+    min_length: float = 1e-6,
+    max_length: float = 10.0,
+) -> tuple[jax.Array, jax.Array]:
+    """ML branch lengths by damped Newton sweeps on analytic derivatives.
+
+    Each sweep updates ALL branches simultaneously with the coordinate
+    Newton step ``t - g/h`` (curvature-guarded: non-concave coordinates fall
+    back to a bounded gradient step), then backtracks by halving toward the
+    previous lengths (up to 4 times, jointly) if the total log-likelihood
+    got worse. Converges in ~5-10 sweeps vs hundreds of Adam iterations
+    (``optimize_branch_lengths``) — each sweep costs two pruning passes.
+
+    Returns (branch_lengths (n_all,), nll curve (n_sweeps+1,)).
+    """
+    from trex_tpu.ops.likelihood import tree_log_likelihood
+
+    n_all = topology.n_all
+
+    def nll(lengths):
+        return -tree_log_likelihood(
+            topology, lengths, leaf_sequences, n_states,
+            site_mask=site_weights, rates=rates, freqs=freqs,
+            sequences_are_masks=sequences_are_masks,
+        )
+
+    def sweep(carry, _):
+        lengths, current = carry
+        grad, hess = _branch_curvatures(
+            topology, lengths, leaf_sequences, n_states,
+            rates, freqs, site_weights, sequences_are_masks,
+        )
+        newton = lengths - grad / jnp.minimum(hess, -1e-8)
+        fallback = lengths + jnp.clip(0.1 * grad, -0.5, 0.5)
+        proposed = jnp.where(hess < -1e-8, newton, fallback)
+        proposed = jnp.clip(proposed, min_length, max_length)
+        proposed = proposed.at[-1].set(lengths[-1])
+
+        def backtrack(state, _):
+            cand, best_cand, best_val = state
+            value = nll(cand)
+            improved = value < best_val
+            best_cand = jnp.where(improved, cand, best_cand)
+            best_val = jnp.minimum(value, best_val)
+            # Halve toward the incumbent for the next evaluation.
+            return (
+                (cand + lengths) / 2.0, best_cand, best_val
+            ), None
+
+        (_, accepted, new_val), _ = jax.lax.scan(
+            backtrack, (proposed, lengths, current), None, length=4
+        )
+        return (accepted, new_val), new_val
+
+    lengths0 = jnp.full((n_all,), init_length)
+    nll0 = nll(lengths0)
+    (lengths, _), curve = jax.lax.scan(
+        sweep, (lengths0, nll0), None, length=n_sweeps
+    )
+    return lengths, jnp.concatenate([nll0[None], curve])

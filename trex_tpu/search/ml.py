@@ -29,6 +29,7 @@ def ml_hill_climb(
     neighborhood: str = "spr",
     optimize_final_lengths: bool = True,
     n_length_iterations: int = 400,
+    length_optimizer: str = "newton",
     sequences_are_masks: bool = False,
     site_weights: jax.Array | None = None,
 ) -> tuple[SearchResult, jax.Array, jax.Array]:
@@ -39,7 +40,9 @@ def ml_hill_climb(
     ``sequences_are_masks``: leaves are int32 state-set bitmasks (IUPAC
     ambiguity / gaps). ``site_weights``: per-site log-lik multiplicities
     (compressed site patterns / bootstrap) — exact, since the total
-    log-likelihood is a weighted site-sum.
+    log-likelihood is a weighted site-sum. ``length_optimizer``: "newton"
+    (default — damped analytic Newton sweeps, ~10x fewer likelihood passes)
+    or "adam" (``n_length_iterations`` gradient steps).
 
     Returns:
         (search_result, branch_lengths, loss_curve): the result's ``score``
@@ -85,15 +88,29 @@ def ml_hill_climb(
         neighborhood=neighborhood,
     )
     if optimize_final_lengths:
-        lengths, losses = optimize_branch_lengths(
-            result.topology,
-            leaf_sequences,
-            n_states,
-            init_length=ranking_branch_length,
-            n_iterations=n_length_iterations,
-            sequences_are_masks=sequences_are_masks,
-            site_weights=site_weights,
-        )
+        if length_optimizer == "newton":
+            from trex_tpu.ops.likelihood_asr import (
+                optimize_branch_lengths_newton,
+            )
+
+            lengths, losses = optimize_branch_lengths_newton(
+                result.topology,
+                leaf_sequences,
+                n_states,
+                site_weights=site_weights,
+                sequences_are_masks=sequences_are_masks,
+                init_length=ranking_branch_length,
+            )
+        else:
+            lengths, losses = optimize_branch_lengths(
+                result.topology,
+                leaf_sequences,
+                n_states,
+                init_length=ranking_branch_length,
+                n_iterations=n_length_iterations,
+                sequences_are_masks=sequences_are_masks,
+                site_weights=site_weights,
+            )
     else:
         lengths = jnp.full((n_all,), ranking_branch_length)
         losses = jnp.asarray([result.score])
