@@ -154,3 +154,44 @@ def test_sharded_best_tree_matches_host_argmin(mesh):
     scores = np.asarray(batched_sankoff_score(topos, cost, leaf))
     assert float(score) == scores.min()
     assert scores[int(idx)] == scores.min()
+
+
+def test_sharded_log_likelihoods_match_single_device(mesh):
+    from trex_tpu.ops.likelihood import tree_log_likelihood
+    from trex_tpu.parallel.sharded import sharded_log_likelihoods
+
+    n_leaves, q, length, batch = 8, 4, 64, 16
+    topos = random_topologies(jax.random.PRNGKey(3), n_leaves, batch)
+    leaf = jax.random.randint(jax.random.PRNGKey(4), (n_leaves, length), 0, q)
+    blens = jnp.full((batch, 2 * n_leaves - 1), 0.2)
+
+    single = jnp.stack(
+        [
+            tree_log_likelihood(
+                jax.tree_util.tree_map(lambda a, i=i: a[i], topos),
+                blens[i], leaf, q,
+            )
+            for i in range(batch)
+        ]
+    )
+    sharded = sharded_log_likelihoods(mesh, topos, blens, leaf, q)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=2e-5)
+
+    # Ambiguity masks shard identically.
+    masks = (jnp.int32(1) << leaf).astype(jnp.int32)
+    masks = masks.at[0, :8].set(0b1111)
+    single_m = jnp.stack(
+        [
+            tree_log_likelihood(
+                jax.tree_util.tree_map(lambda a, i=i: a[i], topos),
+                blens[i], masks, q, sequences_are_masks=True,
+            )
+            for i in range(batch)
+        ]
+    )
+    sharded_m = sharded_log_likelihoods(
+        mesh, topos, blens, masks, q, sequences_are_masks=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded_m), np.asarray(single_m), rtol=2e-5
+    )

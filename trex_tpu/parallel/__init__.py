@@ -5,6 +5,7 @@ from trex_tpu.parallel.sharded import (
     sharded_batch_scores,
     sharded_best_tree,
     sharded_joint_step,
+    sharded_log_likelihoods,
     make_sharded_joint_step,
     make_sharded_restart_joint_step,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "sharded_batch_scores",
     "sharded_best_tree",
     "sharded_joint_step",
+    "sharded_log_likelihoods",
     "make_sharded_joint_step",
     "make_sharded_restart_joint_step",
     "initialize_distributed",

@@ -92,6 +92,62 @@ def sharded_batch_scores(
     return score_shard(topologies, cost_matrix, leaf_sequences)
 
 
+def sharded_log_likelihoods(
+    mesh: Mesh,
+    topologies: Topology,
+    branch_lengths: jax.Array,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    *,
+    sequences_are_masks: bool = False,
+) -> jax.Array:
+    """Log-likelihoods of a candidate batch across the whole mesh (JC69).
+
+    Same layout as ``sharded_batch_scores``: topology batch (and its
+    branch-length rows) sharded over ``tree``, alignment sites over
+    ``site``. The pruning log-likelihood is a per-site sum, so per-shard
+    totals merge with one ``psum`` over ``site`` — exactly the parsimony
+    communication pattern (one f32 per tree per step).
+
+    Returns (batch,) log-likelihoods, sharded over ``tree``.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            Topology(children=P(TREE_AXIS), parents=P(TREE_AXIS)),
+            P(TREE_AXIS),
+            P(None, SITE_AXIS),
+        ),
+        out_specs=P(TREE_AXIS),
+        check_vma=False,
+    )
+    def score_shard(topos, blens, leaf_shard):
+        if on_tpu:
+            from trex_tpu.ops.likelihood_pallas import (
+                batched_log_likelihood_pallas,
+            )
+
+            partial_lls = batched_log_likelihood_pallas(
+                topos, blens, leaf_shard, n_states, trees_per_block=2,
+                sequences_are_masks=sequences_are_masks,
+            )
+        else:
+            from trex_tpu.ops.likelihood import tree_log_likelihood
+
+            partial_lls = jax.vmap(
+                lambda t, b: tree_log_likelihood(
+                    t, b, leaf_shard, n_states,
+                    sequences_are_masks=sequences_are_masks,
+                )
+            )(topos, blens)
+        return jax.lax.psum(partial_lls, SITE_AXIS)
+
+    return score_shard(topologies, branch_lengths, leaf_sequences)
+
+
 def sharded_best_tree(
     mesh: Mesh,
     topologies: Topology,
