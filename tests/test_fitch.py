@@ -141,3 +141,59 @@ def test_fitch_pallas_weighted_compressed_patterns():
         trees_per_block=2,
     )
     np.testing.assert_array_equal(np.asarray(compressed), np.asarray(full))
+
+
+@pytest.mark.parametrize("trees_per_block", [1, 2])
+def test_fitch_swar_packing_parity(trees_per_block):
+    # 4-sites-per-word SWAR variant == lax Fitch exactly, weighted,
+    # at lengths that exercise padding and multi-word packing.
+    rng = np.random.default_rng(17)
+    n_leaves, length, batch = 10, 300, 5
+    topos = random_topologies(jax.random.PRNGKey(17), n_leaves, batch)
+    seqs = rng.integers(0, 4, size=(n_leaves, length)).astype(np.int32)
+    weights = jnp.asarray(rng.integers(1, 4, size=length), jnp.float32)
+    expected = jnp.stack(
+        [
+            fitch_score(
+                jax.tree_util.tree_map(lambda a, i=i: a[i], topos),
+                jnp.asarray(seqs), site_mask=weights,
+            )
+            for i in range(batch)
+        ]
+    )
+    got = batched_fitch_score_pallas(
+        topos, jnp.asarray(seqs), site_weights=weights, interpret=True,
+        trees_per_block=trees_per_block, site_packing=4, n_states=4,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_fitch_swar_packing_masks_and_validation():
+    rng = np.random.default_rng(19)
+    topos = random_topologies(jax.random.PRNGKey(19), 8, 3)
+    seqs = rng.integers(0, 4, size=(8, 70)).astype(np.int32)
+    masks = (1 << seqs).astype(np.int32)
+    masks[1, :6] = 0b1111
+    expected = jnp.stack(
+        [
+            fitch_score(
+                jax.tree_util.tree_map(lambda a, i=i: a[i], topos),
+                jnp.asarray(masks), sequences_are_masks=True,
+            )
+            for i in range(3)
+        ]
+    )
+    got = batched_fitch_score_pallas(
+        topos, jnp.asarray(masks), interpret=True,
+        site_packing=4, n_states=4, sequences_are_masks=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+    with pytest.raises(ValueError, match="n_states <= 8"):
+        batched_fitch_score_pallas(
+            topos, jnp.asarray(seqs), interpret=True,
+            site_packing=4, n_states=20,
+        )
+    with pytest.raises(ValueError, match="site_packing"):
+        batched_fitch_score_pallas(
+            topos, jnp.asarray(seqs), interpret=True, site_packing=3,
+        )

@@ -51,11 +51,22 @@ def batched_scores_fastest(
             from trex_tpu.ops.sankoff_pallas import batched_fitch_score_pallas
 
             # trees_per_block auto-picked by the kernel (SMEM-safe cap; see
-            # batched_fitch_score_pallas docstring).
+            # batched_fitch_score_pallas docstring). Long alignments take
+            # the SWAR 4-sites-per-word variant: slower per dependent step
+            # but 4x fewer site blocks — crossover ~2k sites on v5e
+            # (1.05x at 2048, 1.55x at 4096, 1.6x at 8k-10k sites).
+            q = cost_matrix.shape[-1]
+            n_anc = topologies.children.shape[-2]
+            packing = (
+                4
+                if q <= 8 and n_anc <= 255 and leaf_sequences.shape[-1] > 2048
+                else 1
+            )
             return batched_fitch_score_pallas(
                 topologies, leaf_sequences,
                 site_weights=site_weights,
                 sequences_are_masks=sequences_are_masks,
+                site_packing=packing, n_states=q,
             )
         from trex_tpu.ops.fitch import fitch_score
 

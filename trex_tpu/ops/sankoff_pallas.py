@@ -180,10 +180,76 @@ def _fitch_kernel_multi(
         out_ref[0, 0, t, :, :] = jnp.full((8, 128), total, dtype=jnp.float32)
 
 
+def _fitch_kernel_swar(
+    children_ref,  # SMEM (T, n_anc, 2) int32
+    leaf_ref,  # VMEM (1, n_leaves * P, 128) int32 — 4 sites per word (bytes)
+    weight_ref,  # VMEM (1, 4, P, 128) f32 — per-byte-lane site weights
+    out_ref,  # VMEM (1, 1, T, 8, 128) f32; per-tree totals at [...,t,0,0]
+    sets_ref,  # VMEM scratch (T * n_all * P, 128) int32
+    count_ref,  # VMEM scratch (T * P, 128) int32 — packed byte counters
+    *,
+    n_leaves: int,
+    n_states: int,
+    pack: int,
+    trees: int,
+):
+    """SWAR Fitch: 4 sites per int32, state sets in 8-bit fields.
+
+    AND/OR work bitwise-parallel across the packed sites for free; the
+    per-field empty-intersection test is the classic SWAR nonzero detect
+    (OR of Q-1 right shifts, masked to each field's low bit), the select
+    uses ``nz * 255`` to expand the per-field bit to a full byte mask (no
+    cross-field carries since 255 * 1 < 256), and events accumulate as
+    packed byte counters (valid while n_ancestors <= 255). Per-site weights
+    apply at unpack time: byte lane k of word j is site ``k * (L/4) + j``.
+    """
+    n_all = 2 * n_leaves - 1
+    n_anc = n_leaves - 1
+    stride = n_all * pack
+    low_bits = jnp.int32(0x01010101)
+
+    leaf_block = leaf_ref[0]
+    for t in range(trees):
+        sets_ref[pl.ds(t * stride, n_leaves * pack), :] = leaf_block
+    count_ref[:, :] = jnp.zeros((trees * pack, 128), jnp.int32)
+
+    def visit(a, _):
+        for t in range(trees):
+            c1 = children_ref[t, a, 0]
+            c2 = children_ref[t, a, 1]
+            base = t * stride
+            d1 = sets_ref[pl.ds(base + c1 * pack, pack), :]
+            d2 = sets_ref[pl.ds(base + c2 * pack, pack), :]
+            inter = d1 & d2
+            nz = inter
+            for b in range(1, n_states):
+                nz = nz | (inter >> b)
+            nz = nz & low_bits  # 1 in each byte with nonempty intersection
+            byte_mask = nz * jnp.int32(255)
+            merged = (inter & byte_mask) | ((d1 | d2) & ~byte_mask)
+            sets_ref[pl.ds(base + (n_leaves + a) * pack, pack), :] = merged
+            count_ref[pl.ds(t * pack, pack), :] = count_ref[
+                pl.ds(t * pack, pack), :
+            ] + (nz ^ low_bits)
+        return 0
+
+    jax.lax.fori_loop(0, n_anc, visit, 0)
+    for t in range(trees):
+        packed = count_ref[pl.ds(t * pack, pack), :]
+        total = jnp.float32(0.0)
+        for k in range(4):
+            field = (packed >> (8 * k)) & jnp.int32(0xFF)
+            total = total + jnp.sum(
+                field.astype(jnp.float32) * weight_ref[0, k]
+            )
+        out_ref[0, 0, t, :, :] = jnp.full((8, 128), total, dtype=jnp.float32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "interpret", "trees_per_block", "unroll", "sequences_are_masks"
+        "interpret", "trees_per_block", "unroll", "sequences_are_masks",
+        "site_packing", "n_states",
     ),
 )
 def batched_fitch_score_pallas(
@@ -195,8 +261,15 @@ def batched_fitch_score_pallas(
     trees_per_block: int | None = None,
     unroll: int = 1,
     sequences_are_masks: bool = False,
+    site_packing: int = 1,
+    n_states: int = 32,
 ) -> jax.Array:
     """Unit-cost parsimony scores of a candidate batch via fused Fitch.
+
+    ``site_packing=4`` packs 4 sites per int32 word (8-bit state-set fields,
+    SWAR update) — 4x less VMEM and set arithmetic per site. Requires
+    ``n_states <= 8`` (pass the real alphabet size!) and n_ancestors <= 255
+    (packed byte event counters).
 
     ``trees_per_block`` (T): independent trees per kernel instance — the
     latency-hiding work between the DP's serial dependent tile ops. Default
@@ -234,6 +307,21 @@ def batched_fitch_score_pallas(
 
     if trees_per_block is None:
         trees_per_block = max(1, min(8, 512 // max(n_anc, 1)))
+
+    if site_packing == 4:
+        if n_states > 8:
+            raise ValueError("site_packing=4 requires n_states <= 8")
+        if n_anc > 255:
+            raise ValueError(
+                "site_packing=4 requires <= 255 ancestors (byte counters)"
+            )
+        return _fitch_swar_impl(
+            topologies, leaf_sequences, site_weights,
+            trees=max(trees_per_block, 1), n_states=n_states,
+            sequences_are_masks=sequences_are_masks, interpret=interpret,
+        )
+    if site_packing != 1:
+        raise ValueError(f"site_packing must be 1 or 4, got {site_packing}")
 
     # Node tiles are (pack, 128); shrink pack for very large trees so the
     # per-instance state-set scratch stays within a VMEM budget.
@@ -310,6 +398,102 @@ def batched_fitch_score_pallas(
         interpret=interpret,
     )(children, packed, weights_packed)
     scores = jnp.sum(block_counts[:, :, :, 0, 0], axis=1)  # (B//T, T)
+    return scores.reshape(padded_batch)[:batch]
+
+
+def _fitch_swar_impl(
+    topologies: Topology,
+    leaf_sequences: jax.Array,
+    site_weights: jax.Array | None,
+    *,
+    trees: int,
+    n_states: int,
+    sequences_are_masks: bool,
+    interpret: bool,
+) -> jax.Array:
+    """Host side of the 4-sites-per-word SWAR Fitch path."""
+    batch = topologies.children.shape[0]
+    n_anc = topologies.children.shape[-2]
+    n_leaves = n_anc + 1
+    n_all = 2 * n_leaves - 1
+    length = leaf_sequences.shape[-1]
+
+    # Words per node tile; 4x fewer words than sites.
+    vmem_budget = 10 * 1024 * 1024
+    pack = _SUBLANES_F32
+    while pack > 1 and trees * n_all * pack * _LANES * 4 > vmem_budget:
+        pack //= 2
+    words_per_block = pack * _LANES
+    sites_per_block = 4 * words_per_block
+
+    padded_len = _round_up(length, sites_per_block)
+    seqs = leaf_sequences.astype(jnp.int32)
+    pad_value = 1 if sequences_are_masks else 0
+    if padded_len != length:
+        seqs = jnp.pad(
+            seqs, ((0, 0), (0, padded_len - length)), constant_values=pad_value
+        )
+    masks = seqs if sequences_are_masks else (jnp.int32(1) << seqs).astype(jnp.int32)
+
+    # Byte-lane mapping: word j carries sites (k * W + j) for k in 0..3,
+    # where W = padded_len // 4.
+    w_total = padded_len // 4
+    lanes = masks.reshape(n_leaves, 4, w_total)
+    words = (
+        lanes[:, 0] | (lanes[:, 1] << 8) | (lanes[:, 2] << 16)
+        | (lanes[:, 3] << 24)
+    )  # (n_leaves, W)
+    n_blocks = w_total // words_per_block
+    packed = (
+        words.reshape(n_leaves, n_blocks, pack, _LANES)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_blocks, n_leaves * pack, _LANES)
+    )
+
+    if site_weights is None:
+        weights = jnp.ones((length,), jnp.float32)
+    else:
+        weights = site_weights.astype(jnp.float32)
+    weights = jnp.pad(weights, (0, padded_len - length))
+    weights_lanes = (
+        weights.reshape(4, n_blocks, pack, _LANES).transpose(1, 0, 2, 3)
+    )  # (n_blocks, 4, pack, 128)
+
+    children = topologies.children.astype(jnp.int32)
+    padded_batch = _round_up(batch, trees)
+    if padded_batch != batch:
+        reps = padded_batch - batch
+        children = jnp.concatenate(
+            [children, jnp.broadcast_to(children[-1:], (reps, n_anc, 2))]
+        )
+    kernel = functools.partial(
+        _fitch_kernel_swar, n_leaves=n_leaves, n_states=n_states,
+        pack=pack, trees=trees,
+    )
+    block_counts = pl.pallas_call(
+        kernel,
+        grid=(padded_batch // trees, n_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (trees, n_anc, 2), lambda b, l: (b, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, n_leaves * pack, _LANES), lambda b, l: (l, 0, 0)),
+            pl.BlockSpec((1, 4, pack, _LANES), lambda b, l: (l, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, trees, 8, 128), lambda b, l: (b, l, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (padded_batch // trees, n_blocks, trees, 8, 128), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((trees * n_all * pack, _LANES), jnp.int32),
+            pltpu.VMEM((trees * pack, _LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(children, packed, weights_lanes)
+    scores = jnp.sum(block_counts[:, :, :, 0, 0], axis=1)
     return scores.reshape(padded_batch)[:batch]
 
 
