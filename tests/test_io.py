@@ -270,3 +270,30 @@ def test_format_tree():
     assert "root" in text and "A  0.99" in text
     assert text.count("`--") == 3  # one closing branch per internal node
     assert all(name in text for name in "ABCD")
+
+
+def test_newick_real_world_extensions():
+    """Comments, quoted labels, support values, escapes — all parse."""
+    from trex_tpu.io import load_newick
+
+    topo, bl, names = load_newick(
+        "(('taxon a'[&rate=1.2]:1.0[&ci={0.5,1.5}],'it''s':2)95:0.5,"
+        "(c:1,d:1)87:0.5);"
+    )
+    assert names == ["taxon a", "it's", "c", "d"]
+    np.testing.assert_allclose(bl[:2], [1.0, 2.0])
+    with pytest.raises(ValueError, match="unterminated .comment."):
+        load_newick("((a[&x:1,b:2):0.5,c:1);")
+    with pytest.raises(ValueError, match="unterminated quoted"):
+        load_newick("(('a:1,b:2):0.5,c:1);")
+
+
+def test_newick_quoting_roundtrip():
+    """Names with metacharacters are quoted on write, restored on read."""
+    from trex_tpu.io import load_newick, save_newick
+    from trex_tpu.topology import balanced_topology
+
+    names = ["plain", "has space", "it's", "we(ird):x"]
+    text = save_newick(balanced_topology(4), names)
+    _, _, back = load_newick(text)
+    assert sorted(back) == sorted(names)

@@ -36,14 +36,82 @@ IUPAC_DNA_MASKS = {
 }
 
 
+def _preprocess_newick(text: str) -> tuple[str, dict[str, str]]:
+    """Strip ``[...]`` comments and lift quoted labels to placeholder tokens.
+
+    Real-world newick (BEAST/MrBayes/TreeAnnotator output, NEXUS extracts)
+    carries bracket comments and single-quoted labels with arbitrary
+    characters (``''`` escapes a quote). The core parsers handle neither;
+    this pre-pass removes comments and substitutes each quoted label with a
+    parser-safe token, returning the token -> original-label map.
+    """
+    out: list[str] = []
+    quoted: dict[str, str] = {}
+    i, counter = 0, 0
+    while i < len(text):
+        c = text[i]
+        if c == "[":
+            end = text.find("]", i)
+            if end < 0:
+                raise ValueError("unterminated [comment] in newick input")
+            i = end + 1
+        elif c == "'":
+            buf: list[str] = []
+            j = i + 1
+            while j < len(text):
+                if text[j] == "'" and j + 1 < len(text) and text[j + 1] == "'":
+                    buf.append("'")
+                    j += 2
+                elif text[j] == "'":
+                    break
+                else:
+                    buf.append(text[j])
+                    j += 1
+            else:
+                raise ValueError("unterminated quoted label in newick input")
+            token = f"__q{counter}__"
+            counter += 1
+            quoted[token] = "".join(buf)
+            out.append(token)
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out), quoted
+
+
 def load_newick(text: str) -> tuple[Topology, np.ndarray, list[str]]:
-    """Parse newick into (Topology, branch_lengths by child node, leaf names)."""
+    """Parse newick into (Topology, branch_lengths by child node, leaf names).
+
+    Tolerates the common real-world extensions: ``[...]`` comments,
+    single-quoted labels (``''`` escape), internal-node/support labels, and
+    missing branch lengths.
+    """
+    text, quoted = _preprocess_newick(text)
     if native.available():
         children, parents, blens, names = native.parse_newick(text)
     else:
         children, parents, blens, names = py_parse_newick(text)
+    if quoted:
+        names = [quoted.get(n, n) for n in names]
     topo = Topology(children=jnp.asarray(children), parents=jnp.asarray(parents))
     return topo, blens, names
+
+
+_NEEDS_QUOTING = set(" ()[]{}:;,'\"")
+
+
+def _quote_names(names: list[str] | None) -> list[str] | None:
+    """Single-quote labels containing newick metacharacters ('' escape)."""
+    if names is None:
+        return None
+    out = []
+    for n in names:
+        if any(ch in _NEEDS_QUOTING for ch in n):
+            out.append("'" + n.replace("'", "''") + "'")
+        else:
+            out.append(n)
+    return out
 
 
 def save_newick(
@@ -55,9 +123,11 @@ def save_newick(
 
     ``branch_lengths``: (n_all,) lengths indexed by child node (the same
     convention ``load_newick`` returns); the root entry is ignored.
-    Round-trips through ``load_newick`` exactly.
+    Labels with newick metacharacters are single-quoted, so any name
+    round-trips through ``load_newick`` exactly.
     """
     children = np.asarray(topology.children)
+    leaf_names = _quote_names(leaf_names)
     if branch_lengths is not None:
         return _write_newick_lengths(
             children, leaf_names, np.asarray(branch_lengths, dtype=np.float64)
