@@ -156,6 +156,34 @@ def test_save_newick_lengths_roundtrip():
     )
 
 
+def test_cli_phylip_and_nexus_inputs(capsys, tmp_path, fasta_path):
+    """All three alignment formats give the same inference result."""
+    from trex_tpu.cli import main
+
+    phy = tmp_path / "aln.phy"
+    body = [ln for ln in FASTA.splitlines()]
+    taxa = [
+        (body[i][1:], body[i + 1]) for i in range(0, len(body), 2)
+    ]
+    phy.write_text(
+        f"{len(taxa)} {len(taxa[0][1])}\n"
+        + "\n".join(f"{n}  {s}" for n, s in taxa)
+        + "\n"
+    )
+    nex = tmp_path / "aln.nex"
+    nex.write_text(
+        "#NEXUS\nBEGIN DATA;\nDIMENSIONS NTAX=6 NCHAR=20;\nMATRIX\n"
+        + "\n".join(f"{n}  {s}" for n, s in taxa)
+        + "\n;\nEND;\n"
+    )
+    results = []
+    for path in (fasta_path, str(phy), str(nex)):
+        main(["infer", "--fasta", path, "--neighborhood", "nni"])
+        results.append(json.loads(capsys.readouterr().out))
+    assert {r["parsimony_score"] for r in results} == {4.0}
+    assert {r["tree"] for r in results} == {results[0]["tree"]}
+
+
 def test_cli_errors(tmp_path, fasta_path):
     from trex_tpu.cli import main
 

@@ -35,18 +35,38 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 
 def _load_alignment(path: str, alphabet_name: str):
-    """Read FASTA -> (names, (n, L) int32 state-set masks, n_states).
+    """Read an alignment -> (names, (n, L) int32 state-set masks, n_states).
 
-    Always loads through the ambiguity-preserving parser so gaps and IUPAC
-    codes get standard missing-data semantics.
+    Format auto-detected: NEXUS (``#NEXUS`` header), PHYLIP (numeric
+    ``ntax nchar`` header), else FASTA. Always encodes through the
+    ambiguity-preserving path so gaps and IUPAC codes get standard
+    missing-data semantics.
     """
     import numpy as np
 
-    from trex_tpu.io import DNA, PROTEIN, parse_fasta_masks
+    from trex_tpu.io import (
+        DNA,
+        PROTEIN,
+        encode_alignment_masks,
+        parse_fasta_masks,
+        parse_nexus,
+        parse_phylip,
+    )
 
     alphabet = {"dna": DNA, "protein": PROTEIN}[alphabet_name]
     with open(path) as fh:
-        names, masks = parse_fasta_masks(fh.read(), alphabet)
+        text = fh.read()
+    head = text.lstrip()[:40].lower()
+    if head.startswith("#nexus"):
+        names, rows, _ = parse_nexus(text)
+        if rows is None:
+            raise SystemExit(f"{path}: NEXUS file has no DATA/CHARACTERS block")
+        masks = encode_alignment_masks(rows, alphabet)
+    elif head.split()[:2] and head.split()[0].isdigit():
+        names, rows = parse_phylip(text)
+        masks = encode_alignment_masks(rows, alphabet)
+    else:
+        names, masks = parse_fasta_masks(text, alphabet)
     return names, np.asarray(masks, dtype=np.int32), len(alphabet)
 
 

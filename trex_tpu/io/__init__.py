@@ -12,6 +12,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from trex_tpu.io import native
+from trex_tpu.io.formats import (
+    encode_alignment,
+    encode_alignment_masks,
+    parse_nexus,
+    parse_phylip,
+    write_phylip,
+)
 from trex_tpu.io.fallback import (
     py_nni_neighbors,
     py_parse_newick,
@@ -384,6 +391,11 @@ __all__ = [
     "parse_fasta",
     "parse_fasta_masks",
     "write_fasta",
+    "parse_phylip",
+    "write_phylip",
+    "parse_nexus",
+    "encode_alignment",
+    "encode_alignment_masks",
     "format_tree",
     "relabel_leaves",
     "align_leaf_order",
