@@ -104,6 +104,19 @@ def test_cli_infer_ratchet_and_bootstrap(capsys, fasta_path):
     assert all(0.0 <= s <= 1.0 for s in out["split_support"])
 
 
+def test_cli_infer_ml_bootstrap(capsys, fasta_path):
+    from trex_tpu.cli import main
+
+    main([
+        "infer", "--alignment", fasta_path, "--criterion", "ml",
+        "--neighborhood", "nni", "--rounds", "3", "--bootstrap", "4",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["bootstrap_replicates"] == 4
+    assert len(out["split_support"]) == 5
+    assert all(0.0 <= s <= 1.0 for s in out["split_support"])
+
+
 def test_cli_score_ml_asr(capsys, tmp_path, fasta_path):
     from trex_tpu.cli import main
 

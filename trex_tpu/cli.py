@@ -272,6 +272,22 @@ def cmd_infer(args) -> None:
                 out["p_invariant"] = float(params["p_invariant"])
         newick = save_newick(result.topology, names, np.asarray(lengths))
         out["mean_branch_length"] = float(np.asarray(lengths).mean())
+        if args.bootstrap > 0:
+            from trex_tpu.search.bootstrap import ml_bootstrap_analysis
+
+            support, _ = ml_bootstrap_analysis(
+                jax.random.PRNGKey(args.seed + 1),
+                result.topology,
+                jnp.asarray(patterns),
+                n_states,
+                n_replicates=args.bootstrap,
+                search_rounds=max(args.rounds // 4, 3),
+                site_weights=weights,
+                sequences_are_masks=True,
+            )
+            out["bootstrap_replicates"] = args.bootstrap
+            out["mean_split_support"] = float(np.mean(support))
+            out["split_support"] = [round(float(s), 3) for s in support]
     else:
         cost = CostModel.hamming(n_states).matrix
 
@@ -596,8 +612,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("score", help="exact Sankoff scoring + reconstruction")
     _add_common(p)
     p.add_argument("--mutations", type=int, default=3)
-    p.add_argument("--fasta", type=str, default=None,
-                   help="score a real alignment instead of generated data")
+    p.add_argument("--alignment", "--fasta", dest="fasta", type=str,
+                   default=None,
+                   help="score a real alignment (FASTA/PHYLIP/NEXUS, "
+                        "auto-detected) instead of generated data")
     p.add_argument("--tree", type=str, default=None,
                    help="newick tree to score (default: stepwise addition)")
     p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
@@ -608,8 +626,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write leaves + reconstructed ancestors here")
     p.set_defaults(fn=cmd_score)
 
-    p = sub.add_parser("infer", help="infer a tree from a FASTA alignment")
-    p.add_argument("--fasta", type=str, required=True)
+    p = sub.add_parser(
+        "infer", help="infer a tree from an alignment file"
+    )
+    p.add_argument("--alignment", "--fasta", dest="fasta", type=str,
+                   required=True,
+                   help="FASTA/PHYLIP/NEXUS alignment (auto-detected)")
     p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
     p.add_argument("--criterion", choices=("parsimony", "ml"),
                    default="parsimony")

@@ -15,6 +15,7 @@ from trex_tpu.search.bootstrap import (
     bootstrap_site_weights,
     bootstrap_scores,
     bootstrap_analysis,
+    ml_bootstrap_analysis,
     split_support,
 )
 from trex_tpu.search.consensus import majority_rule_consensus, consensus_topology
@@ -56,6 +57,7 @@ __all__ = [
     "bootstrap_site_weights",
     "bootstrap_scores",
     "bootstrap_analysis",
+    "ml_bootstrap_analysis",
     "split_support",
     "majority_rule_consensus",
     "consensus_topology",

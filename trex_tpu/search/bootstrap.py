@@ -101,6 +101,91 @@ def split_support(
     return counts / max(len(replicate_best), 1)
 
 
+def _replicate_weights(
+    key: jax.Array,
+    length: int,
+    n_replicates: int,
+    site_weights: jax.Array | None,
+) -> jax.Array:
+    """(R, L) bootstrap site counts; with base weights, resample PATTERN
+    occurrences (multinomial proportional to the weights, total preserved)."""
+    if site_weights is None:
+        return bootstrap_site_weights(key, length, n_replicates)
+    base = jnp.asarray(site_weights, jnp.float32)
+    total = int(jnp.sum(base))
+    probs = base / jnp.sum(base)
+
+    def one(k):
+        picks = jax.random.choice(k, length, (total,), p=probs)
+        return jnp.zeros((length,), jnp.int32).at[picks].add(1)
+
+    return jax.vmap(one)(jax.random.split(key, n_replicates))
+
+
+def ml_bootstrap_analysis(
+    key: jax.Array,
+    reference: Topology,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    n_replicates: int = 100,
+    search_rounds: int = 10,
+    neighborhood: str = "nni",
+    ranking_branch_length: float = 0.1,
+    site_weights: jax.Array | None = None,
+    sequences_are_masks: bool = False,
+) -> tuple[np.ndarray, list[Topology]]:
+    """Bootstrap split support under the likelihood criterion.
+
+    Each replicate reweights sites and hill-climbs from ``reference`` with
+    candidates ranked by pruning log-likelihood at a fixed per-branch length
+    (the same fast heuristic as ``search.ml.ml_hill_climb``). Support is the
+    fraction of replicate optima retaining each reference split.
+    """
+    from trex_tpu.search.hillclimb import parsimony_hill_climb
+
+    weights = _replicate_weights(
+        key, leaf_sequences.shape[-1], n_replicates, site_weights
+    )
+    on_tpu = jax.default_backend() == "tpu"
+    n_all = reference.n_all
+    dummy_cost = jnp.zeros((n_states, n_states))
+    best: list[Topology] = []
+    for r in range(n_replicates):
+        w = weights[r].astype(jnp.float32)
+
+        def score_batch(topos, cost, leaves):
+            batch = topos.children.shape[0]
+            blens = jnp.full((batch, n_all), ranking_branch_length)
+            if on_tpu:
+                from trex_tpu.ops.likelihood_pallas import (
+                    batched_log_likelihood_pallas,
+                )
+
+                return -batched_log_likelihood_pallas(
+                    topos, blens, leaves, n_states, trees_per_block=2,
+                    site_weights=w, sequences_are_masks=sequences_are_masks,
+                )
+            from trex_tpu.ops.likelihood import tree_log_likelihood
+
+            return -jax.vmap(
+                lambda t, b: tree_log_likelihood(
+                    t, b, leaves, n_states, site_mask=w,
+                    sequences_are_masks=sequences_are_masks,
+                )
+            )(topos, blens)
+
+        result = parsimony_hill_climb(
+            reference,
+            dummy_cost,
+            leaf_sequences,
+            max_rounds=search_rounds,
+            score_batch_fn=score_batch,
+            neighborhood=neighborhood,
+        )
+        best.append(result.topology)
+    return split_support(reference, best), best
+
+
 def bootstrap_analysis(
     key: jax.Array,
     reference: Topology,
@@ -130,19 +215,9 @@ def bootstrap_analysis(
 
     from trex_tpu.ops.dispatch import batched_scores_fastest
 
-    length = leaf_sequences.shape[-1]
-    if site_weights is None:
-        weights = bootstrap_site_weights(key, length, n_replicates)
-    else:
-        base = jnp.asarray(site_weights, jnp.float32)
-        total = int(jnp.sum(base))
-        probs = base / jnp.sum(base)
-
-        def one(k):
-            picks = jax.random.choice(k, length, (total,), p=probs)
-            return jnp.zeros((length,), jnp.int32).at[picks].add(1)
-
-        weights = jax.vmap(one)(jax.random.split(key, n_replicates))
+    weights = _replicate_weights(
+        key, leaf_sequences.shape[-1], n_replicates, site_weights
+    )
     best: list[Topology] = []
     for r in range(n_replicates):
         w = weights[r].astype(jnp.float32)
