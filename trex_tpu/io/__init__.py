@@ -327,14 +327,34 @@ def sample_topologies(seed: int, n_leaves: int, batch: int) -> Topology:
     return Topology(children=jnp.asarray(children), parents=jnp.asarray(parents))
 
 
-def nni_neighbors(topology: Topology) -> Topology:
-    """All NNI neighbors of a single topology, as a batched Topology."""
+def nni_neighbors_host(topology: Topology) -> tuple[np.ndarray, np.ndarray]:
+    """NNI neighbors as HOST numpy (children, parents) — no device transfer.
+
+    The search hot loops use this: candidate scoring only reads ``children``
+    on device, so the (equally large) parents arrays can stay host-side and
+    only the winner's row ever crosses the wire.
+    """
     children = np.asarray(topology.children)
     if native.available():
-        nc, npar = native.nni_neighbors(children)
-    else:
-        nc, npar = py_nni_neighbors(children)
+        return native.nni_neighbors(children)
+    return py_nni_neighbors(children)
+
+
+def nni_neighbors(topology: Topology) -> Topology:
+    """All NNI neighbors of a single topology, as a batched Topology."""
+    nc, npar = nni_neighbors_host(topology)
     return Topology(children=jnp.asarray(nc), parents=jnp.asarray(npar))
+
+
+def spr_neighborhood_host(topology: Topology) -> tuple[np.ndarray, np.ndarray]:
+    """SPR neighborhood as HOST numpy (children, parents) — no transfer.
+
+    Returns views into per-shape cached buffers (overwritten by the next
+    call of the same shape); copy for persistence.
+    """
+    if not native.available():
+        raise NotImplementedError("SPR requires the native library")
+    return native.spr_neighborhood(np.asarray(topology.children))
 
 
 def spr_neighborhood(topology: Topology) -> Topology:
@@ -345,9 +365,7 @@ def spr_neighborhood(topology: Topology) -> Topology:
     deduplicated. O(n^2) candidates — the standard parsimony-search
     neighborhood, a strict superset of NNI.
     """
-    if not native.available():
-        raise NotImplementedError("SPR requires the native library")
-    nc, npar = native.spr_neighborhood(np.asarray(topology.children))
+    nc, npar = spr_neighborhood_host(topology)
     return Topology(children=jnp.asarray(nc), parents=jnp.asarray(npar))
 
 

@@ -49,7 +49,11 @@ def parsimony_hill_climb(
 
     Args:
         score_batch_fn: ``(Topology batch, cost, leaves) -> (B,) scores``;
-            defaults to the fastest backend (Pallas on TPU).
+            defaults to the fastest backend (Pallas on TPU). Contract: may
+            read ``children`` (and shapes) but NOT ``parents`` values — the
+            candidate batch carries a broadcast parents placeholder to halve
+            host->device transfer (every built-in scorer qualifies; the DP
+            consumes child index pairs only).
         random_kicks: extra random SPR moves added to each neighborhood
             (cheap diversification; 0 = none).
         key: PRNG key, only needed when ``random_kicks > 0``.
@@ -59,8 +63,9 @@ def parsimony_hill_climb(
     Returns:
         ``SearchResult`` with the best topology found and the score trace.
     """
-    from trex_tpu.io import native, nni_neighbors, spr_neighborhood
+    from trex_tpu.io import native, nni_neighbors_host, spr_neighborhood_host
     from trex_tpu.ops.dispatch import batched_scores_fastest
+    from trex_tpu.padding import next_bucket
 
     if score_batch_fn is None:
         score_batch_fn = batched_scores_fastest
@@ -78,9 +83,15 @@ def parsimony_hill_climb(
     )
     n_all = start.n_all
 
-    neighbors_fn = spr_neighborhood if neighborhood == "spr" else nni_neighbors
+    neighbors_fn = (
+        spr_neighborhood_host if neighborhood == "spr" else nni_neighbors_host
+    )
     for round_idx in range(max_rounds):
-        nbrs = neighbors_fn(current)
+        # Candidate generation stays HOST-side numpy; only the children
+        # tensors cross to the device (scoring never reads parents values,
+        # so the device batch carries a broadcast placeholder — half the
+        # transfer at O(n^2)-candidate neighborhoods).
+        nbr_children, nbr_parents = neighbors_fn(current)
         if random_kicks > 0 and native.available():
             extra_c, extra_p = [], []
             children_np = np.asarray(current.children)
@@ -96,36 +107,31 @@ def parsimony_hill_climb(
                 if moved is not None:
                     extra_c.append(moved[0])
                     extra_p.append(moved[1])
-            nbrs = Topology(
-                children=jnp.concatenate(
-                    [nbrs.children, jnp.asarray(np.stack(extra_c))]
-                ),
-                parents=jnp.concatenate(
-                    [nbrs.parents, jnp.asarray(np.stack(extra_p))]
-                ),
-            )
+            nbr_children = np.concatenate([nbr_children, np.stack(extra_c)])
+            nbr_parents = np.concatenate([nbr_parents, np.stack(extra_p)])
         # Bucket the candidate batch so XLA compiles one program per bucket,
-        # not one per (varying) neighborhood size.
-        from trex_tpu.padding import next_bucket
-
-        n_real = int(nbrs.children.shape[0])
+        # not one per (varying) neighborhood size; pad host-side.
+        n_real = int(nbr_children.shape[0])
         bucket = next_bucket(n_real, (8, 16, 32, 64, 128, 256, 512, 1024))
+        children_dev = jnp.asarray(nbr_children)
         if bucket != n_real:
-            reps = bucket - n_real
-            nbrs = Topology(
-                children=jnp.concatenate(
-                    [nbrs.children, jnp.broadcast_to(
-                        nbrs.children[-1:], (reps,) + nbrs.children.shape[1:]
-                    )]
-                ),
-                parents=jnp.concatenate(
-                    [nbrs.parents, jnp.broadcast_to(
-                        nbrs.parents[-1:], (reps,) + nbrs.parents.shape[1:]
-                    )]
-                ),
+            children_dev = jnp.concatenate(
+                [
+                    children_dev,
+                    jnp.broadcast_to(
+                        children_dev[-1:],
+                        (bucket - n_real,) + children_dev.shape[1:],
+                    ),
+                ]
             )
+        batch_topo = Topology(
+            children=children_dev,
+            parents=jnp.broadcast_to(
+                jnp.asarray(nbr_parents[0])[None], (bucket, n_all)
+            ),
+        )
         scores = np.asarray(
-            score_batch_fn(nbrs, cost_matrix, leaf_sequences)
+            score_batch_fn(batch_topo, cost_matrix, leaf_sequences)
         )[:n_real]
         evaluations += n_real
         best = int(scores.argmin())
@@ -133,7 +139,10 @@ def parsimony_hill_climb(
             return SearchResult(
                 current, current_score, round_idx, evaluations, trace
             )
-        current = jax.tree_util.tree_map(lambda x: x[best], nbrs)
+        current = Topology(
+            children=jnp.asarray(nbr_children[best].copy()),
+            parents=jnp.asarray(nbr_parents[best].copy()),
+        )
         current_score = float(scores[best])
         trace.append(current_score)
     return SearchResult(current, current_score, max_rounds, evaluations, trace)
