@@ -235,13 +235,17 @@ def cmd_infer(args) -> None:
         from trex_tpu.search.ml import ml_hill_climb
 
         # Compressed patterns + weights are exact for ML too: the total
-        # log-likelihood is a weighted per-site sum.
+        # log-likelihood is a weighted per-site sum. The analytic SPR scan
+        # is parsimony-specific; ML uses the enumerating neighborhood.
+        ml_neighborhood = (
+            "spr" if args.neighborhood == "spr-scan" else args.neighborhood
+        )
         result, lengths, losses = ml_hill_climb(
             start,
             jnp.asarray(patterns),
             n_states,
             max_rounds=args.rounds,
-            neighborhood=args.neighborhood,
+            neighborhood=ml_neighborhood,
             sequences_are_masks=True,
             site_weights=weights,
         )
@@ -297,6 +301,7 @@ def cmd_infer(args) -> None:
                 sequences_are_masks=True,
             )
 
+        scan = args.neighborhood == "spr-scan"
         if args.ratchet > 0:
             from trex_tpu.search.ratchet import parsimony_ratchet
 
@@ -319,7 +324,9 @@ def cmd_infer(args) -> None:
                 jnp.asarray(patterns),
                 max_rounds=args.rounds,
                 neighborhood=args.neighborhood,
-                score_batch_fn=score_batch,
+                score_batch_fn=None if scan else score_batch,
+                site_weights=weights if scan else None,
+                sequences_are_masks=scan,
             )
         newick = save_newick(result.topology, names)
         out["parsimony_score"] = result.score
@@ -643,7 +650,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="stepwise")
     p.add_argument("--orders", type=int, default=4,
                    help="random addition orders for --start stepwise")
-    p.add_argument("--neighborhood", choices=("spr", "nni"), default="spr")
+    p.add_argument("--neighborhood", choices=("spr-scan", "spr", "nni"),
+                   default="spr-scan",
+                   help="spr-scan = analytic all-SPR evaluation (fastest, "
+                        "parsimony only; ml falls back to spr)")
     p.add_argument("--rounds", type=int, default=100,
                    help="max hill-climb rounds")
     p.add_argument("--ratchet", type=int, default=0,

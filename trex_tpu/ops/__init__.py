@@ -35,6 +35,7 @@ from trex_tpu.ops.likelihood_asr import (
     marginal_ancestral_posteriors,
     optimize_branch_lengths_newton,
 )
+from trex_tpu.ops.spr_scan import spr_scan, spr_scan_best
 from trex_tpu.ops.soft_dp import (
     soft_sankoff_score,
     soft_sankoff_score_from_sequences,
@@ -77,6 +78,8 @@ __all__ = [
     "marginal_ancestral_posteriors",
     "branch_length_gradients",
     "optimize_branch_lengths_newton",
+    "spr_scan",
+    "spr_scan_best",
     "soft_sankoff_score",
     "soft_sankoff_score_from_sequences",
     "batched_soft_sankoff_score",

@@ -1,0 +1,229 @@
+"""All-SPR scan: score every SPR rearrangement without per-candidate DP.
+
+The classical fast-parsimony identity (validated exhaustively against brute
+force in ``tests/test_spr_scan.py``): for unit-cost (Fitch) parsimony,
+pruning the subtree S rooted at node p and regrafting it on the edge above
+node v of the remaining tree T∖S gives
+
+    L(new) = L(T∖S) + L(S) + δ(p, v),
+    δ(p, v) = 0  iff  U_p ∩ C_v ≠ ∅  else 1   (per site, weight-summed)
+
+where ``U_p`` is S's root Fitch set (unchanged by pruning) and ``C_v`` is
+the Fitch-combined up/down context of the edge above v in T∖S
+(``up ∩ down`` if nonempty else ``up ∪ down``).
+
+TPU-shaped evaluation: build all n_all−1 pruned variants as one batched
+children tensor (each variant differs from the base tree in ONE row — the
+pruned node's parent becomes a pass-through ``(s, s)`` row, so node indices
+never shift), run ONE vmapped up pass + ONE vmapped down pass (sites on
+lanes), and read every candidate's exact score from a bitwise AND over the
+(variants × nodes × sites) context tensor. Per search round this replaces
+O(n²) candidate DPs (and 100+ MB of host→device topology transfer) with
+the equivalent of ~2n DPs and zero transfer.
+
+Unit-cost only (the identity is Fitch-specific); ambiguity masks and
+per-site weights are supported exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from trex_tpu.topology import Topology
+
+
+def _combine0(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Fitch combine with 0 = "no information" identity element."""
+    inter = a & b
+    merged = jnp.where(inter == 0, a | b, inter)
+    merged = jnp.where(a == 0, b, merged)
+    return jnp.where(b == 0, a, merged)
+
+
+@partial(jax.jit, static_argnames=("sequences_are_masks",))
+def spr_scan(
+    topology: Topology,
+    leaf_sequences: jax.Array,
+    site_weights: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact parsimony scores of ALL SPR rearrangements of one tree.
+
+    Args:
+        topology: single (unbatched) tree over n_all nodes.
+        leaf_sequences: (n_leaves, L) int states, or int32 state-set masks
+            with ``sequences_are_masks=True``.
+        site_weights: optional (L,) per-site multiplicities.
+
+    Returns:
+        scores: (n_all, n_all) f32 — ``scores[p, v]`` is the exact unit-cost
+            parsimony score of the tree obtained by pruning the subtree at p
+            and regrafting it on the edge above v; +inf at invalid pairs
+            (v inside the pruned subtree, v == parent(p), v == the remaining
+            tree's root, p == root). Reattaching at p's sibling reproduces
+            the original tree, so ``scores[p, sibling(p)]`` equals the
+            current score.
+        base_score: scalar f32 — the unmodified tree's score.
+    """
+    n_leaves = topology.n_leaves
+    n_all = topology.n_all
+    n_anc = topology.n_ancestors
+    length = leaf_sequences.shape[-1]
+    root = n_all - 1
+
+    if sequences_are_masks:
+        masks = leaf_sequences.astype(jnp.int32)
+    else:
+        masks = (jnp.int32(1) << leaf_sequences.astype(jnp.int32)).astype(
+            jnp.int32
+        )
+    if site_weights is None:
+        weights = jnp.ones((length,), jnp.float32)
+    else:
+        weights = site_weights.astype(jnp.float32)
+
+    children = topology.children.astype(jnp.int32)
+    parents = topology.parents.astype(jnp.int32)
+
+    # Pruned variants: for prune node p with parent q and sibling s, variant
+    # children = base children with row (q - n_leaves) set to (s, s). The
+    # pass-through row keeps every node index stable: up(q) = up(s) with no
+    # event, and the down pass forwards down(q) to s unchanged.
+    prune_nodes = jnp.arange(n_all - 1, dtype=jnp.int32)  # every non-root
+    q_rows = parents[prune_nodes] - n_leaves  # (P,)
+    row_pair = children[q_rows]  # (P, 2)
+    siblings = row_pair[:, 0] + row_pair[:, 1] - prune_nodes  # (P,)
+
+    def variant(q_row, sib):
+        return children.at[q_row].set(jnp.stack([sib, sib]))
+
+    var_children = jax.vmap(variant)(q_rows, siblings)  # (P, n_anc, 2)
+
+    def up_pass(ch):
+        """(n_all, L) Fitch up sets + per-site event counts."""
+        sets0 = jnp.zeros((n_all, length), jnp.int32)
+        sets0 = sets0.at[:n_leaves].set(masks)
+        events0 = jnp.zeros((length,), jnp.float32)
+
+        def step(carry, inputs):
+            sets, events = carry
+            anc_offset, pair = inputs
+            c = sets[pair]
+            inter = c[0] & c[1]
+            empty = inter == 0
+            merged = jnp.where(empty, c[0] | c[1], inter)
+            sets = jax.lax.dynamic_update_slice(
+                sets, merged[None], (n_leaves + anc_offset, 0)
+            )
+            return (sets, events + empty.astype(jnp.float32)), None
+
+        offsets = jnp.arange(n_anc, dtype=jnp.int32)
+        (sets, events), _ = jax.lax.scan(step, (sets0, events0), (offsets, ch))
+        return sets, events
+
+    def down_pass(ch, up):
+        """(n_all, L) down contexts (0 = none); pass-through rows forward."""
+        down0 = jnp.zeros((n_all, length), jnp.int32)
+
+        def step(down, inputs):
+            anc_offset, pair = inputs
+            node = n_leaves + anc_offset
+            d = down[node]
+            c1, c2 = pair[0], pair[1]
+            is_pass = c1 == c2
+            ctx1 = jnp.where(is_pass, d, _combine0(d, up[c2]))
+            ctx2 = _combine0(d, up[c1])
+            down = down.at[c1].set(ctx1)
+            # For pass-through rows both entries are c1; writing ctx2 there
+            # would clobber the forwarded context, so write ctx1 again.
+            down = down.at[c2].set(jnp.where(is_pass, ctx1, ctx2))
+            return down, None
+
+        offsets = jnp.arange(n_anc, dtype=jnp.int32)
+        down, _ = jax.lax.scan(
+            step, down0, (offsets, ch), reverse=True
+        )
+        return down
+
+    base_sets, base_events = up_pass(children)
+    base_score = jnp.sum(base_events * weights)
+
+    var_up, var_events = jax.vmap(up_pass)(var_children)  # (P,n_all,L),(P,L)
+    var_down = jax.vmap(down_pass)(var_children, var_up)  # (P, n_all, L)
+
+    # Variant totals include the pruned subtree's internal events (its rows
+    # still compute below p), so total(p) = L(T∖S) + L(S) — exactly the
+    # first two terms of the identity.
+    totals = jnp.sum(var_events * weights[None, :], axis=-1)  # (P,)
+
+    # U_p: the pruned subtree's root set — p's subtree is untouched in its
+    # own variant, so read it there.
+    u_p = var_up[prune_nodes, prune_nodes]  # (P, L)
+
+    # Edge contexts and per-site join penalties.
+    ctx = _combine0(var_up, var_down)  # (P, n_all, L)
+    empty_join = (u_p[:, None, :] & ctx) == 0  # (P, n_all, L)
+    delta = jnp.sum(
+        empty_join.astype(jnp.float32) * weights[None, None, :], axis=-1
+    )  # (P, n_all)
+
+    scores = totals[:, None] + delta  # (P, n_all)
+
+    # Invalid regrafts -> +inf: v inside S(p) (ancestor-or-self p of v),
+    # v == parent(p) (suppressed), v == remaining root.
+    # in_S[p, v]: walk v's parent chain, check if it hits p.
+    idx = jnp.arange(n_all, dtype=jnp.int32)
+
+    def mark(carry, _):
+        ptr, hit = carry
+        hit = hit | (ptr[None, :] == prune_nodes[:, None])
+        ptr = parents[ptr]
+        return (ptr, hit), None
+
+    (_, in_s), _ = jax.lax.scan(
+        mark,
+        (idx, jnp.zeros((n_all - 1, n_all), bool)),
+        None,
+        length=n_all,
+    )
+    q = parents[prune_nodes]
+    rem_root = jnp.where(q == root, siblings, root)  # (P,)
+    invalid = (
+        in_s
+        | (idx[None, :] == q[:, None])
+        | (idx[None, :] == rem_root[:, None])
+        | (idx[None, :] == root)
+    )
+    scores = jnp.where(invalid, jnp.inf, scores)
+
+    # Pad the prune axis to n_all (root row all-inf) for a square output.
+    scores = jnp.concatenate(
+        [scores, jnp.full((1, n_all), jnp.inf, scores.dtype)]
+    )
+    return scores, base_score
+
+
+def spr_scan_best(
+    topology: Topology,
+    leaf_sequences: jax.Array,
+    site_weights: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(best_score, prune_node, regraft_node, base_score) of the SPR scan."""
+    scores, base = spr_scan(
+        topology, leaf_sequences, site_weights,
+        sequences_are_masks=sequences_are_masks,
+    )
+    flat = jnp.argmin(scores.reshape(-1))
+    n_all = scores.shape[-1]
+    return (
+        scores.reshape(-1)[flat],
+        (flat // n_all).astype(jnp.int32),
+        (flat % n_all).astype(jnp.int32),
+        base,
+    )

@@ -44,6 +44,8 @@ def parsimony_hill_climb(
     random_kicks: int = 0,
     key: jax.Array | None = None,
     neighborhood: str = "nni",
+    site_weights: jax.Array | None = None,
+    sequences_are_masks: bool = False,
 ) -> SearchResult:
     """Greedy hill climb from ``start``; stops at a local optimum.
 
@@ -57,8 +59,13 @@ def parsimony_hill_climb(
         random_kicks: extra random SPR moves added to each neighborhood
             (cheap diversification; 0 = none).
         key: PRNG key, only needed when ``random_kicks > 0``.
-        neighborhood: "nni" (2(n-2) moves/round) or "spr" (O(n^2)
-            moves/round, stronger optima, needs the native library).
+        neighborhood: "nni" (2(n-2) moves/round), "spr" (O(n^2)
+            moves/round, stronger optima, needs the native library), or
+            "spr-scan" (the same SPR neighborhood evaluated analytically by
+            ``ops.spr_scan`` — one up/down pass per round instead of O(n^2)
+            candidate DPs; unit-cost only, incompatible with a custom
+            ``score_batch_fn``; ``site_weights``/``sequences_are_masks``
+            apply).
 
     Returns:
         ``SearchResult`` with the best topology found and the score trace.
@@ -66,6 +73,18 @@ def parsimony_hill_climb(
     from trex_tpu.io import native, nni_neighbors_host, spr_neighborhood_host
     from trex_tpu.ops.dispatch import batched_scores_fastest
     from trex_tpu.padding import next_bucket
+
+    if neighborhood == "spr-scan":
+        if score_batch_fn is not None:
+            raise ValueError(
+                "spr-scan evaluates candidates analytically; custom "
+                "score_batch_fn is not supported"
+            )
+        return _spr_scan_climb(
+            start, leaf_sequences, max_rounds,
+            site_weights=site_weights,
+            sequences_are_masks=sequences_are_masks,
+        )
 
     if score_batch_fn is None:
         score_batch_fn = batched_scores_fastest
@@ -145,6 +164,60 @@ def parsimony_hill_climb(
         )
         current_score = float(scores[best])
         trace.append(current_score)
+    return SearchResult(current, current_score, max_rounds, evaluations, trace)
+
+
+def _spr_scan_climb(
+    start: Topology,
+    leaf_sequences: jax.Array,
+    max_rounds: int,
+    *,
+    site_weights: jax.Array | None,
+    sequences_are_masks: bool,
+) -> SearchResult:
+    """Hill climb where each round is ONE analytic all-SPR scan.
+
+    Per round: ``ops.spr_scan`` scores the entire O(n^2) SPR neighborhood
+    from a batched up/down pass on device (no candidate topologies are
+    built or transferred), the argmin move is applied host-side with the
+    native ``spr_move``, repeat until no move improves. ``evaluations``
+    counts scored candidates (finite scan entries) for comparability with
+    the enumerating climber.
+    """
+    import numpy as np
+
+    from trex_tpu.io import spr_move
+    from trex_tpu.ops.spr_scan import spr_scan
+
+    current = start
+    scores, base = spr_scan(
+        current, leaf_sequences, site_weights,
+        sequences_are_masks=sequences_are_masks,
+    )
+    current_score = float(base)
+    trace = [current_score]
+    evaluations = 1
+    for round_idx in range(max_rounds):
+        scores_np = np.asarray(scores)
+        evaluations += int(np.isfinite(scores_np).sum())
+        flat = int(np.argmin(scores_np))
+        p, v = divmod(flat, scores_np.shape[-1])
+        best = float(scores_np[p, v])
+        if best >= current_score:
+            return SearchResult(
+                current, current_score, round_idx, evaluations, trace
+            )
+        moved = spr_move(current, p, v)
+        if moved is None:  # defensive; scan-valid moves are spr_move-valid
+            return SearchResult(
+                current, current_score, round_idx, evaluations, trace
+            )
+        current, current_score = moved, best
+        trace.append(current_score)
+        scores, _ = spr_scan(
+            current, leaf_sequences, site_weights,
+            sequences_are_masks=sequences_are_masks,
+        )
     return SearchResult(current, current_score, max_rounds, evaluations, trace)
 
 

@@ -108,7 +108,12 @@ def parsimony_ratchet(
         else site_weights.astype(jnp.float32)
     )
 
+    scan = neighborhood == "spr-scan"
+
     def scores_with(w):
+        if scan:
+            return None  # spr-scan takes weights directly
+
         def fn(topos, cost, leaves):
             return batched_scores_fastest(
                 topos, cost, leaves, site_weights=w,
@@ -117,17 +122,22 @@ def parsimony_ratchet(
 
         return fn
 
+    def climb(topo, w, score_fn):
+        return parsimony_hill_climb(
+            topo,
+            cost_matrix,
+            leaf_sequences,
+            max_rounds=climb_rounds,
+            score_batch_fn=score_fn,
+            neighborhood=neighborhood,
+            site_weights=w if scan else None,
+            sequences_are_masks=sequences_are_masks if scan else False,
+        )
+
     true_scores = scores_with(base_weights)
 
     current = start
-    best_result = parsimony_hill_climb(
-        current,
-        cost_matrix,
-        leaf_sequences,
-        max_rounds=climb_rounds,
-        score_batch_fn=true_scores,
-        neighborhood=neighborhood,
-    )
+    best_result = climb(current, base_weights, true_scores)
     current = best_result.topology
     best_topo, best_score = best_result.topology, best_result.score
     trace = [best_score]
@@ -142,23 +152,9 @@ def parsimony_ratchet(
         weights = base_weights * jnp.where(upweighted, perturb_weight, 1.0)
         weighted_scores = scores_with(weights)
 
-        perturbed = parsimony_hill_climb(
-            current,
-            cost_matrix,
-            leaf_sequences,
-            max_rounds=climb_rounds,
-            score_batch_fn=weighted_scores,
-            neighborhood=neighborhood,
-        )
+        perturbed = climb(current, weights, weighted_scores)
         evaluations += perturbed.evaluations
-        reclimbed = parsimony_hill_climb(
-            perturbed.topology,
-            cost_matrix,
-            leaf_sequences,
-            max_rounds=climb_rounds,
-            score_batch_fn=true_scores,
-            neighborhood=neighborhood,
-        )
+        reclimbed = climb(perturbed.topology, base_weights, true_scores)
         evaluations += reclimbed.evaluations
         current = reclimbed.topology
         if reclimbed.score < best_score:
