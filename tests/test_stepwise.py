@@ -72,6 +72,22 @@ def test_multi_order_takes_best():
     assert best <= max(single_scores)
 
 
+def test_scan_and_batched_paths_agree():
+    from trex_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    _, seqs = _groundtruth(n_leaves=16, seed=21)
+    for seed in (0, 1):
+        t_scan, s_scan = stepwise_addition(seqs, 4, seed=seed, use_scan=True)
+        t_batch, s_batch = stepwise_addition(seqs, 4, seed=seed, use_scan=False)
+        # Same greedy rule, same exact per-edge scores: equal tree quality
+        # (tie-breaking order may differ between the two evaluators).
+        assert s_scan == s_batch
+        _assert_valid_topology(t_scan)
+        assert float(fitch_score(t_scan, jnp.asarray(np.asarray(seqs)))) == s_scan
+
+
 def test_masks_input_and_site_weights():
     _, seqs = _groundtruth(n_leaves=8, seed=11)
     seqs = np.asarray(seqs)

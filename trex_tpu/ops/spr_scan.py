@@ -50,6 +50,7 @@ def spr_scan(
     site_weights: jax.Array | None = None,
     *,
     sequences_are_masks: bool = False,
+    prune_nodes: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact parsimony scores of ALL SPR rearrangements of one tree.
 
@@ -58,15 +59,19 @@ def spr_scan(
         leaf_sequences: (n_leaves, L) int states, or int32 state-set masks
             with ``sequences_are_masks=True``.
         site_weights: optional (L,) per-site multiplicities.
+        prune_nodes: optional (P,) int32 subset of prune nodes to evaluate
+            (default: every non-root node). Stepwise addition uses a single
+            prune node per step — one O(n) pass instead of the full scan.
 
     Returns:
-        scores: (n_all, n_all) f32 — ``scores[p, v]`` is the exact unit-cost
-            parsimony score of the tree obtained by pruning the subtree at p
-            and regrafting it on the edge above v; +inf at invalid pairs
-            (v inside the pruned subtree, v == parent(p), v == the remaining
-            tree's root, p == root). Reattaching at p's sibling reproduces
-            the original tree, so ``scores[p, sibling(p)]`` equals the
-            current score.
+        scores: (P_out, n_all) f32 — ``scores[i, v]`` is the exact unit-cost
+            parsimony score of the tree obtained by pruning the subtree at
+            ``prune_nodes[i]`` and regrafting it on the edge above v; +inf
+            at invalid pairs (v inside the pruned subtree, v == parent(p),
+            v == the remaining tree's root). With the default prune set the
+            output is padded to a square (n_all, n_all) with an all-inf
+            root row, and ``scores[p, sibling(p)]`` equals the current
+            score (reattachment no-op).
         base_score: scalar f32 — the unmodified tree's score.
     """
     n_leaves = topology.n_leaves
@@ -93,7 +98,11 @@ def spr_scan(
     # children = base children with row (q - n_leaves) set to (s, s). The
     # pass-through row keeps every node index stable: up(q) = up(s) with no
     # event, and the down pass forwards down(q) to s unchanged.
-    prune_nodes = jnp.arange(n_all - 1, dtype=jnp.int32)  # every non-root
+    full_scan = prune_nodes is None
+    if full_scan:
+        prune_nodes = jnp.arange(n_all - 1, dtype=jnp.int32)  # every non-root
+    else:
+        prune_nodes = prune_nodes.astype(jnp.int32)
     q_rows = parents[prune_nodes] - n_leaves  # (P,)
     row_pair = children[q_rows]  # (P, 2)
     siblings = row_pair[:, 0] + row_pair[:, 1] - prune_nodes  # (P,)
@@ -186,7 +195,7 @@ def spr_scan(
 
     (_, in_s), _ = jax.lax.scan(
         mark,
-        (idx, jnp.zeros((n_all - 1, n_all), bool)),
+        (idx, jnp.zeros((prune_nodes.shape[0], n_all), bool)),
         None,
         length=n_all,
     )
@@ -200,10 +209,11 @@ def spr_scan(
     )
     scores = jnp.where(invalid, jnp.inf, scores)
 
-    # Pad the prune axis to n_all (root row all-inf) for a square output.
-    scores = jnp.concatenate(
-        [scores, jnp.full((1, n_all), jnp.inf, scores.dtype)]
-    )
+    if full_scan:
+        # Pad the prune axis to n_all (root row all-inf): square output.
+        scores = jnp.concatenate(
+            [scores, jnp.full((1, n_all), jnp.inf, scores.dtype)]
+        )
     return scores, base_score
 
 

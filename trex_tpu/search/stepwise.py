@@ -155,6 +155,7 @@ def stepwise_addition(
     order: np.ndarray | None = None,
     seed: int | None = None,
     site_weights=None,
+    use_scan: bool | None = None,
 ) -> tuple[Topology, float]:
     """Build a tree by greedy stepwise addition (TPU-batched scoring).
 
@@ -165,14 +166,21 @@ def stepwise_addition(
         order: explicit addition order (permutation of taxa); default is a
             random order from ``seed`` (or 0).
         site_weights: optional (L,) weights (compressed patterns/bootstrap).
+        use_scan: evaluate each insertion step with the analytic scan
+            (``ops.spr_scan`` restricted to the inserted taxon: one O(n)
+            up/down pass per step instead of batch-scoring 2n candidate
+            trees — O(n^2 L) total construction). Default: when the native
+            library is available (the scan applies moves via
+            ``io.spr_move``). Both paths are exact and reach trees of equal
+            score.
 
     Returns:
         (topology, score): the grown tree over all taxa and its exact
         unit-cost parsimony score.
 
-    Every addition step scores all insertion edges in one fixed-shape batch
-    (padded to ``2 * n_leaves - 2`` candidates), so XLA compiles the scorer
-    once for the whole construction.
+    In the batched path every addition step scores all insertion edges in
+    one fixed-shape batch (padded to ``2 * n_leaves - 2`` candidates), so
+    XLA compiles the scorer once for the whole construction.
     """
     seqs = np.asarray(leaf_sequences)
     n_leaves = seqs.shape[0]
@@ -193,6 +201,15 @@ def stepwise_addition(
 
     hamming = jnp.ones((n_states, n_states)) - jnp.eye(n_states)
     max_candidates = 2 * n_leaves - 2
+
+    if use_scan is None:
+        from trex_tpu.io import native
+
+        use_scan = native.available()
+    if use_scan:
+        return _stepwise_scan(
+            masks, n_states, order, full_mask, site_weights, hamming
+        )
 
     # Seed tree: the first three taxa (all rooted resolutions of 3 taxa give
     # the same unrooted tree, hence the same parsimony score).
@@ -247,6 +264,67 @@ def stepwise_addition(
     )
     topo = jax.tree.map(lambda a: a[0], batched)
     return topo, final_score
+
+
+def _stepwise_scan(
+    masks: np.ndarray,
+    n_states: int,
+    order: list[int],
+    full_mask: np.int32,
+    site_weights,
+    hamming,
+) -> tuple[Topology, float]:
+    """Scan-based stepwise addition: one analytic pass per inserted taxon.
+
+    The full-size padded representation (not-yet-added taxa fully
+    ambiguous) makes each insertion exactly an SPR of the new leaf, so
+    ``spr_scan`` restricted to that single prune node scores every
+    insertion edge in one O(n) up/down pass; the winning move is applied
+    with the native ``io.spr_move``.
+    """
+    from trex_tpu.io import spr_move
+    from trex_tpu.ops.fitch import fitch_score
+    from trex_tpu.ops.spr_scan import spr_scan
+
+    n_leaves = masks.shape[0]
+    t0, t1, t2 = order[:3]
+    tree = _GrowingTree(
+        root=-1, parent={t0: -1, t1: -1}, kids={-1: [t0, t1]}, next_label=-2
+    )
+    tree.attach(t2, None)
+    children = _materialize(tree, order[3:], n_leaves)
+    topo = Topology(
+        children=jnp.asarray(children),
+        parents=jnp.asarray(_children_to_parents(children, n_leaves)),
+    )
+
+    scored_masks = np.full_like(masks, full_mask)
+    for t in order[:3]:
+        scored_masks[t] = masks[t]
+    weights = (
+        None if site_weights is None
+        else jnp.asarray(site_weights, jnp.float32)
+    )
+    for t in order[3:]:
+        scored_masks[t] = masks[t]
+        scores, _ = spr_scan(
+            topo, jnp.asarray(scored_masks), weights,
+            sequences_are_masks=True,
+            prune_nodes=jnp.asarray([t], jnp.int32),
+        )
+        row = np.asarray(scores)[0]
+        v = int(np.nanargmin(np.where(np.isfinite(row), row, np.nan)))
+        moved = spr_move(topo, t, v)
+        if moved is not None:  # v == sibling is a no-op reattachment
+            topo = moved
+
+    final = float(
+        fitch_score(
+            topo, jnp.asarray(masks), site_mask=weights,
+            sequences_are_masks=True,
+        )
+    )
+    return topo, final
 
 
 def stepwise_addition_multi(
