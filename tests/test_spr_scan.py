@@ -110,6 +110,22 @@ def test_scan_entries_match_brute_force(seed):
     assert not np.isfinite(scores[-1]).any()
 
 
+def test_prune_subset_and_chunking_match_full_scan():
+    rng = np.random.default_rng(31)
+    n_leaves = 9
+    topo = _single(random_topologies(jax.random.key(31), n_leaves, 1), 0)
+    leaf = jnp.asarray(rng.integers(0, Q, size=(n_leaves, 20)).astype(np.int32))
+    full, base = spr_scan(topo, leaf)
+    chunked, base2 = spr_scan(topo, leaf, prune_chunk=5)  # 16 prunes, pad
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
+    assert float(base) == float(base2)
+    subset = jnp.asarray([0, 3, 11], jnp.int32)
+    part, _ = spr_scan(topo, leaf, prune_nodes=subset)
+    np.testing.assert_array_equal(
+        np.asarray(part), np.asarray(full)[np.asarray(subset)]
+    )
+
+
 def test_scan_min_matches_neighborhood_min():
     """The scan's optimum equals exhaustive neighborhood rescoring."""
     pytest.importorskip("trex_tpu.io.native")

@@ -43,7 +43,7 @@ def _combine0(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.where(b == 0, a, merged)
 
 
-@partial(jax.jit, static_argnames=("sequences_are_masks",))
+@partial(jax.jit, static_argnames=("sequences_are_masks", "prune_chunk"))
 def spr_scan(
     topology: Topology,
     leaf_sequences: jax.Array,
@@ -51,6 +51,7 @@ def spr_scan(
     *,
     sequences_are_masks: bool = False,
     prune_nodes: jax.Array | None = None,
+    prune_chunk: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact parsimony scores of ALL SPR rearrangements of one tree.
 
@@ -62,6 +63,10 @@ def spr_scan(
         prune_nodes: optional (P,) int32 subset of prune nodes to evaluate
             (default: every non-root node). Stepwise addition uses a single
             prune node per step — one O(n) pass instead of the full scan.
+        prune_chunk: process prune variants in chunks of this size
+            (``lax.map`` batches) to bound the peak (chunk x nodes x sites)
+            set tensors — needed beyond ~256 taxa x 2k sites on a 16 GB
+            chip. Must divide the prune count; None = all at once.
 
     Returns:
         scores: (P_out, n_all) f32 — ``scores[i, v]`` is the exact unit-cost
@@ -161,26 +166,49 @@ def spr_scan(
     base_sets, base_events = up_pass(children)
     base_score = jnp.sum(base_events * weights)
 
-    var_up, var_events = jax.vmap(up_pass)(var_children)  # (P,n_all,L),(P,L)
-    var_down = jax.vmap(down_pass)(var_children, var_up)  # (P, n_all, L)
+    def chunk_scores(args):
+        pn, vch = args  # (C,), (C, n_anc, 2)
+        up, events = jax.vmap(up_pass)(vch)  # (C, n_all, L), (C, L)
+        down = jax.vmap(down_pass)(vch, up)  # (C, n_all, L)
+        # Variant totals include the pruned subtree's internal events (its
+        # rows still compute below p), so total(p) = L(T∖S) + L(S) —
+        # exactly the first two terms of the identity.
+        totals = jnp.sum(events * weights[None, :], axis=-1)  # (C,)
+        # U_p: the pruned subtree's root set — p's subtree is untouched in
+        # its own variant, so read it there.
+        u_p = up[jnp.arange(pn.shape[0]), pn]  # (C, L)
+        # Edge contexts and per-site join penalties.
+        ctx = _combine0(up, down)  # (C, n_all, L)
+        empty_join = (u_p[:, None, :] & ctx) == 0
+        delta = jnp.sum(
+            empty_join.astype(jnp.float32) * weights[None, None, :], axis=-1
+        )  # (C, n_all)
+        return totals[:, None] + delta
 
-    # Variant totals include the pruned subtree's internal events (its rows
-    # still compute below p), so total(p) = L(T∖S) + L(S) — exactly the
-    # first two terms of the identity.
-    totals = jnp.sum(var_events * weights[None, :], axis=-1)  # (P,)
-
-    # U_p: the pruned subtree's root set — p's subtree is untouched in its
-    # own variant, so read it there.
-    u_p = var_up[prune_nodes, prune_nodes]  # (P, L)
-
-    # Edge contexts and per-site join penalties.
-    ctx = _combine0(var_up, var_down)  # (P, n_all, L)
-    empty_join = (u_p[:, None, :] & ctx) == 0  # (P, n_all, L)
-    delta = jnp.sum(
-        empty_join.astype(jnp.float32) * weights[None, None, :], axis=-1
-    )  # (P, n_all)
-
-    scores = totals[:, None] + delta  # (P, n_all)
+    n_prune = prune_nodes.shape[0]
+    if prune_chunk is None or prune_chunk >= n_prune:
+        scores = chunk_scores((prune_nodes, var_children))
+    else:
+        pad = (-n_prune) % prune_chunk
+        pn = jnp.concatenate(
+            [prune_nodes, jnp.broadcast_to(prune_nodes[-1:], (pad,))]
+        )
+        vch = jnp.concatenate(
+            [
+                var_children,
+                jnp.broadcast_to(
+                    var_children[-1:], (pad,) + var_children.shape[1:]
+                ),
+            ]
+        )
+        k = pn.shape[0] // prune_chunk
+        scores = jax.lax.map(
+            chunk_scores,
+            (
+                pn.reshape(k, prune_chunk),
+                vch.reshape(k, prune_chunk, n_anc, 2),
+            ),
+        ).reshape(-1, n_all)[:n_prune]
 
     # Invalid regrafts -> +inf: v inside S(p) (ancestor-or-self p of v),
     # v == parent(p) (suppressed), v == remaining root.

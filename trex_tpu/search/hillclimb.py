@@ -189,10 +189,20 @@ def _spr_scan_climb(
     from trex_tpu.io import spr_move
     from trex_tpu.ops.spr_scan import spr_scan
 
+    # Bound the scan's peak (chunk x nodes x sites) set tensors to ~2 GB.
+    n_all = start.n_all
+    length = leaf_sequences.shape[-1]
+    full_bytes = (n_all - 1) * n_all * length * 4 * 2
+    budget = 2 << 30
+    prune_chunk = (
+        None if full_bytes <= budget
+        else max(1, budget // (n_all * length * 8))
+    )
+
     current = start
     scores, base = spr_scan(
         current, leaf_sequences, site_weights,
-        sequences_are_masks=sequences_are_masks,
+        sequences_are_masks=sequences_are_masks, prune_chunk=prune_chunk,
     )
     current_score = float(base)
     trace = [current_score]
@@ -216,7 +226,7 @@ def _spr_scan_climb(
         trace.append(current_score)
         scores, _ = spr_scan(
             current, leaf_sequences, site_weights,
-            sequences_are_masks=sequences_are_masks,
+            sequences_are_masks=sequences_are_masks, prune_chunk=prune_chunk,
         )
     return SearchResult(current, current_score, max_rounds, evaluations, trace)
 
