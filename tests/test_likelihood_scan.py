@@ -1,0 +1,122 @@
+"""Analytic ML SPR scan (ops.likelihood_scan) vs explicit rescoring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trex_tpu.io import native, spr_move
+from trex_tpu.ops.likelihood import tree_log_likelihood
+from trex_tpu.ops.likelihood_scan import likelihood_spr_scan
+from trex_tpu.topology import random_topologies
+
+Q = 4
+T0 = 0.13
+
+
+def _single(topos, i):
+    return jax.tree_util.tree_map(lambda a: a[i], topos)
+
+
+def _exact(topo, leaf, weights=None, masks=False):
+    blens = jnp.full((topo.n_all,), T0)
+    return -float(
+        tree_log_likelihood(
+            topo, blens, leaf, Q, site_mask=weights,
+            sequences_are_masks=masks,
+        )
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_scan_entries_match_explicit_rescoring(seed):
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(seed)
+    n_leaves = 7
+    topo = _single(random_topologies(jax.random.key(seed + 70), n_leaves, 1), 0)
+    leaf = jnp.asarray(rng.integers(0, Q, size=(n_leaves, 15)).astype(np.int32))
+
+    scores, base = likelihood_spr_scan(topo, leaf, Q, T0)
+    scores = np.asarray(scores)
+    np.testing.assert_allclose(float(base), _exact(topo, leaf), rtol=1e-5)
+
+    n_all = 2 * n_leaves - 1
+    checked = 0
+    for p in range(n_all - 1):
+        for v in range(n_all):
+            if not np.isfinite(scores[p, v]):
+                continue
+            moved = spr_move(topo, p, v)
+            if moved is None:  # no-op reattachment: equals the base tree
+                np.testing.assert_allclose(
+                    scores[p, v], float(base), rtol=1e-5
+                )
+                continue
+            np.testing.assert_allclose(
+                scores[p, v], _exact(moved, leaf), rtol=2e-5,
+                err_msg=f"(p={p}, v={v})",
+            )
+            checked += 1
+    assert checked > 2 * n_all
+
+
+def test_scan_with_masks_weights_and_chunking():
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    n_leaves = 8
+    topo = _single(random_topologies(jax.random.key(75), n_leaves, 1), 0)
+    seqs = rng.integers(0, Q, size=(n_leaves, 18)).astype(np.int32)
+    masks = (1 << seqs).astype(np.int32)
+    masks[2, :4] = 0b1111
+    weights = jnp.asarray(rng.integers(1, 3, size=18), jnp.float32)
+
+    full, base = likelihood_spr_scan(
+        topo, jnp.asarray(masks), Q, T0, weights, sequences_are_masks=True
+    )
+    chunked, base2 = likelihood_spr_scan(
+        topo, jnp.asarray(masks), Q, T0, weights, sequences_are_masks=True,
+        prune_chunk=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(base), float(base2), rtol=1e-6)
+
+    scores = np.asarray(full)
+    n_all = 2 * n_leaves - 1
+    for p in range(0, n_all - 1, 3):
+        for v in range(0, n_all, 4):
+            if not np.isfinite(scores[p, v]):
+                continue
+            moved = spr_move(topo, p, v)
+            if moved is None:
+                continue
+            np.testing.assert_allclose(
+                scores[p, v],
+                _exact(moved, jnp.asarray(masks), weights, masks=True),
+                rtol=2e-5,
+            )
+
+
+def test_ml_scan_climb_matches_enumerating_climb():
+    from trex_tpu.search.ml import ml_hill_climb
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(9)
+    n_leaves = 9
+    topo = _single(random_topologies(jax.random.key(99), n_leaves, 1), 0)
+    leaf = jnp.asarray(rng.integers(0, Q, size=(n_leaves, 40)).astype(np.int32))
+    scan, scan_lengths, scan_losses = ml_hill_climb(
+        topo, leaf, Q, neighborhood="spr-scan", max_rounds=30,
+        ranking_branch_length=T0,
+    )
+    enum, _, _ = ml_hill_climb(
+        topo, leaf, Q, neighborhood="spr", max_rounds=30,
+        ranking_branch_length=T0,
+    )
+    np.testing.assert_allclose(scan.score, enum.score, rtol=2e-5)
+    assert np.all(np.asarray(scan_lengths) > 0)
+    assert np.isfinite(float(scan_losses[-1]))

@@ -235,17 +235,13 @@ def cmd_infer(args) -> None:
         from trex_tpu.search.ml import ml_hill_climb
 
         # Compressed patterns + weights are exact for ML too: the total
-        # log-likelihood is a weighted per-site sum. The analytic SPR scan
-        # is parsimony-specific; ML uses the enumerating neighborhood.
-        ml_neighborhood = (
-            "spr" if args.neighborhood == "spr-scan" else args.neighborhood
-        )
+        # log-likelihood is a weighted per-site sum.
         result, lengths, losses = ml_hill_climb(
             start,
             jnp.asarray(patterns),
             n_states,
             max_rounds=args.rounds,
-            neighborhood=ml_neighborhood,
+            neighborhood=args.neighborhood,
             sequences_are_masks=True,
             site_weights=weights,
         )
@@ -652,8 +648,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="random addition orders for --start stepwise")
     p.add_argument("--neighborhood", choices=("spr-scan", "spr", "nni"),
                    default="spr-scan",
-                   help="spr-scan = analytic all-SPR evaluation (fastest, "
-                        "parsimony only; ml falls back to spr)")
+                   help="spr-scan = analytic all-SPR evaluation (fastest; "
+                        "exact under both criteria)")
     p.add_argument("--rounds", type=int, default=100,
                    help="max hill-climb rounds")
     p.add_argument("--ratchet", type=int, default=0,

@@ -35,6 +35,7 @@ from trex_tpu.ops.likelihood_asr import (
     marginal_ancestral_posteriors,
     optimize_branch_lengths_newton,
 )
+from trex_tpu.ops.likelihood_scan import likelihood_spr_scan
 from trex_tpu.ops.spr_scan import spr_scan, spr_scan_best
 from trex_tpu.ops.soft_dp import (
     soft_sankoff_score,
@@ -80,6 +81,7 @@ __all__ = [
     "optimize_branch_lengths_newton",
     "spr_scan",
     "spr_scan_best",
+    "likelihood_spr_scan",
     "soft_sankoff_score",
     "soft_sankoff_score_from_sequences",
     "batched_soft_sankoff_score",

@@ -1,0 +1,278 @@
+"""All-SPR scan under the likelihood criterion (fixed ranking lengths).
+
+``search.ml.ml_hill_climb`` ranks SPR candidates by pruning log-likelihood
+with every branch fixed at one length t0 — which makes the likelihood of ANY
+rearrangement a LOCAL contraction of cached partials, no per-candidate
+pruning pass needed. Inserting node w (all three incident branches t0) on
+the edge above v of T∖S, with the pruned subtree S below it:
+
+    L_site(p, v) = Σ_m  (P0ᵀ upstream_v)(m) · (P0 inside_v)(m) · (P0 U_S)(m)
+
+where ``inside`` / ``upstream`` are T∖S's Felsenstein partials (computed
+once per prune variant with the same pass-through-row trick as
+``ops.spr_scan``; per-node rescalings are tracked in log space and added
+back, so scores are ABSOLUTE log-likelihoods). Exact for the all-t0
+candidate trees the enumerating ranker scores — verified against it in
+``tests/test_likelihood_scan.py`` — because likelihood under a reversible
+model is rooting-invariant.
+
+One scan round costs ~2n pruning passes instead of O(n²); combined with
+zero candidate construction/transfer this is the ML counterpart of the
+parsimony ``spr_scan``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from trex_tpu.ops.likelihood import jc69_transition
+from trex_tpu.topology import Topology
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_states", "sequences_are_masks", "prune_chunk"),
+)
+def likelihood_spr_scan(
+    topology: Topology,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    ranking_branch_length: float | jax.Array = 0.1,
+    site_weights: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
+    prune_nodes: jax.Array | None = None,
+    prune_chunk: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Negative log-likelihoods of all SPR rearrangements (JC69, all-t0).
+
+    Args / layout mirror ``ops.spr_scan.spr_scan``; returns
+    (scores, base_score) where ``scores[i, v]`` is the NEGATIVE
+    log-likelihood (minimize) of pruning ``prune_nodes[i]`` and regrafting
+    above v with every branch at ``ranking_branch_length``; +inf at invalid
+    pairs. ``base_score`` is the unmodified tree's negative log-likelihood
+    at the same lengths.
+    """
+    n_leaves = topology.n_leaves
+    n_all = topology.n_all
+    n_anc = topology.n_ancestors
+    length = leaf_sequences.shape[-1]
+    root = n_all - 1
+    q = n_states
+
+    states = jnp.arange(q, dtype=jnp.int32)
+    if sequences_are_masks:
+        tips = (
+            (leaf_sequences.astype(jnp.int32)[:, None, :] >> states[None, :, None]) & 1
+        ).astype(jnp.float32)
+    else:
+        tips = (
+            leaf_sequences.astype(jnp.int32)[:, None, :] == states[None, :, None]
+        ).astype(jnp.float32)
+    if site_weights is None:
+        weights = jnp.ones((length,), jnp.float32)
+    else:
+        weights = site_weights.astype(jnp.float32)
+
+    p0 = jc69_transition(jnp.asarray(ranking_branch_length), q)  # (Q, Q)
+    prior = jnp.full((q,), 1.0 / q)
+
+    children = topology.children.astype(jnp.int32)
+    parents = topology.parents.astype(jnp.int32)
+
+    full_scan = prune_nodes is None
+    if full_scan:
+        prune_nodes = jnp.arange(n_all - 1, dtype=jnp.int32)
+    else:
+        prune_nodes = prune_nodes.astype(jnp.int32)
+    q_rows = parents[prune_nodes] - n_leaves
+    row_pair = children[q_rows]
+    siblings = row_pair[:, 0] + row_pair[:, 1] - prune_nodes
+
+    def variant(q_row, sib):
+        return children.at[q_row].set(jnp.stack([sib, sib]))
+
+    var_children = jax.vmap(variant)(q_rows, siblings)
+
+    def up_pass(ch):
+        """inside partials (n_all, Q, L) + per-node log-scales (n_all, L)."""
+        inside0 = jnp.zeros((n_all, q, length))
+        inside0 = inside0.at[:n_leaves].set(tips)
+        ls0 = jnp.zeros((n_all, length))
+
+        def step(carry, inputs):
+            inside, ls = carry
+            anc_offset, pair = inputs
+            node = n_leaves + anc_offset
+            c1, c2 = pair[0], pair[1]
+            msgs = jnp.einsum(
+                "ij,cjl->cil", p0, inside[pair],
+                preferred_element_type=jnp.float32,
+            )
+            is_pass = c1 == c2
+            # Pass-through rows forward the child partial VERBATIM: the
+            # suppressed edge must not add a P0 hop (the candidate tree has
+            # ONE t0 edge where the variant has the s-q-gp path).
+            combined = jnp.where(is_pass, inside[c1], msgs[0] * msgs[1])
+            scale = jnp.maximum(jnp.max(combined, axis=0), 1e-30)
+            combined = combined / scale
+            child_ls = jnp.where(is_pass, ls[c1], ls[c1] + ls[c2])
+            inside = jax.lax.dynamic_update_slice(
+                inside, combined[None], (node, 0, 0)
+            )
+            ls = jax.lax.dynamic_update_slice(
+                ls, (child_ls + jnp.log(scale))[None], (node, 0)
+            )
+            return (inside, ls), None
+
+        offsets = jnp.arange(n_anc, dtype=jnp.int32)
+        (inside, ls), _ = jax.lax.scan(step, (inside0, ls0), (offsets, ch))
+        return inside, ls
+
+    def down_pass(ch, inside, ls_in):
+        """upstream partials (n_all, Q, L) + log-scales (n_all, L).
+
+        ``upstream(v)`` lives at the PARENT's states and excludes v's own
+        branch; root row = prior with log-scale 0.
+        """
+        up0 = jnp.zeros((n_all, q, length))
+        up0 = up0.at[root].set(jnp.broadcast_to(prior[:, None], (q, length)))
+        ls0 = jnp.zeros((n_all, length))
+
+        def step(carry, inputs):
+            upstream, ls = carry
+            anc_offset, pair = inputs
+            node = n_leaves + anc_offset
+            c1, c2 = pair[0], pair[1]
+            is_pass = c1 == c2
+            parent_up = upstream[node]  # (Q, L) at node's PARENT's states
+            # Cross node's own branch to get its outside (at node's states);
+            # the root has no branch above, its upstream IS the prior.
+            outside = jnp.where(
+                node == root,
+                parent_up,
+                jnp.einsum(
+                    "ji,jl->il", p0, parent_up,
+                    preferred_element_type=jnp.float32,
+                ),
+            )
+            msgs = jnp.einsum(
+                "ij,cjl->cil", p0, inside[pair],
+                preferred_element_type=jnp.float32,
+            )
+            raw1 = outside * msgs[1]  # upstream(c1): sibling is c2
+            scale1 = jnp.maximum(jnp.max(raw1, axis=0), 1e-30)
+            # Pass-through rows forward upstream(node) VERBATIM (the
+            # suppressed edge contributes no hop and no sibling factor).
+            up1 = jnp.where(is_pass, parent_up, raw1 / scale1)
+            nls1 = jnp.where(
+                is_pass, ls[node], ls[node] + ls_in[c2] + jnp.log(scale1)
+            )
+            raw2 = outside * msgs[0]
+            scale2 = jnp.maximum(jnp.max(raw2, axis=0), 1e-30)
+            up2 = raw2 / scale2
+            nls2 = ls[node] + ls_in[c1] + jnp.log(scale2)
+            upstream = upstream.at[c1].set(up1)
+            ls = ls.at[c1].set(nls1)
+            upstream = upstream.at[c2].set(jnp.where(is_pass, up1, up2))
+            ls = ls.at[c2].set(jnp.where(is_pass, nls1, nls2))
+            return (upstream, ls), None
+
+        offsets = jnp.arange(n_anc, dtype=jnp.int32)
+        (upstream, ls), _ = jax.lax.scan(
+            step, (up0, ls0), (offsets, ch), reverse=True
+        )
+        return upstream, ls
+
+    # Base score (all branches t0) from the unmodified tree.
+    base_inside, base_ls = up_pass(children)
+    base_site = jnp.log(
+        jnp.maximum(
+            jnp.sum(prior[:, None] * base_inside[root], axis=0), 1e-30
+        )
+    ) + base_ls[root]
+    base_score = -jnp.sum(base_site * weights)
+
+    def chunk_scores(args):
+        pn, vch = args
+        inside, ls_in = jax.vmap(up_pass)(vch)
+        upstream, ls_up = jax.vmap(down_pass)(vch, inside, ls_in)
+        c = pn.shape[0]
+        rows = jnp.arange(c)
+        u_s = inside[rows, pn]  # (C, Q, L): pruned subtree root partial
+        ls_s = ls_in[rows, pn]  # (C, L)
+        msg_s = jnp.einsum(
+            "ij,cjl->cil", p0, u_s, preferred_element_type=jnp.float32
+        )
+        msg_v = jnp.einsum(
+            "ij,cnjl->cnil", p0, inside, preferred_element_type=jnp.float32
+        )
+        alpha = jnp.einsum(
+            "ij,cnil->cnjl", p0, upstream, preferred_element_type=jnp.float32
+        )
+        site_lik = jnp.sum(alpha * msg_v * msg_s[:, None], axis=2)  # (C,n,L)
+        per_site = (
+            jnp.log(jnp.maximum(site_lik, 1e-30))
+            + ls_in
+            + ls_up
+            + ls_s[:, None, :]
+        )
+        return -jnp.sum(per_site * weights[None, None, :], axis=-1)
+
+    n_prune = prune_nodes.shape[0]
+    if prune_chunk is None or prune_chunk >= n_prune:
+        scores = chunk_scores((prune_nodes, var_children))
+    else:
+        pad = (-n_prune) % prune_chunk
+        pn = jnp.concatenate(
+            [prune_nodes, jnp.broadcast_to(prune_nodes[-1:], (pad,))]
+        )
+        vch = jnp.concatenate(
+            [
+                var_children,
+                jnp.broadcast_to(
+                    var_children[-1:], (pad,) + var_children.shape[1:]
+                ),
+            ]
+        )
+        k = pn.shape[0] // prune_chunk
+        scores = jax.lax.map(
+            chunk_scores,
+            (
+                pn.reshape(k, prune_chunk),
+                vch.reshape(k, prune_chunk, n_anc, 2),
+            ),
+        ).reshape(-1, n_all)[:n_prune]
+
+    # Invalid pairs -> +inf (same rules as the parsimony scan).
+    idx = jnp.arange(n_all, dtype=jnp.int32)
+
+    def mark(carry, _):
+        ptr, hit = carry
+        hit = hit | (ptr[None, :] == prune_nodes[:, None])
+        ptr = parents[ptr]
+        return (ptr, hit), None
+
+    (_, in_s), _ = jax.lax.scan(
+        mark,
+        (idx, jnp.zeros((n_prune, n_all), bool)),
+        None,
+        length=n_all,
+    )
+    q_par = parents[prune_nodes]
+    rem_root = jnp.where(q_par == root, siblings, root)
+    invalid = (
+        in_s
+        | (idx[None, :] == q_par[:, None])
+        | (idx[None, :] == rem_root[:, None])
+        | (idx[None, :] == root)
+    )
+    scores = jnp.where(invalid, jnp.inf, scores)
+    if full_scan:
+        scores = jnp.concatenate(
+            [scores, jnp.full((1, n_all), jnp.inf, scores.dtype)]
+        )
+    return scores, base_score

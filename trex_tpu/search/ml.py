@@ -37,6 +37,10 @@ def ml_hill_climb(
 
     Candidates are ranked by log-likelihood with every branch fixed at
     ``ranking_branch_length`` (negated so the hill climber minimizes).
+    ``neighborhood="spr-scan"`` evaluates the whole SPR neighborhood
+    analytically per round (``ops.likelihood_scan``) — exact for the same
+    all-fixed-length candidates the enumerating ranker scores, at ~2n
+    pruning passes per round instead of O(n^2).
     ``sequences_are_masks``: leaves are int32 state-set bitmasks (IUPAC
     ambiguity / gaps). ``site_weights``: per-site log-lik multiplicities
     (compressed site patterns / bootstrap) — exact, since the total
@@ -51,6 +55,30 @@ def ml_hill_climb(
         ``optimize_final_lengths`` is False).
     """
     n_all = start.n_all
+
+    if neighborhood == "spr-scan":
+        result = _ml_scan_climb(
+            start, leaf_sequences, n_states,
+            ranking_branch_length=ranking_branch_length,
+            max_rounds=max_rounds,
+            site_weights=site_weights,
+            sequences_are_masks=sequences_are_masks,
+        )
+        if optimize_final_lengths:
+            from trex_tpu.ops.likelihood_asr import (
+                optimize_branch_lengths_newton,
+            )
+
+            lengths, losses = optimize_branch_lengths_newton(
+                result.topology, leaf_sequences, n_states,
+                site_weights=site_weights,
+                sequences_are_masks=sequences_are_masks,
+                init_length=ranking_branch_length,
+            )
+        else:
+            lengths = jnp.full((n_all,), ranking_branch_length)
+            losses = jnp.asarray([result.score])
+        return result, lengths, losses
 
     on_tpu = jax.default_backend() == "tpu"
 
@@ -79,7 +107,7 @@ def ml_hill_climb(
         )(topos, blens)
 
     dummy_cost = jnp.zeros((n_states, n_states))
-    result = parsimony_hill_climb(
+    result = parsimony_hill_climb(  # generic greedy climber, ML objective
         start,
         dummy_cost,
         leaf_sequences,
@@ -115,3 +143,63 @@ def ml_hill_climb(
         lengths = jnp.full((n_all,), ranking_branch_length)
         losses = jnp.asarray([result.score])
     return result, lengths, losses
+
+
+def _ml_scan_climb(
+    start: Topology,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    *,
+    ranking_branch_length: float,
+    max_rounds: int,
+    site_weights: jax.Array | None,
+    sequences_are_masks: bool,
+) -> SearchResult:
+    """Greedy ML climb where each round is one analytic likelihood scan."""
+    import numpy as np
+
+    from trex_tpu.io import spr_move
+    from trex_tpu.ops.likelihood_scan import likelihood_spr_scan
+
+    n_all = start.n_all
+    length = leaf_sequences.shape[-1]
+    # f32 (Q+1)-wide set tensors x (inside + upstream): ~2 GB working set.
+    per_prune = n_all * length * (n_states + 1) * 4 * 2
+    budget = 2 << 30
+    prune_chunk = (
+        None if (n_all - 1) * per_prune <= budget
+        else max(1, budget // per_prune)
+    )
+
+    current = start
+    scores, base = likelihood_spr_scan(
+        current, leaf_sequences, n_states, ranking_branch_length,
+        site_weights, sequences_are_masks=sequences_are_masks,
+        prune_chunk=prune_chunk,
+    )
+    current_score = float(base)
+    trace = [current_score]
+    evaluations = 1
+    for round_idx in range(max_rounds):
+        scores_np = np.asarray(scores)
+        evaluations += int(np.isfinite(scores_np).sum())
+        flat = int(np.argmin(scores_np))
+        p, v = divmod(flat, scores_np.shape[-1])
+        best = float(scores_np[p, v])
+        if best >= current_score:
+            return SearchResult(
+                current, current_score, round_idx, evaluations, trace
+            )
+        moved = spr_move(current, p, v)
+        if moved is None:
+            return SearchResult(
+                current, current_score, round_idx, evaluations, trace
+            )
+        current, current_score = moved, best
+        trace.append(current_score)
+        scores, _ = likelihood_spr_scan(
+            current, leaf_sequences, n_states, ranking_branch_length,
+            site_weights, sequences_are_masks=sequences_are_masks,
+            prune_chunk=prune_chunk,
+        )
+    return SearchResult(current, current_score, max_rounds, evaluations, trace)
