@@ -6,14 +6,23 @@ ratchet), then the ML pipeline (NJ start -> NNI likelihood climb -> GTR+G
 model fit), and report wall time plus unrooted RF distance to the generating
 topology (0 = exact recovery).
 
-Measured 2026-08-18 (v5e via tunnel): parsimony 26.8 s wall / 101,675
-candidate evaluations / RF 0; ML 36.6 s wall / RF 0.
+Measured 2026-08-18 (v5e via tunnel, spr-scan neighborhoods): parsimony
+20.7 s wall / 104k candidate evaluations / RF 0; ML (NJ start + scan climb +
+GTR+G fit) 31.0 s wall / RF 0. (Enumerating-neighborhood run of the same
+pipeline: 26.8 s / 36.6 s.) Fresh-process numbers include tunnel claim
+warmup; see benchmarks/speed_of_light.md.
 
 Run: python benchmarks/e2e_infer.py   (claims the TPU tunnel; never run two
 TPU jobs at once)
 """
 
-import time, json
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax, jax.numpy as jnp
 from trex_tpu.models.mutation_tree import generate_groundtruth
@@ -43,7 +52,7 @@ t0 = time.perf_counter()
 buf = _io.StringIO()
 with contextlib.redirect_stdout(buf):
     main(["infer","--fasta","/tmp/e2e.fasta","--start","stepwise","--orders","2",
-          "--neighborhood","spr","--ratchet","3","--rounds","40",
+          "--neighborhood","spr-scan","--ratchet","3","--rounds","40",
           "--output-tree","/tmp/e2e.nwk"])
 dt = time.perf_counter() - t0
 r = json.loads(buf.getvalue())
@@ -62,7 +71,7 @@ t0 = time.perf_counter()
 buf = _io.StringIO()
 with contextlib.redirect_stdout(buf):
     main(["infer","--fasta","/tmp/e2e.fasta","--start","nj","--criterion","ml",
-          "--model","gtr+g","--neighborhood","nni","--rounds","10",
+          "--model","gtr+g","--neighborhood","spr-scan","--rounds","10",
           "--output-tree","/tmp/e2e_ml.nwk"])
 dt = time.perf_counter() - t0
 r = json.loads(buf.getvalue())
