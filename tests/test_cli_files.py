@@ -92,6 +92,7 @@ def test_cli_infer_ml_with_branch_lengths(capsys, tmp_path, fasta_path):
 
 def test_cli_infer_ratchet_and_bootstrap(capsys, fasta_path):
     from trex_tpu.cli import main
+    from trex_tpu.io import load_newick
 
     main([
         "infer", "--fasta", fasta_path, "--neighborhood", "nni",
@@ -102,6 +103,30 @@ def test_cli_infer_ratchet_and_bootstrap(capsys, fasta_path):
     assert out["ratchet_iterations"] == 1
     assert len(out["split_support"]) == 5  # one per ancestor
     assert all(0.0 <= s <= 1.0 for s in out["split_support"])
+    # Support values ride the newick as internal labels and still parse.
+    assert ")" in out["tree"]
+    _, _, names = load_newick(out["tree"])
+    assert len(names) == 6
+
+
+def test_save_newick_support_labels():
+    import numpy as np
+
+    from trex_tpu.io import load_newick, save_newick
+    from trex_tpu.topology import balanced_topology
+
+    topo = balanced_topology(4)
+    text = save_newick(
+        topo, ["a", "b", "c", "d"],
+        branch_lengths=np.asarray([1, 2, 3, 4, 0.5, 0.5, 0.0]),
+        support=np.asarray([0.9, 0.85, 1.0]),
+    )
+    assert "0.9" in text and "0.85" in text
+    assert not text.rstrip(";").endswith("1")  # root label omitted
+    topo2, blens, names = load_newick(text)
+    assert sorted(names) == ["a", "b", "c", "d"]
+    by_name = dict(zip(names, blens[:4]))
+    assert by_name["a"] == 1.0 and by_name["d"] == 4.0
 
 
 def test_cli_infer_ml_bootstrap(capsys, fasta_path):

@@ -324,8 +324,8 @@ def cmd_infer(args) -> None:
                 site_weights=weights if scan else None,
                 sequences_are_masks=scan,
             )
-        newick = save_newick(result.topology, names)
         out["parsimony_score"] = result.score
+        support = None
         if args.bootstrap > 0:
             from trex_tpu.search.bootstrap import bootstrap_analysis
 
@@ -343,6 +343,8 @@ def cmd_infer(args) -> None:
             out["bootstrap_replicates"] = args.bootstrap
             out["mean_split_support"] = float(np.mean(support))
             out["split_support"] = [round(float(s), 3) for s in support]
+        # Support values ride the newick as internal node labels.
+        newick = save_newick(result.topology, names, support=support)
     out.update(
         search_rounds=result.rounds,
         evaluations=result.evaluations,

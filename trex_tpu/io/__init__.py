@@ -125,37 +125,57 @@ def save_newick(
     topology: Topology,
     leaf_names: list[str] | None = None,
     branch_lengths=None,
+    support=None,
 ) -> str:
-    """Serialize a topology to newick, optionally with branch lengths.
+    """Serialize a topology to newick, optionally with lengths and support.
 
     ``branch_lengths``: (n_all,) lengths indexed by child node (the same
     convention ``load_newick`` returns); the root entry is ignored.
-    Labels with newick metacharacters are single-quoted, so any name
-    round-trips through ``load_newick`` exactly.
+    ``support``: (n_ancestors,) values indexed like ``topology.children``
+    (e.g. from ``search.bootstrap.split_support``), written as internal
+    node labels in the standard ``(a,b)0.95:length`` position (the root
+    label is omitted). Labels with newick metacharacters are single-quoted,
+    so any name round-trips through ``load_newick`` exactly.
     """
     children = np.asarray(topology.children)
     leaf_names = _quote_names(leaf_names)
-    if branch_lengths is not None:
-        return _write_newick_lengths(
-            children, leaf_names, np.asarray(branch_lengths, dtype=np.float64)
+    if branch_lengths is not None or support is not None:
+        return _write_newick_annotated(
+            children,
+            leaf_names,
+            None
+            if branch_lengths is None
+            else np.asarray(branch_lengths, dtype=np.float64),
+            None if support is None else np.asarray(support, dtype=np.float64),
         )
     if native.available():
         return native.write_newick(children, leaf_names)
     return py_write_newick(children, leaf_names)
 
 
-def _write_newick_lengths(
-    children: np.ndarray, leaf_names: list[str] | None, blens: np.ndarray
+def _write_newick_annotated(
+    children: np.ndarray,
+    leaf_names: list[str] | None,
+    blens: np.ndarray | None,
+    support: np.ndarray | None,
 ) -> str:
     n_leaves = children.shape[0] + 1
     names = leaf_names or [f"L{i}" for i in range(n_leaves)]
     repr_ = list(names) + [""] * (n_leaves - 1)
     for a in range(n_leaves - 1):
         c0, c1 = int(children[a, 0]), int(children[a, 1])
-        repr_[n_leaves + a] = (
-            f"({repr_[c0]}:{blens[c0]:.8g},{repr_[c1]}:{blens[c1]:.8g})"
-        )
-    return repr_[2 * n_leaves - 2] + ";"
+        left, right = repr_[c0], repr_[c1]
+        if blens is not None:
+            left += f":{blens[c0]:.8g}"
+            right += f":{blens[c1]:.8g}"
+        label = "" if support is None else f"{support[a]:.4g}"
+        repr_[n_leaves + a] = f"({left},{right}){label}"
+    # Strip the root's label (it annotates no split).
+    out = repr_[2 * n_leaves - 2]
+    if support is not None:
+        root_label = f"{support[n_leaves - 2]:.4g}"
+        out = out[: len(out) - len(root_label)]
+    return out + ";"
 
 
 def _split_fasta(text: str) -> tuple[list[str], np.ndarray]:
