@@ -231,3 +231,42 @@ def test_cli_errors(tmp_path, fasta_path):
         main(["score", "--fasta", fasta_path, "--tree", str(bad_tree)])
     with pytest.raises(SystemExit, match="power-of-two"):
         main(["infer", "--fasta", fasta_path, "--start", "balanced"])
+
+
+def test_cli_dnds(capsys, tmp_path):
+    """GY94 fit on a tiny in-frame coding alignment (ambiguity -> missing)."""
+    from trex_tpu.cli import main
+
+    coding = """>s1
+ATGAAAGGGTGCCTT
+>s2
+ATGAAGGGGTGTCTC
+>s3
+ATGAACGGATGCCTG
+>s4
+ATGANCGGATGCC-G
+"""
+    path = tmp_path / "coding.fasta"
+    path.write_text(coding)
+    out_tree = str(tmp_path / "dnds.nwk")
+    main([
+        "dnds", "--alignment", str(path), "--iterations", "30",
+        "--freqs", "f1x4", "--output-tree", out_tree,
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_taxa"] == 4 and out["n_codons"] == 5
+    assert out["missing_codons"] == 2  # ANC and C-G
+    assert out["kappa"] > 0 and out["omega"] > 0
+    assert out["log_likelihood"] < 0
+    newick = open(out_tree).read()
+    for name in ("s1", "s2", "s3", "s4"):
+        assert name in newick
+
+
+def test_cli_dnds_stop_error(tmp_path):
+    from trex_tpu.cli import main
+
+    path = tmp_path / "stops.fasta"
+    path.write_text(">a\nATGTAA\n>b\nATGTAC\n>c\nATGTAT\n>d\nATGCAT\n")
+    with pytest.raises(ValueError, match="stop"):
+        main(["dnds", "--alignment", str(path), "--iterations", "5"])

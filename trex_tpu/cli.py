@@ -525,6 +525,73 @@ def cmd_ml(args) -> None:
     )
 
 
+def cmd_dnds(args) -> None:
+    """GY94 codon-model fit (dN/dS) on a coding nucleotide alignment."""
+    import numpy as np
+
+    from trex_tpu.alignment import compress_alignment
+    from trex_tpu.io import save_newick
+    from trex_tpu.models import codon as cd
+
+    names, masks, n_states = _load_alignment(args.fasta, "dna")
+    # Codon states want plain ints: single-bit mask -> base index, anything
+    # ambiguous (gap/IUPAC multi-state) -> -1 so the whole codon goes missing.
+    ints = np.full(masks.shape, -1, dtype=np.int32)
+    for b in range(4):
+        ints[masks == (1 << b)] = b
+    codons = cd.encode_codons(ints, stops=args.stops)
+    n_missing = int((codons < 0).sum())
+
+    if args.tree:
+        from trex_tpu.io import align_leaf_order, load_newick
+
+        with open(args.tree) as fh:
+            topo, _, tree_names = load_newick(fh.read())
+        if sorted(tree_names) != sorted(names):
+            raise SystemExit("tree and alignment taxa differ")
+        topo = align_leaf_order(topo, tree_names, names)
+        tree_source = args.tree
+    else:
+        from trex_tpu.search.stepwise import stepwise_addition
+
+        topo, _ = stepwise_addition(
+            masks, n_states, sequences_are_masks=True, seed=args.seed
+        )
+        tree_source = "stepwise addition (nucleotide parsimony)"
+
+    freqs = cd.codon_frequencies(codons, mode=args.freqs, nuc_states=ints)
+    patterns, weights = compress_alignment(codons)
+    params, losses = cd.optimize_gy94(
+        topo,
+        jnp.asarray(patterns, jnp.int32),
+        freqs=freqs,
+        model=args.model,
+        n_iterations=args.iterations,
+        site_weights=jnp.asarray(weights, jnp.float32),
+    )
+    lengths = np.asarray(params["branch_lengths"])
+    out = {
+        "model": args.model,
+        "codon_frequencies": args.freqs,
+        "tree_source": tree_source,
+        "n_taxa": len(names),
+        "n_codons": int(codons.shape[1]),
+        "unique_codon_patterns": int(patterns.shape[1]),
+        "missing_codons": n_missing,
+        "kappa": round(float(params["kappa"]), 4),
+        "omega": round(float(params["omega"]), 4),
+        "log_likelihood": -float(losses[-1]),
+        "tree_length": float(lengths[:-1].sum()),
+    }
+    if "gamma_shape" in params:
+        out["gamma_shape"] = round(float(params["gamma_shape"]), 4)
+    if args.output_tree:
+        with open(args.output_tree, "w") as fh:
+            fh.write(save_newick(topo, names, lengths) + "\n")
+        out["output_tree"] = args.output_tree
+    print(json.dumps(out))
+
+
 def cmd_bootstrap(args) -> None:
     """Bootstrap split support + majority-rule consensus on generated data."""
     from trex_tpu.models.mutation_tree import generate_groundtruth
@@ -698,6 +765,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mutations", type=int, default=3)
     p.add_argument("--rounds", type=int, default=30)
     p.set_defaults(fn=cmd_ml)
+
+    p = sub.add_parser(
+        "dnds", help="GY94 codon-model fit (kappa, omega=dN/dS)"
+    )
+    p.add_argument("--alignment", "--fasta", dest="fasta", type=str,
+                   required=True,
+                   help="in-frame coding nucleotide alignment "
+                        "(FASTA/PHYLIP/NEXUS, auto-detected)")
+    p.add_argument("--tree", type=str, default=None,
+                   help="newick tree (default: stepwise-addition start)")
+    p.add_argument("--model", choices=("gy94", "gy94+g"), default="gy94")
+    p.add_argument("--freqs", choices=("f61", "f3x4", "f1x4"),
+                   default="f3x4", help="codon frequency estimator")
+    p.add_argument("--stops", choices=("error", "missing"), default="error",
+                   help="how to treat in-frame stop codons")
+    p.add_argument("--iterations", type=int, default=600)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output-tree", type=str, default=None)
+    p.set_defaults(fn=cmd_dnds)
 
     p = sub.add_parser("bootstrap", help="bootstrap support + consensus")
     _add_common(p)

@@ -1,5 +1,6 @@
-"""Synthetic data generators: mutation trees and NK fitness landscapes."""
+"""Data models: mutation trees, NK fitness landscapes, codon substitution."""
 
+from trex_tpu.models import codon
 from trex_tpu.models.mutation_tree import mutate, generate_groundtruth
 from trex_tpu.models.nk import (
     NKLandscape,
@@ -11,6 +12,7 @@ from trex_tpu.models.nk import (
 )
 
 __all__ = [
+    "codon",
     "mutate",
     "generate_groundtruth",
     "NKLandscape",

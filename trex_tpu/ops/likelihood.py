@@ -237,7 +237,9 @@ def tree_log_likelihood_gamma_invariant(
     if sequences_are_masks:
         allows = ((leaves[:, None, :] >> states[None, :, None]) & 1) == 1
     else:
-        allows = leaves[:, None, :] == states[None, :, None]
+        allows = (leaves[:, None, :] == states[None, :, None]) | (
+            leaves[:, None, :] < 0
+        )
     shared = jnp.all(allows, axis=0)  # (Q, L): state s possible at EVERY leaf
     inv_lik = jnp.sum(prior[:, None] * shared.astype(prior.dtype), axis=0)
     inv_ll = jnp.log(jnp.maximum(inv_lik, 1e-30))  # (L,)
@@ -288,8 +290,11 @@ def _per_site_log_likelihood(
             (leaf_sequences.astype(jnp.int32)[:, None, :] >> states[None, :, None]) & 1
         ).astype(jnp.float32)
     else:
+        # Negative states mean "missing" (e.g. an ambiguous codon): the tip
+        # partial is 1 everywhere, marginalizing the leaf out.
+        leaves = leaf_sequences.astype(jnp.int32)[:, None, :]
         leaf_onehot = (
-            leaf_sequences.astype(jnp.int32)[:, None, :] == states[None, :, None]
+            (leaves == states[None, :, None]) | (leaves < 0)
         ).astype(jnp.float32)
     partials0 = partials0.at[:n_leaves].set(leaf_onehot)
     partials0 = partials0.at[n_leaves:].set(1.0)
