@@ -270,3 +270,23 @@ def test_cli_dnds_stop_error(tmp_path):
     path.write_text(">a\nATGTAA\n>b\nATGTAC\n>c\nATGTAT\n>d\nATGCAT\n")
     with pytest.raises(ValueError, match="stop"):
         main(["dnds", "--alignment", str(path), "--iterations", "5"])
+
+
+def test_cli_infer_ml_alrt(capsys, tmp_path, fasta_path):
+    from trex_tpu.cli import main
+
+    out_tree = str(tmp_path / "ml_alrt.nwk")
+    main([
+        "infer", "--fasta", fasta_path, "--criterion", "ml",
+        "--neighborhood", "nni", "--rounds", "3", "--alrt", "100",
+        "--output-tree", out_tree,
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["sh_alrt_support"]) == 5  # n_ancestors for 6 taxa
+    assert all(0.0 <= s <= 1.0 for s in out["sh_alrt_support"])
+    assert all(0.0 <= s <= 1.0 for s in out["rell_support"])
+    # Supports ride the newick as internal node labels.
+    from trex_tpu.io import load_newick
+    text = open(out_tree).read()
+    topo, lengths, names2 = load_newick(text)
+    assert sorted(names2) == ["taxA", "taxB", "taxC", "taxD", "taxE", "taxF"]

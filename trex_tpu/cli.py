@@ -270,7 +270,32 @@ def cmd_infer(args) -> None:
                 out["gamma_shape"] = float(params["gamma_shape"])
             if "p_invariant" in params:
                 out["p_invariant"] = float(params["p_invariant"])
-        newick = save_newick(result.topology, names, np.asarray(lengths))
+        alrt_support = None
+        if args.alrt > 0:
+            from trex_tpu.search.alrt import branch_supports
+
+            fitted_rates = jnp.asarray(params["rates"]) if args.model != "jc" else None
+            fitted_freqs = jnp.asarray(params["freqs"]) if args.model != "jc" else None
+            sup = branch_supports(
+                jax.random.PRNGKey(args.seed + 7),
+                result.topology,
+                jnp.asarray(patterns),
+                n_states,
+                rates=fitted_rates,
+                freqs=fitted_freqs,
+                site_weights=weights,
+                n_replicates=args.alrt,
+                sequences_are_masks=True,
+            )
+            alrt_support = sup.sh_alrt
+            out["alrt"] = [
+                None if np.isnan(v) else round(float(v), 3) for v in sup.alrt
+            ]
+            out["sh_alrt_support"] = [round(float(s), 3) for s in sup.sh_alrt]
+            out["rell_support"] = [round(float(s), 3) for s in sup.rell]
+        newick = save_newick(
+            result.topology, names, np.asarray(lengths), support=alrt_support
+        )
         out["mean_branch_length"] = float(np.asarray(lengths).mean())
         if args.bootstrap > 0:
             from trex_tpu.search.bootstrap import ml_bootstrap_analysis
@@ -725,6 +750,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parsimony-ratchet iterations (0 = plain climb)")
     p.add_argument("--bootstrap", type=int, default=0,
                    help="bootstrap replicates for split support (0 = none)")
+    p.add_argument("--alrt", type=int, default=0,
+                   help="SH-aLRT branch supports with this many RELL "
+                        "resamples (ML criterion only; 0 = none)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-tree", type=str, default=None)
     p.set_defaults(fn=cmd_infer)

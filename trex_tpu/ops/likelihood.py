@@ -253,6 +253,36 @@ def tree_log_likelihood_gamma_invariant(
     return jnp.sum(mixed)
 
 
+def per_site_log_likelihood(
+    topology: Topology,
+    branch_lengths: jax.Array,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    *,
+    gamma_shape: float | jax.Array | None = None,
+    n_categories: int = 4,
+    sequences_are_masks: bool = False,
+) -> jax.Array:
+    """(L,) per-site log-likelihoods (public surface for RELL resampling,
+    SH-aLRT supports, and site-wise model comparison). With ``gamma_shape``,
+    each site's value is the +G category mixture."""
+    if gamma_shape is None:
+        return _per_site_log_likelihood(
+            topology, branch_lengths, leaf_sequences, n_states,
+            rates=rates, freqs=freqs, sequences_are_masks=sequences_are_masks,
+        )
+    cat_rates = discrete_gamma_rates(gamma_shape, n_categories)
+    all_cat = jax.vmap(
+        lambda r: _per_site_log_likelihood(
+            topology, branch_lengths * r, leaf_sequences, n_states,
+            rates=rates, freqs=freqs, sequences_are_masks=sequences_are_masks,
+        )
+    )(cat_rates)
+    return jax.nn.logsumexp(all_cat, axis=0) - jnp.log(n_categories)
+
+
 def _per_site_log_likelihood(
     topology: Topology,
     branch_lengths: jax.Array,

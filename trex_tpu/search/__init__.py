@@ -25,6 +25,7 @@ from trex_tpu.search.ratchet import (
     robinson_foulds,
     unrooted_splits,
 )
+from trex_tpu.search.alrt import BranchSupports, branch_supports
 from trex_tpu.search.nj import neighbor_joining, nj_start_tree, upgma
 from trex_tpu.search.stepwise import stepwise_addition, stepwise_addition_multi
 from trex_tpu.search.ml import ml_hill_climb
@@ -65,6 +66,8 @@ __all__ = [
     "robinson_foulds",
     "rf_distance_unrooted",
     "unrooted_splits",
+    "BranchSupports",
+    "branch_supports",
     "neighbor_joining",
     "nj_start_tree",
     "upgma",
