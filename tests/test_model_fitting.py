@@ -106,3 +106,65 @@ def test_unknown_model_rejected():
     topo, seqs = _case(11)
     with pytest.raises(ValueError, match="unknown model"):
         optimize_model(topo, seqs, Q, model="hky")
+
+
+def test_freerate_single_category_is_plain_likelihood():
+    from trex_tpu.ops.likelihood import tree_log_likelihood_freerate
+
+    topo, seqs = _case(3)
+    blens = jnp.full((topo.n_all,), 0.2)
+    plain = float(tree_log_likelihood(topo, blens, seqs, Q))
+    free = float(
+        tree_log_likelihood_freerate(
+            topo, blens, seqs, Q,
+            jnp.ones((1,)), jnp.ones((1,)),
+        )
+    )
+    assert free == pytest.approx(plain, rel=1e-6)
+
+
+def test_freerate_matches_manual_mixture():
+    from trex_tpu.ops.likelihood import (
+        per_site_log_likelihood,
+        tree_log_likelihood_freerate,
+    )
+
+    topo, seqs = _case(4)
+    blens = jnp.full((topo.n_all,), 0.15)
+    rates = jnp.asarray([0.5, 1.5])
+    weights = jnp.asarray([0.3, 0.7])
+    got = float(
+        tree_log_likelihood_freerate(topo, blens, seqs, Q, rates, weights)
+    )
+    per_cat = np.stack([
+        np.asarray(per_site_log_likelihood(topo, blens * r, seqs, Q))
+        for r in (0.5, 1.5)
+    ])  # (2, L)
+    manual = float(
+        np.log(
+            0.3 * np.exp(per_cat[0]) + 0.7 * np.exp(per_cat[1])
+        ).sum()
+    )
+    assert got == pytest.approx(manual, rel=1e-5)
+
+
+def test_freerate_model_fits():
+    topo, seqs = _case(5)
+    params, losses = optimize_model(
+        topo, seqs, Q, model="gtr+r3", n_iterations=120
+    )
+    assert float(losses[-1]) < float(losses[0])
+    r = np.asarray(params["category_rates"])
+    w = np.asarray(params["category_weights"])
+    assert r.shape == (3,) and w.shape == (3,)
+    assert w.sum() == pytest.approx(1.0, abs=1e-5)
+    assert float((w * r).sum()) == pytest.approx(1.0, abs=1e-4)
+    assert (r > 0).all()
+
+
+def test_freerate_bad_k_rejected():
+    topo, seqs = _case(6)
+    with pytest.raises(ValueError, match="unknown model"):
+        optimize_model(topo, seqs, Q, model="gtr+r9")
+    with pytest.raises(ValueError, match="unknown model"):
+        optimize_model(topo, seqs, Q, model="gtr+r1")

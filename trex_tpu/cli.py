@@ -270,6 +270,13 @@ def cmd_infer(args) -> None:
                 out["gamma_shape"] = float(params["gamma_shape"])
             if "p_invariant" in params:
                 out["p_invariant"] = float(params["p_invariant"])
+            if "category_rates" in params:
+                out["category_rates"] = np.round(
+                    np.asarray(params["category_rates"]), 4
+                ).tolist()
+                out["category_weights"] = np.round(
+                    np.asarray(params["category_weights"]), 4
+                ).tolist()
         alrt_support = None
         if args.alrt > 0:
             from trex_tpu.search.alrt import branch_supports
@@ -732,9 +739,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
     p.add_argument("--criterion", choices=("parsimony", "ml"),
                    default="parsimony")
-    p.add_argument("--model", choices=("jc", "gtr", "gtr+g", "gtr+g+i"),
+    p.add_argument("--model",
+                   choices=("jc", "gtr", "gtr+g", "gtr+g+i", "gtr+r2",
+                            "gtr+r3", "gtr+r4", "gtr+r5", "gtr+r6"),
                    default="jc",
-                   help="substitution model fitted on the final ML tree")
+                   help="substitution model fitted on the final ML tree "
+                        "(+rK = FreeRate with K categories)")
     p.add_argument("--start",
                    choices=("stepwise", "nj", "upgma", "random", "balanced"),
                    default="stepwise")

@@ -196,6 +196,42 @@ def tree_log_likelihood_gamma(
     return jnp.sum(mixed)
 
 
+def tree_log_likelihood_freerate(
+    topology: Topology,
+    branch_lengths: jax.Array,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    category_rates: jax.Array,
+    category_weights: jax.Array,
+    site_mask: jax.Array | None = None,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
+) -> jax.Array:
+    """FreeRate (+R) heterogeneity: a K-category rate mixture where both the
+    rates and the mixture weights are free parameters (no Gamma shape
+    constraint — strictly more expressive than +G at the same K).
+
+    For identifiability the caller should normalize ``sum_k w_k r_k == 1``
+    (mean rate 1; the overall scale lives in the branch lengths) —
+    ``optimize_model`` does. Differentiable in everything.
+    """
+
+    def per_site_ll(rate):
+        return _per_site_log_likelihood(
+            topology, branch_lengths * rate, leaf_sequences, n_states,
+            rates=rates, freqs=freqs, sequences_are_masks=sequences_are_masks,
+        )
+
+    all_cat = jax.vmap(per_site_ll)(category_rates)  # (K, L)
+    log_w = jnp.log(jnp.maximum(category_weights, 1e-30))[:, None]
+    mixed = jax.nn.logsumexp(all_cat + log_w, axis=0)  # (L,)
+    if site_mask is not None:
+        mixed = mixed * site_mask.astype(mixed.dtype)
+    return jnp.sum(mixed)
+
+
 def tree_log_likelihood_gamma_invariant(
     topology: Topology,
     branch_lengths: jax.Array,
@@ -440,13 +476,16 @@ def optimize_model(
     - invariant fraction (``+i`` models): sigmoid in (0, 1).
 
     Args:
-        model: "jc", "gtr", "gtr+g", or "gtr+g+i".
+        model: "jc", "gtr", "gtr+g", "gtr+g+i", or "gtr+rK" (FreeRate with
+            K in 2..8 categories, e.g. "gtr+r4": free rates AND weights,
+            normalized to mean rate 1).
 
     Returns:
         (params, losses): ``params`` maps "branch_lengths" (n_all,), and for
         GTR models "rates" (Q, Q, symmetric, last pair 1.0) and "freqs"
-        (Q,); plus "gamma_shape" / "p_invariant" when fit. ``losses`` is the
-        negative-log-likelihood curve.
+        (Q,); plus "gamma_shape" / "p_invariant" / "category_rates" +
+        "category_weights" when fit. ``losses`` is the negative-log-
+        likelihood curve.
 
     Note: GTR transition matrices go through ``jnp.linalg.eigh`` of the
     symmetrized generator; its gradient is undefined at exactly degenerate
@@ -454,13 +493,17 @@ def optimize_model(
     perturbs the rates slightly off uniform.
     """
     model = model.lower()
-    if model not in ("jc", "gtr", "gtr+g", "gtr+g+i"):
+    import re as _re
+
+    freerate_match = _re.fullmatch(r"gtr\+r([2-8])", model)
+    if model not in ("jc", "gtr", "gtr+g", "gtr+g+i") and not freerate_match:
         raise ValueError(f"unknown model {model!r}")
     q = n_states
     n_all = topology.n_all
     use_gtr = model.startswith("gtr")
     use_gamma = "+g" in model
     use_inv = "+i" in model
+    n_free = int(freerate_match.group(1)) if freerate_match else 0
 
     pair_i, pair_j = jnp.triu_indices(q, k=1)
     n_pairs = pair_i.shape[0]
@@ -485,6 +528,12 @@ def optimize_model(
             out["gamma_shape"] = jax.nn.softplus(params["theta_shape"])
         if use_inv:
             out["p_invariant"] = jax.nn.sigmoid(params["logit_inv"])
+        if n_free:
+            w = jax.nn.softmax(params["logit_cat_weights"])
+            r = jax.nn.softplus(params["theta_cat_rates"])
+            r = r / jnp.sum(w * r)  # mean rate 1 (scale lives in lengths)
+            out["category_rates"] = r
+            out["category_weights"] = w
         return out, rates, freqs
 
     def loss_fn(params):
@@ -496,7 +545,12 @@ def optimize_model(
             freqs=freqs,
             sequences_are_masks=sequences_are_masks,
         )
-        if use_inv:
+        if n_free:
+            ll = tree_log_likelihood_freerate(
+                topology, lengths, leaf_sequences, n_states,
+                built["category_rates"], built["category_weights"], **common,
+            )
+        elif use_inv:
             ll = tree_log_likelihood_gamma_invariant(
                 topology, lengths, leaf_sequences, n_states,
                 gamma_shape=built["gamma_shape"],
@@ -530,6 +584,11 @@ def optimize_model(
         params0["theta_shape"] = jnp.asarray(jnp.log(jnp.expm1(1.0)))
     if use_inv:
         params0["logit_inv"] = jnp.asarray(-2.0)
+    if n_free:
+        # Spread initial rates across a decade so categories differentiate.
+        init_rates = jnp.geomspace(0.2, 3.0, n_free)
+        params0["theta_cat_rates"] = jnp.log(jnp.expm1(init_rates))
+        params0["logit_cat_weights"] = jnp.zeros((n_free,))
 
     optimizer = optax.adam(learning_rate)
 
