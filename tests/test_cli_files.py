@@ -290,3 +290,18 @@ def test_cli_infer_ml_alrt(capsys, tmp_path, fasta_path):
     text = open(out_tree).read()
     topo, lengths, names2 = load_newick(text)
     assert sorted(names2) == ["taxA", "taxB", "taxC", "taxD", "taxE", "taxF"]
+
+
+def test_cli_modeltest(capsys, tmp_path, fasta_path):
+    from trex_tpu.cli import main
+
+    main([
+        "modeltest", "--alignment", fasta_path,
+        "--models", "jc,gtr", "--criterion", "aic", "--iterations", "60",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["best"] in ("jc", "gtr")
+    assert len(out["table"]) == 2
+    assert out["table"][0]["aic"] <= out["table"][1]["aic"]
+    for row in out["table"]:
+        assert row["log_likelihood"] < 0 and row["n_parameters"] > 0

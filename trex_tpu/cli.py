@@ -253,16 +253,25 @@ def cmd_infer(args) -> None:
         if args.model != "jc":
             from trex_tpu.ops.likelihood import optimize_model
 
+            fixed_rates = fixed_freqs = None
+            if args.model_file:
+                from trex_tpu.io import parse_paml_rates
+
+                with open(args.model_file) as fh:
+                    fixed_rates, fixed_freqs = parse_paml_rates(
+                        fh.read(), n_states
+                    )
             params, model_losses = optimize_model(
                 result.topology, jnp.asarray(patterns), n_states,
                 model=args.model, sequences_are_masks=True,
                 site_weights=weights,
+                fixed_rates=fixed_rates, fixed_freqs=fixed_freqs,
             )
             lengths = params["branch_lengths"]
             out["neg_log_likelihood"] = float(model_losses[-1])
             out["gtr_rates"] = np.round(
                 np.asarray(params["rates"]), 5
-            ).tolist()
+            ).tolist() if not args.model.startswith("empirical") else None
             out["base_frequencies"] = np.round(
                 np.asarray(params["freqs"]), 5
             ).tolist()
@@ -557,6 +566,71 @@ def cmd_ml(args) -> None:
     )
 
 
+def cmd_modeltest(args) -> None:
+    """Substitution-model selection by AIC/AICc/BIC on a fixed topology."""
+    import numpy as np
+
+    from trex_tpu.alignment import compress_alignment
+    from trex_tpu.search.model_select import compare_models
+
+    names, masks, n_states = _load_alignment(args.fasta, args.alphabet)
+    patterns, weights = compress_alignment(masks)
+    if args.tree:
+        from trex_tpu.io import align_leaf_order, load_newick
+
+        with open(args.tree) as fh:
+            topo, _, tree_names = load_newick(fh.read())
+        if sorted(tree_names) != sorted(names):
+            raise SystemExit("tree and alignment taxa differ")
+        topo = align_leaf_order(topo, tree_names, names)
+    else:
+        from trex_tpu.search.stepwise import stepwise_addition
+
+        topo, _ = stepwise_addition(
+            masks, n_states, sequences_are_masks=True, seed=args.seed
+        )
+    fixed_rates = fixed_freqs = None
+    models = tuple(m.strip() for m in args.models.split(",") if m.strip())
+    if args.model_file:
+        from trex_tpu.io import parse_paml_rates
+
+        with open(args.model_file) as fh:
+            fixed_rates, fixed_freqs = parse_paml_rates(fh.read(), n_states)
+    fits = compare_models(
+        topo,
+        jnp.asarray(np.asarray(patterns), jnp.int32),
+        n_states,
+        models=models,
+        criterion=args.criterion,
+        site_weights=jnp.asarray(weights, jnp.float32),
+        sequences_are_masks=True,
+        n_iterations=args.iterations,
+        fixed_rates=fixed_rates,
+        fixed_freqs=fixed_freqs,
+    )
+    print(
+        json.dumps(
+            {
+                "criterion": args.criterion,
+                "best": fits[0].model,
+                "n_taxa": len(names),
+                "n_sites": int(masks.shape[1]),
+                "table": [
+                    {
+                        "model": f.model,
+                        "log_likelihood": round(f.log_likelihood, 3),
+                        "n_parameters": f.n_parameters,
+                        "aic": round(f.aic, 3),
+                        "aicc": round(f.aicc, 3),
+                        "bic": round(f.bic, 3),
+                    }
+                    for f in fits
+                ],
+            }
+        )
+    )
+
+
 def cmd_dnds(args) -> None:
     """GY94 codon-model fit (dN/dS) on a coding nucleotide alignment."""
     import numpy as np
@@ -739,12 +813,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
     p.add_argument("--criterion", choices=("parsimony", "ml"),
                    default="parsimony")
-    p.add_argument("--model",
-                   choices=("jc", "gtr", "gtr+g", "gtr+g+i", "gtr+r2",
-                            "gtr+r3", "gtr+r4", "gtr+r5", "gtr+r6"),
-                   default="jc",
-                   help="substitution model fitted on the final ML tree "
-                        "(+rK = FreeRate with K categories)")
+    p.add_argument("--model", default="jc",
+                   help="substitution model fitted on the final ML tree: "
+                        "jc|gtr|empirical with optional +g, +g+i, or +rK "
+                        "(FreeRate, K=2..8); 'empirical' needs --model-file")
+    p.add_argument("--model-file", type=str, default=None,
+                   help="PAML-format rate file for --model empirical "
+                        "(exchangeabilities + frequencies, e.g. LG/WAG .dat)")
     p.add_argument("--start",
                    choices=("stepwise", "nj", "upgma", "random", "balanced"),
                    default="stepwise")
@@ -803,6 +878,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mutations", type=int, default=3)
     p.add_argument("--rounds", type=int, default=30)
     p.set_defaults(fn=cmd_ml)
+
+    p = sub.add_parser(
+        "modeltest", help="model selection by AIC/AICc/BIC"
+    )
+    p.add_argument("--alignment", "--fasta", dest="fasta", type=str,
+                   required=True,
+                   help="FASTA/PHYLIP/NEXUS alignment (auto-detected)")
+    p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
+    p.add_argument("--tree", type=str, default=None,
+                   help="fixed newick topology (default: stepwise start)")
+    p.add_argument("--models", type=str,
+                   default="jc,jc+g,gtr,gtr+g,gtr+g+i,gtr+r3",
+                   help="comma-separated candidates "
+                        "(jc|gtr|empirical with +g/+g+i/+rK suffixes)")
+    p.add_argument("--criterion", choices=("aic", "aicc", "bic"),
+                   default="bic")
+    p.add_argument("--iterations", type=int, default=500)
+    p.add_argument("--model-file", type=str, default=None,
+                   help="PAML-format rate file for 'empirical' candidates")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_modeltest)
 
     p = sub.add_parser(
         "dnds", help="GY94 codon-model fit (kappa, omega=dN/dS)"

@@ -16,6 +16,7 @@ from trex_tpu.io.formats import (
     encode_alignment,
     encode_alignment_masks,
     parse_nexus,
+    parse_paml_rates,
     parse_phylip,
     write_phylip,
 )
@@ -429,6 +430,7 @@ __all__ = [
     "parse_fasta",
     "parse_fasta_masks",
     "write_fasta",
+    "parse_paml_rates",
     "parse_phylip",
     "write_phylip",
     "parse_nexus",

@@ -267,3 +267,57 @@ def encode_alignment_masks(rows: np.ndarray, alphabet: str) -> np.ndarray:
             "the alphabet or IUPAC table"
         )
     return masks
+
+
+def parse_paml_rates(
+    text: str, n_states: int = 20
+) -> tuple[np.ndarray, np.ndarray]:
+    """Parse a PAML-format substitution-rate file (e.g. the published LG /
+    WAG / JTT amino-acid ``.dat`` files, or any custom matrix in the same
+    layout) into engine form.
+
+    The format is whitespace-separated numbers: the strictly-lower-triangular
+    exchangeabilities row by row (row i has i entries, i = 1..Q-1, so
+    Q(Q-1)/2 values) followed by Q stationary frequencies. Anything after
+    those numbers (comments, references) is ignored; a ``#`` or ``//`` starts
+    a comment line.
+
+    Returns:
+        (rates (Q, Q) symmetric with zero diagonal, freqs (Q,) normalized) —
+        exactly the ``rates``/``freqs`` arguments of the likelihood stack
+        (``optimize_model(model="empirical", fixed_rates=..., ...)``).
+    """
+    values: list[float] = []
+    n_tri = n_states * (n_states - 1) // 2
+    needed = n_tri + n_states
+    for line in text.splitlines():
+        stripped = line.split("#")[0].split("//")[0]
+        for token in stripped.split():
+            try:
+                values.append(float(token))
+            except ValueError:
+                # Non-numeric trailing text (matrix names, citations): stop
+                # only if we already have everything we need.
+                if len(values) >= needed:
+                    break
+                raise ValueError(
+                    f"unexpected token {token!r} in PAML rate file"
+                ) from None
+        if len(values) >= needed:
+            break
+    if len(values) < needed:
+        raise ValueError(
+            f"PAML rate file has {len(values)} numbers; "
+            f"need {n_tri} exchangeabilities + {n_states} frequencies"
+        )
+    rates = np.zeros((n_states, n_states))
+    k = 0
+    for i in range(1, n_states):
+        for j in range(i):
+            rates[i, j] = rates[j, i] = values[k]
+            k += 1
+    freqs = np.asarray(values[n_tri:needed], dtype=np.float64)
+    if (freqs < 0).any() or freqs.sum() <= 0:
+        raise ValueError("invalid frequencies in PAML rate file")
+    freqs = freqs / freqs.sum()
+    return rates.astype(np.float32), freqs.astype(np.float32)

@@ -460,6 +460,8 @@ def optimize_model(
     n_iterations: int = 800,
     sequences_are_masks: bool = False,
     site_weights: jax.Array | None = None,
+    fixed_rates: jax.Array | None = None,
+    fixed_freqs: jax.Array | None = None,
 ) -> tuple[dict[str, jax.Array], jax.Array]:
     """Joint ML estimation of branch lengths + substitution-model parameters.
 
@@ -476,9 +478,13 @@ def optimize_model(
     - invariant fraction (``+i`` models): sigmoid in (0, 1).
 
     Args:
-        model: "jc", "gtr", "gtr+g", "gtr+g+i", or "gtr+rK" (FreeRate with
-            K in 2..8 categories, e.g. "gtr+r4": free rates AND weights,
-            normalized to mean rate 1).
+        model: "<base>[+g[+i] | +rK]" with base "jc", "gtr", or "empirical";
+            "+g" discrete Gamma, "+g+i" adds invariant sites, "+rK" FreeRate
+            with K in 2..8 categories (free rates AND weights, normalized to
+            mean rate 1). Base "empirical" holds exchangeabilities fixed at
+            ``fixed_rates`` (e.g. a PAML-format amino-acid matrix via
+            ``io.parse_paml_rates``); frequencies come from ``fixed_freqs``
+            when given, else are fit by ML (+F-style).
 
     Returns:
         (params, losses): ``params`` maps "branch_lengths" (n_all,), and for
@@ -495,15 +501,27 @@ def optimize_model(
     model = model.lower()
     import re as _re
 
-    freerate_match = _re.fullmatch(r"gtr\+r([2-8])", model)
-    if model not in ("jc", "gtr", "gtr+g", "gtr+g+i") and not freerate_match:
+    m = _re.fullmatch(
+        r"(jc|gtr|empirical)(?:(\+g)(\+i)?|(\+r([2-8])))?", model
+    )
+    if not m:
         raise ValueError(f"unknown model {model!r}")
+    base = m.group(1)
     q = n_states
     n_all = topology.n_all
-    use_gtr = model.startswith("gtr")
-    use_gamma = "+g" in model
-    use_inv = "+i" in model
-    n_free = int(freerate_match.group(1)) if freerate_match else 0
+    use_gtr = base == "gtr"
+    use_fixed = base == "empirical"
+    use_gamma = bool(m.group(2))
+    use_inv = bool(m.group(3))
+    n_free = int(m.group(5)) if m.group(5) else 0
+    if use_fixed:
+        if fixed_rates is None:
+            raise ValueError(
+                "model 'empirical' needs fixed_rates (e.g. io.parse_paml_rates)"
+            )
+        fixed_rates = jnp.asarray(fixed_rates, jnp.float32)
+        if fixed_freqs is not None:
+            fixed_freqs = jnp.asarray(fixed_freqs, jnp.float32)
 
     pair_i, pair_j = jnp.triu_indices(q, k=1)
     n_pairs = pair_i.shape[0]
@@ -512,6 +530,15 @@ def optimize_model(
         lengths = jax.nn.softplus(params["theta_len"])
         out = {"branch_lengths": lengths}
         rates = freqs = None
+        if use_fixed:
+            rates = fixed_rates
+            freqs = (
+                fixed_freqs
+                if fixed_freqs is not None
+                else jax.nn.softmax(params["logit_freqs"])
+            )
+            out["rates"] = rates
+            out["freqs"] = freqs
         if use_gtr:
             pair_rates = jax.nn.softplus(params["theta_rates"])
             # Pin the last exchangeability to 1 (identifiability).
@@ -579,6 +606,8 @@ def optimize_model(
         params0["theta_rates"] = 0.01 * jnp.arange(
             1, n_pairs, dtype=jnp.float32
         )
+        params0["logit_freqs"] = jnp.zeros((q,))
+    if use_fixed and fixed_freqs is None:
         params0["logit_freqs"] = jnp.zeros((q,))
     if use_gamma:
         params0["theta_shape"] = jnp.asarray(jnp.log(jnp.expm1(1.0)))

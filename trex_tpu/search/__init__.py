@@ -26,6 +26,11 @@ from trex_tpu.search.ratchet import (
     unrooted_splits,
 )
 from trex_tpu.search.alrt import BranchSupports, branch_supports
+from trex_tpu.search.model_select import (
+    ModelFit,
+    compare_models,
+    count_parameters,
+)
 from trex_tpu.search.nj import neighbor_joining, nj_start_tree, upgma
 from trex_tpu.search.stepwise import stepwise_addition, stepwise_addition_multi
 from trex_tpu.search.ml import ml_hill_climb
@@ -68,6 +73,9 @@ __all__ = [
     "unrooted_splits",
     "BranchSupports",
     "branch_supports",
+    "ModelFit",
+    "compare_models",
+    "count_parameters",
     "neighbor_joining",
     "nj_start_tree",
     "upgma",
