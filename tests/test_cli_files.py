@@ -305,3 +305,21 @@ def test_cli_modeltest(capsys, tmp_path, fasta_path):
     assert out["table"][0]["aic"] <= out["table"][1]["aic"]
     for row in out["table"]:
         assert row["log_likelihood"] < 0 and row["n_parameters"] > 0
+
+
+def test_cli_partition(capsys, tmp_path, fasta_path):
+    from trex_tpu.cli import main
+
+    part = tmp_path / "parts.txt"
+    part.write_text("DNA, left = 1-10\nDNA, right = 11-20\n")
+    main([
+        "partition", "--alignment", fasta_path, "--partitions", str(part),
+        "--model", "jc", "--iterations", "40",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert [p["name"] for p in out["partitions"]] == ["left", "right"]
+    assert out["partitions"][0]["rate_multiplier"] == 1.0
+    assert out["partitions"][1]["rate_multiplier"] > 0
+    assert out["log_likelihood"] == pytest.approx(
+        sum(p["log_likelihood"] for p in out["partitions"]), rel=1e-4
+    )

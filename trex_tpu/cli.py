@@ -566,6 +566,100 @@ def cmd_ml(args) -> None:
     )
 
 
+def cmd_partition(args) -> None:
+    """Partitioned ML model fit: per-partition models, shared tree."""
+    import numpy as np
+
+    from trex_tpu.io import parse_partitions
+    from trex_tpu.ops.likelihood import optimize_model_partitioned
+
+    names, masks, n_states = _load_alignment(args.fasta, args.alphabet)
+    with open(args.partitions) as fh:
+        pids, part_names, part_types = parse_partitions(
+            fh.read(), int(masks.shape[1])
+        )
+    if args.tree:
+        from trex_tpu.io import align_leaf_order, load_newick
+
+        with open(args.tree) as fh:
+            topo, _, tree_names = load_newick(fh.read())
+        if sorted(tree_names) != sorted(names):
+            raise SystemExit("tree and alignment taxa differ")
+        topo = align_leaf_order(topo, tree_names, names)
+    else:
+        from trex_tpu.search.stepwise import stepwise_addition
+
+        topo, _ = stepwise_addition(
+            masks, n_states, sequences_are_masks=True, seed=args.seed
+        )
+    n_parts = len(part_names)
+    models = (
+        [m.strip() for m in args.models.split(",")]
+        if args.models
+        else [args.model] * n_parts
+    )
+    result, losses = optimize_model_partitioned(
+        topo,
+        jnp.asarray(masks),
+        n_states,
+        jnp.asarray(pids),
+        models=models,
+        linked=args.linked,
+        n_iterations=args.iterations,
+        sequences_are_masks=True,
+    )
+    out = {
+        "n_taxa": len(names),
+        "n_sites": int(masks.shape[1]),
+        "linked": args.linked,
+        # Sum of per-partition lnLs at the FINAL parameters (losses[-1] is
+        # one optimizer step behind).
+        "log_likelihood": float(
+            sum(
+                float(result["partitions"][p]["log_likelihood"])
+                for p in range(n_parts)
+            )
+        ),
+        "tree_length": float(
+            np.asarray(result["branch_lengths"])[:-1].sum()
+        ),
+        "partitions": [],
+    }
+    for p in range(n_parts):
+        entry = {
+            "name": part_names[p],
+            "type": part_types[p],
+            "model": models[p],
+            "n_sites": int((pids == p).sum()),
+            "rate_multiplier": round(
+                float(result["rate_multipliers"][p]), 4
+            ),
+            "log_likelihood": float(
+                result["partitions"][p]["log_likelihood"]
+            ),
+        }
+        part_params = result["partitions"][p]
+        if "gamma_shape" in part_params:
+            entry["gamma_shape"] = round(float(part_params["gamma_shape"]), 4)
+        if "freqs" in part_params:
+            entry["frequencies"] = np.round(
+                np.asarray(part_params["freqs"]), 4
+            ).tolist()
+        out["partitions"].append(entry)
+    if args.output_tree:
+        from trex_tpu.io import save_newick
+
+        with open(args.output_tree, "w") as fh:
+            fh.write(
+                save_newick(
+                    topo, names, np.asarray(result["branch_lengths"])
+                )
+                + "\n"
+            )
+        out["output_tree"] = args.output_tree
+    print(json.dumps(out))
+
+
 def cmd_modeltest(args) -> None:
     """Substitution-model selection by AIC/AICc/BIC on a fixed topology."""
     import numpy as np
@@ -878,6 +972,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mutations", type=int, default=3)
     p.add_argument("--rounds", type=int, default=30)
     p.set_defaults(fn=cmd_ml)
+
+    p = sub.add_parser(
+        "partition", help="partitioned ML fit (per-gene models, shared tree)"
+    )
+    p.add_argument("--alignment", "--fasta", dest="fasta", type=str,
+                   required=True)
+    p.add_argument("--partitions", type=str, required=True,
+                   help="RAxML-style partition file (TYPE, name = ranges)")
+    p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
+    p.add_argument("--tree", type=str, default=None,
+                   help="fixed newick topology (default: stepwise start)")
+    p.add_argument("--model", type=str, default="gtr+g",
+                   help="model for every partition (unless --models)")
+    p.add_argument("--models", type=str, default=None,
+                   help="comma-separated per-partition model strings")
+    p.add_argument("--linked", choices=("proportional", "equal"),
+                   default="proportional",
+                   help="branch-length linking across partitions")
+    p.add_argument("--iterations", type=int, default=600)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output-tree", type=str, default=None)
+    p.set_defaults(fn=cmd_partition)
 
     p = sub.add_parser(
         "modeltest", help="model selection by AIC/AICc/BIC"

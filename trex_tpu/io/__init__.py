@@ -17,6 +17,7 @@ from trex_tpu.io.formats import (
     encode_alignment_masks,
     parse_nexus,
     parse_paml_rates,
+    parse_partitions,
     parse_phylip,
     write_phylip,
 )
@@ -431,6 +432,7 @@ __all__ = [
     "parse_fasta_masks",
     "write_fasta",
     "parse_paml_rates",
+    "parse_partitions",
     "parse_phylip",
     "write_phylip",
     "parse_nexus",

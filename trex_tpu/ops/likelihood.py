@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from trex_tpu.topology import Topology
@@ -448,6 +449,131 @@ def optimize_branch_lengths(
     return lengths(theta_f), losses
 
 
+def _parse_model_string(model: str) -> dict:
+    """Parse "<base>[+g[+i] | +rK]" (base jc|gtr|empirical) into a spec."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"(jc|gtr|empirical)(?:(\+g)(\+i)?|(\+r([2-8])))?", model.lower()
+    )
+    if not m:
+        raise ValueError(f"unknown model {model!r}")
+    return {
+        "model": model.lower(),
+        "use_gtr": m.group(1) == "gtr",
+        "use_fixed": m.group(1) == "empirical",
+        "use_gamma": bool(m.group(2)),
+        "use_inv": bool(m.group(3)),
+        "n_free": int(m.group(5)) if m.group(5) else 0,
+    }
+
+
+def _init_model_params(spec: dict, q: int, fixed_freqs=None) -> dict:
+    """Initial unconstrained substitution-model parameters (no lengths)."""
+    params: dict = {}
+    if spec["use_gtr"]:
+        n_pairs = q * (q - 1) // 2
+        # Slightly off-uniform so the eigh gradient is defined at step 0.
+        params["theta_rates"] = 0.01 * jnp.arange(1, n_pairs, dtype=jnp.float32)
+        params["logit_freqs"] = jnp.zeros((q,))
+    if spec["use_fixed"] and fixed_freqs is None:
+        params["logit_freqs"] = jnp.zeros((q,))
+    if spec["use_gamma"]:
+        params["theta_shape"] = jnp.asarray(jnp.log(jnp.expm1(1.0)))
+    if spec["use_inv"]:
+        params["logit_inv"] = jnp.asarray(-2.0)
+    if spec["n_free"]:
+        # Spread initial rates across a decade so categories differentiate.
+        init_rates = jnp.geomspace(0.2, 3.0, spec["n_free"])
+        params["theta_cat_rates"] = jnp.log(jnp.expm1(init_rates))
+        params["logit_cat_weights"] = jnp.zeros((spec["n_free"],))
+    return params
+
+
+def _build_model_params(
+    spec: dict, params: dict, q: int, fixed_rates=None, fixed_freqs=None
+) -> tuple[dict, jax.Array | None, jax.Array | None]:
+    """Constrained substitution-model parameters from unconstrained ones."""
+    out: dict = {}
+    rates = freqs = None
+    if spec["use_fixed"]:
+        rates = fixed_rates
+        freqs = (
+            fixed_freqs
+            if fixed_freqs is not None
+            else jax.nn.softmax(params["logit_freqs"])
+        )
+        out["rates"] = rates
+        out["freqs"] = freqs
+    if spec["use_gtr"]:
+        pair_i, pair_j = jnp.triu_indices(q, k=1)
+        pair_rates = jax.nn.softplus(params["theta_rates"])
+        # Pin the last exchangeability to 1 (identifiability).
+        pair_rates = jnp.concatenate(
+            [pair_rates, jnp.ones((1,), pair_rates.dtype)]
+        )
+        rates = jnp.zeros((q, q))
+        rates = rates.at[pair_i, pair_j].set(pair_rates)
+        rates = rates + rates.T
+        freqs = jax.nn.softmax(params["logit_freqs"])
+        out["rates"] = rates
+        out["freqs"] = freqs
+    if spec["use_gamma"]:
+        out["gamma_shape"] = jax.nn.softplus(params["theta_shape"])
+    if spec["use_inv"]:
+        out["p_invariant"] = jax.nn.sigmoid(params["logit_inv"])
+    if spec["n_free"]:
+        w = jax.nn.softmax(params["logit_cat_weights"])
+        r = jax.nn.softplus(params["theta_cat_rates"])
+        r = r / jnp.sum(w * r)  # mean rate 1 (scale lives in lengths)
+        out["category_rates"] = r
+        out["category_weights"] = w
+    return out, rates, freqs
+
+
+def _model_log_likelihood(
+    spec: dict,
+    built: dict,
+    rates,
+    freqs,
+    topology: Topology,
+    lengths: jax.Array,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    site_mask,
+    n_categories: int,
+    sequences_are_masks: bool,
+) -> jax.Array:
+    """Dispatch the right likelihood variant for a parsed model spec."""
+    common = dict(
+        site_mask=site_mask,
+        rates=rates,
+        freqs=freqs,
+        sequences_are_masks=sequences_are_masks,
+    )
+    if spec["n_free"]:
+        return tree_log_likelihood_freerate(
+            topology, lengths, leaf_sequences, n_states,
+            built["category_rates"], built["category_weights"], **common,
+        )
+    if spec["use_inv"]:
+        return tree_log_likelihood_gamma_invariant(
+            topology, lengths, leaf_sequences, n_states,
+            gamma_shape=built["gamma_shape"],
+            p_invariant=built["p_invariant"],
+            n_categories=n_categories, **common,
+        )
+    if spec["use_gamma"]:
+        return tree_log_likelihood_gamma(
+            topology, lengths, leaf_sequences, n_states,
+            gamma_shape=built["gamma_shape"],
+            n_categories=n_categories, **common,
+        )
+    return tree_log_likelihood(
+        topology, lengths, leaf_sequences, n_states, **common
+    )
+
+
 def optimize_model(
     topology: Topology,
     leaf_sequences: jax.Array,
@@ -498,23 +624,8 @@ def optimize_model(
     spectra (e.g. perfectly uniform JC-like rates), so GTR initialization
     perturbs the rates slightly off uniform.
     """
-    model = model.lower()
-    import re as _re
-
-    m = _re.fullmatch(
-        r"(jc|gtr|empirical)(?:(\+g)(\+i)?|(\+r([2-8])))?", model
-    )
-    if not m:
-        raise ValueError(f"unknown model {model!r}")
-    base = m.group(1)
-    q = n_states
-    n_all = topology.n_all
-    use_gtr = base == "gtr"
-    use_fixed = base == "empirical"
-    use_gamma = bool(m.group(2))
-    use_inv = bool(m.group(3))
-    n_free = int(m.group(5)) if m.group(5) else 0
-    if use_fixed:
+    spec = _parse_model_string(model)
+    if spec["use_fixed"]:
         if fixed_rates is None:
             raise ValueError(
                 "model 'empirical' needs fixed_rates (e.g. io.parse_paml_rates)"
@@ -522,102 +633,28 @@ def optimize_model(
         fixed_rates = jnp.asarray(fixed_rates, jnp.float32)
         if fixed_freqs is not None:
             fixed_freqs = jnp.asarray(fixed_freqs, jnp.float32)
-
-    pair_i, pair_j = jnp.triu_indices(q, k=1)
-    n_pairs = pair_i.shape[0]
+    q = n_states
+    n_all = topology.n_all
 
     def build(params):
-        lengths = jax.nn.softplus(params["theta_len"])
-        out = {"branch_lengths": lengths}
-        rates = freqs = None
-        if use_fixed:
-            rates = fixed_rates
-            freqs = (
-                fixed_freqs
-                if fixed_freqs is not None
-                else jax.nn.softmax(params["logit_freqs"])
-            )
-            out["rates"] = rates
-            out["freqs"] = freqs
-        if use_gtr:
-            pair_rates = jax.nn.softplus(params["theta_rates"])
-            # Pin the last exchangeability to 1 (identifiability).
-            pair_rates = jnp.concatenate(
-                [pair_rates, jnp.ones((1,), pair_rates.dtype)]
-            )
-            rates = jnp.zeros((q, q))
-            rates = rates.at[pair_i, pair_j].set(pair_rates)
-            rates = rates + rates.T
-            freqs = jax.nn.softmax(params["logit_freqs"])
-            out["rates"] = rates
-            out["freqs"] = freqs
-        if use_gamma:
-            out["gamma_shape"] = jax.nn.softplus(params["theta_shape"])
-        if use_inv:
-            out["p_invariant"] = jax.nn.sigmoid(params["logit_inv"])
-        if n_free:
-            w = jax.nn.softmax(params["logit_cat_weights"])
-            r = jax.nn.softplus(params["theta_cat_rates"])
-            r = r / jnp.sum(w * r)  # mean rate 1 (scale lives in lengths)
-            out["category_rates"] = r
-            out["category_weights"] = w
+        out, rates, freqs = _build_model_params(
+            spec, params, q, fixed_rates, fixed_freqs
+        )
+        out["branch_lengths"] = jax.nn.softplus(params["theta_len"])
         return out, rates, freqs
 
     def loss_fn(params):
         built, rates, freqs = build(params)
-        lengths = built["branch_lengths"]
-        common = dict(
-            site_mask=site_weights,
-            rates=rates,
-            freqs=freqs,
-            sequences_are_masks=sequences_are_masks,
+        return -_model_log_likelihood(
+            spec, built, rates, freqs, topology, built["branch_lengths"],
+            leaf_sequences, n_states, site_weights, n_categories,
+            sequences_are_masks,
         )
-        if n_free:
-            ll = tree_log_likelihood_freerate(
-                topology, lengths, leaf_sequences, n_states,
-                built["category_rates"], built["category_weights"], **common,
-            )
-        elif use_inv:
-            ll = tree_log_likelihood_gamma_invariant(
-                topology, lengths, leaf_sequences, n_states,
-                gamma_shape=built["gamma_shape"],
-                p_invariant=built["p_invariant"],
-                n_categories=n_categories, **common,
-            )
-        elif use_gamma:
-            ll = tree_log_likelihood_gamma(
-                topology, lengths, leaf_sequences, n_states,
-                gamma_shape=built["gamma_shape"],
-                n_categories=n_categories, **common,
-            )
-        else:
-            ll = tree_log_likelihood(
-                topology, lengths, leaf_sequences, n_states, **common
-            )
-        return -ll
 
-    params0 = {
-        "theta_len": jnp.full(
-            (n_all,), jnp.log(jnp.expm1(jnp.asarray(init_length)))
-        )
-    }
-    if use_gtr:
-        # Slightly off-uniform so the eigh gradient is defined at step 0.
-        params0["theta_rates"] = 0.01 * jnp.arange(
-            1, n_pairs, dtype=jnp.float32
-        )
-        params0["logit_freqs"] = jnp.zeros((q,))
-    if use_fixed and fixed_freqs is None:
-        params0["logit_freqs"] = jnp.zeros((q,))
-    if use_gamma:
-        params0["theta_shape"] = jnp.asarray(jnp.log(jnp.expm1(1.0)))
-    if use_inv:
-        params0["logit_inv"] = jnp.asarray(-2.0)
-    if n_free:
-        # Spread initial rates across a decade so categories differentiate.
-        init_rates = jnp.geomspace(0.2, 3.0, n_free)
-        params0["theta_cat_rates"] = jnp.log(jnp.expm1(init_rates))
-        params0["logit_cat_weights"] = jnp.zeros((n_free,))
+    params0 = _init_model_params(spec, q, fixed_freqs)
+    params0["theta_len"] = jnp.full(
+        (n_all,), jnp.log(jnp.expm1(jnp.asarray(init_length)))
+    )
 
     optimizer = optax.adam(learning_rate)
 
@@ -640,3 +677,146 @@ def optimize_model(
     params_f, losses = run(params0)
     built, _, _ = build(params_f)
     return built, losses
+
+
+def optimize_model_partitioned(
+    topology: Topology,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    partition_ids: jax.Array,
+    *,
+    models: list[str] | tuple[str, ...],
+    linked: str = "proportional",
+    n_categories: int = 4,
+    init_length: float = 0.1,
+    learning_rate: float = 0.05,
+    n_iterations: int = 800,
+    sequences_are_masks: bool = False,
+    site_weights: jax.Array | None = None,
+    fixed_rates: jax.Array | None = None,
+    fixed_freqs: jax.Array | None = None,
+) -> tuple[dict, jax.Array]:
+    """Partitioned ML: per-partition substitution models over one shared
+    topology and one shared set of branch lengths.
+
+    The standard multi-gene analysis (e.g. one GTR+G per gene): the total
+    log-likelihood is the sum of per-partition log-likelihoods, each computed
+    with its own model parameters. Branch lengths are shared; with
+    ``linked="proportional"`` every partition p > 0 additionally gets a free
+    positive rate multiplier m_p (partition 0 is pinned to 1 for
+    identifiability), so faster-evolving genes stretch the same tree;
+    ``linked="equal"`` pins all multipliers to 1. Everything is fit jointly
+    by Adam in one jitted ``lax.scan``.
+
+    Args:
+        partition_ids: (L,) int array mapping each site (or compressed
+            pattern) to its partition 0..P-1.
+        models: one model string per partition (the ``optimize_model``
+            grammar). 'empirical' partitions share ``fixed_rates``/``freqs``.
+
+    Returns:
+        (result, nll_curve): ``result`` maps "branch_lengths" (n_all,),
+        "rate_multipliers" (P,), and "partitions" — a list of per-partition
+        param dicts (same keys as ``optimize_model``, plus "log_likelihood").
+    """
+    if linked not in ("proportional", "equal"):
+        raise ValueError(f"linked must be 'proportional' or 'equal', got {linked!r}")
+    pids = np.asarray(partition_ids)
+    n_parts = int(pids.max()) + 1
+    if len(models) != n_parts:
+        raise ValueError(
+            f"{n_parts} partitions but {len(models)} model strings"
+        )
+    specs = [_parse_model_string(m) for m in models]
+    for spec in specs:
+        if spec["use_fixed"] and fixed_rates is None:
+            raise ValueError("'empirical' partitions need fixed_rates")
+    if fixed_rates is not None:
+        fixed_rates = jnp.asarray(fixed_rates, jnp.float32)
+    if fixed_freqs is not None:
+        fixed_freqs = jnp.asarray(fixed_freqs, jnp.float32)
+    q = n_states
+    n_all = topology.n_all
+    base_weights = (
+        jnp.ones((pids.shape[0],), jnp.float32)
+        if site_weights is None
+        else jnp.asarray(site_weights, jnp.float32)
+    )
+    # Per-partition site masks fold the base pattern weights in.
+    part_masks = [
+        base_weights * jnp.asarray(pids == p, jnp.float32)
+        for p in range(n_parts)
+    ]
+    proportional = linked == "proportional"
+
+    def build(params):
+        lengths = jax.nn.softplus(params["theta_len"])
+        if proportional and n_parts > 1:
+            mult = jnp.concatenate(
+                [jnp.ones((1,)), jax.nn.softplus(params["theta_mult"])]
+            )
+        else:
+            mult = jnp.ones((n_parts,))
+        parts = [
+            _build_model_params(
+                specs[p], params[f"part{p}"], q, fixed_rates, fixed_freqs
+            )
+            for p in range(n_parts)
+        ]
+        return lengths, mult, parts
+
+    def part_lls(params):
+        lengths, mult, parts = build(params)
+        return lengths, mult, parts, [
+            _model_log_likelihood(
+                specs[p], parts[p][0], parts[p][1], parts[p][2],
+                topology, lengths * mult[p], leaf_sequences, n_states,
+                part_masks[p], n_categories, sequences_are_masks,
+            )
+            for p in range(n_parts)
+        ]
+
+    def loss_fn(params):
+        _, _, _, lls = part_lls(params)
+        return -sum(lls)
+
+    params0: dict = {
+        "theta_len": jnp.full(
+            (n_all,), jnp.log(jnp.expm1(jnp.asarray(init_length)))
+        )
+    }
+    if proportional and n_parts > 1:
+        params0["theta_mult"] = jnp.full(
+            (n_parts - 1,), jnp.log(jnp.expm1(1.0))
+        )
+    for p, spec in enumerate(specs):
+        params0[f"part{p}"] = _init_model_params(spec, q, fixed_freqs)
+
+    optimizer = optax.adam(learning_rate)
+
+    @jax.jit
+    def run(params):
+        opt_state = optimizer.init(params)
+
+        def step(carry, _):
+            prm, st = carry
+            loss, grads = jax.value_and_grad(loss_fn)(prm)
+            updates, st = optimizer.update(grads, st, prm)
+            prm = optax.apply_updates(prm, updates)
+            return (prm, st), loss
+
+        (params_f, _), losses = jax.lax.scan(
+            step, (params, opt_state), None, length=n_iterations
+        )
+        return params_f, losses
+
+    params_f, losses = run(params0)
+    lengths, mult, parts, lls = part_lls(params_f)
+    result = {
+        "branch_lengths": lengths,
+        "rate_multipliers": mult,
+        "partitions": [
+            {**parts[p][0], "log_likelihood": lls[p]} for p in range(n_parts)
+        ],
+    }
+    return result, losses
