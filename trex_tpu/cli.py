@@ -11,6 +11,9 @@ asr         Gradient ASR on a fixed topology, accuracy vs exact Sankoff.
 bench       Throughput benchmark (same metric as bench.py, more knobs).
 nk-bench    The reference's accuracy benchmark: NK data, Sankoff vs gradient
             ASR across lambda values (``evals/benchmark.py:902-1048``).
+simulate    Simulate an alignment down a (given or generated) tree under
+            JC/GTR/empirical (+G/+I) models — the seq-gen equivalent.
+treedist    Robinson-Foulds distance between two newick files.
 
 The reference has no CLI at all (SURVEY.md §1); flags here use a plain
 argparse tree so the module stays dependency-free.
@@ -877,6 +880,152 @@ def cmd_nk_bench(args) -> None:
     print(json.dumps(results))
 
 
+def cmd_simulate(args) -> None:
+    """Simulate an alignment down a tree (seq-gen-style data generation)."""
+    import numpy as np
+
+    from trex_tpu.io import (
+        DNA,
+        PROTEIN,
+        load_newick,
+        parse_paml_rates,
+        save_newick,
+        write_fasta,
+    )
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.topology import random_topologies
+
+    alphabet = {"dna": DNA, "protein": PROTEIN}[args.alphabet]
+    n_states = len(alphabet)
+    rng = np.random.default_rng(args.seed)
+    if args.tree:
+        with open(args.tree) as fh:
+            topo, blens, names = load_newick(fh.read())
+        blens = np.asarray(blens, dtype=np.float64)
+        blens = np.where(np.isfinite(blens), blens, 0.0)
+        if not (blens[:-1] > 0).any():
+            # Topology-only newick: zero lengths would copy the root to
+            # every leaf. Substitute the default length instead.
+            blens = np.full_like(blens, args.default_blen)
+    else:
+        topo = jax.tree_util.tree_map(
+            lambda x: x[0],
+            random_topologies(jax.random.key(args.seed), args.leaves, 1),
+        )
+        names = [f"t{i}" for i in range(args.leaves)]
+        blens = rng.exponential(args.default_blen, size=(topo.n_all,))
+
+    rates = freqs = None
+    gamma_shape = None
+    p_inv = 0.0
+    model = args.model.lower()
+    parts = model.split("+")
+    base = parts[0]
+    for extra in parts[1:]:
+        if extra == "g":
+            gamma_shape = args.gamma_shape
+        elif extra == "i":
+            p_inv = args.p_inv
+        else:
+            raise SystemExit(f"unknown model suffix +{extra}")
+    if base == "gtr":
+        # Random-but-reproducible exchangeabilities/frequencies unless given.
+        tri = (
+            np.asarray(args.gtr_rates, dtype=np.float64)
+            if args.gtr_rates
+            else rng.gamma(2.0, 1.0, size=n_states * (n_states - 1) // 2)
+        )
+        rates = np.zeros((n_states, n_states))
+        rates[np.triu_indices(n_states, 1)] = tri
+        rates = rates + rates.T
+        freqs = (
+            np.asarray(args.freqs, dtype=np.float64)
+            if args.freqs
+            else rng.dirichlet(np.full(n_states, 10.0))
+        )
+    elif base == "empirical":
+        if not args.model_file:
+            raise SystemExit("--model empirical needs --model-file")
+        with open(args.model_file) as fh:
+            rates, freqs = parse_paml_rates(fh.read(), n_states)
+    elif base != "jc":
+        raise SystemExit(f"unknown model {args.model!r}")
+
+    out = simulate_alignment(
+        jax.random.key(args.seed),
+        topo,
+        blens,
+        n_sites=args.sites,
+        n_states=n_states,
+        rates=rates,
+        freqs=freqs,
+        gamma_shape=gamma_shape,
+        n_categories=args.categories,
+        p_invariant=p_inv,
+        return_ancestors=bool(args.output_ancestors),
+    )
+    leaves, ancestors = out if args.output_ancestors else (out, None)
+    fasta = write_fasta(names, leaves, alphabet)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(fasta)
+    else:
+        sys.stdout.write(fasta)
+    if args.output_tree:
+        with open(args.output_tree, "w") as fh:
+            fh.write(save_newick(topo, names, branch_lengths=blens) + "\n")
+    if args.output_ancestors:
+        anc_names = [f"node{topo.n_leaves + i}" for i in range(topo.n_ancestors)]
+        with open(args.output_ancestors, "w") as fh:
+            fh.write(write_fasta(anc_names, ancestors, alphabet))
+    print(
+        json.dumps(
+            {
+                "leaves": int(topo.n_leaves),
+                "sites": args.sites,
+                "model": args.model,
+                "output": args.output,
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+def cmd_treedist(args) -> None:
+    """Robinson-Foulds distance between two newick trees (shared leaf set)."""
+    from trex_tpu.io import load_newick
+    from trex_tpu.search.ratchet import unrooted_splits
+
+    def named_splits(path):
+        """Splits as name-sets, normalized to the side WITHOUT the
+        lexicographically-first taxon (index-based sides differ per tree)."""
+        with open(path) as fh:
+            topo, _, names = load_newick(fh.read())
+        anchor = min(names)
+        all_names = frozenset(names)
+        splits = set()
+        for split in unrooted_splits(topo):
+            side = frozenset(names[i] for i in split)
+            splits.add(all_names - side if anchor in side else side)
+        return topo, set(names), splits
+
+    topo_a, names_a, splits_a = named_splits(args.trees[0])
+    _, names_b, splits_b = named_splits(args.trees[1])
+    if names_a != names_b:
+        raise SystemExit("trees have different leaf sets")
+    rf = len(splits_a ^ splits_b)
+    max_rf = 2 * (topo_a.n_leaves - 3)
+    print(
+        json.dumps(
+            {
+                "rf": int(rf),
+                "max_rf": int(max_rf),
+                "normalized": float(rf / max_rf) if max_rf > 0 else 0.0,
+            }
+        )
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="trex_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -1041,6 +1190,45 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--replicates", type=int, default=50)
     p.add_argument("--search-rounds", type=int, default=10)
     p.set_defaults(fn=cmd_bootstrap)
+
+    p = sub.add_parser(
+        "simulate",
+        help="simulate an alignment down a tree (seq-gen equivalent)",
+    )
+    p.add_argument("--tree", type=str, default=None,
+                   help="newick with branch lengths; omitted -> random "
+                        "coalescent topology with exponential lengths")
+    p.add_argument("--leaves", type=int, default=16,
+                   help="taxon count for the generated tree (no --tree)")
+    p.add_argument("--sites", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
+    p.add_argument("--model", type=str, default="jc",
+                   help="jc|gtr|empirical with optional +g / +i suffixes")
+    p.add_argument("--model-file", type=str, default=None,
+                   help="PAML-format rate file for --model empirical")
+    p.add_argument("--gtr-rates", type=float, nargs="+", default=None,
+                   help="upper-triangle GTR exchangeabilities (default: "
+                        "random, seeded)")
+    p.add_argument("--freqs", type=float, nargs="+", default=None)
+    p.add_argument("--gamma-shape", type=float, default=0.5)
+    p.add_argument("--p-inv", type=float, default=0.2)
+    p.add_argument("--categories", type=int, default=4)
+    p.add_argument("--default-blen", type=float, default=0.1,
+                   help="branch length for generated/length-free trees")
+    p.add_argument("--output", type=str, default=None,
+                   help="FASTA path (default stdout)")
+    p.add_argument("--output-tree", type=str, default=None)
+    p.add_argument("--output-ancestors", type=str, default=None,
+                   help="also write the true ancestral sequences (FASTA)")
+    p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser(
+        "treedist",
+        help="Robinson-Foulds distance between two newick trees",
+    )
+    p.add_argument("trees", nargs=2, help="two newick files")
+    p.set_defaults(fn=cmd_treedist)
 
     p = sub.add_parser("nk-bench", help="NK accuracy benchmark")
     _add_common(p)

@@ -2,6 +2,7 @@
 
 from trex_tpu.models import codon
 from trex_tpu.models.mutation_tree import mutate, generate_groundtruth
+from trex_tpu.models.simulate import simulate_alignment, simulate_ctmc
 from trex_tpu.models.nk import (
     NKLandscape,
     make_landscape,
@@ -15,6 +16,8 @@ __all__ = [
     "codon",
     "mutate",
     "generate_groundtruth",
+    "simulate_alignment",
+    "simulate_ctmc",
     "NKLandscape",
     "make_landscape",
     "sequence_fitness",
