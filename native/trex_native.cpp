@@ -216,6 +216,93 @@ inline void canonicalize_flat(int n_leaves, const int32_t* parent, int root,
   parents_out[n_all - 1] = n_all - 1;
 }
 
+// Post-validation TBR body shared by trex_tbr and trex_tbr_neighborhood:
+// applies the move on value copies of (kids, parent) and canonicalizes into
+// `out`. Caller guarantees prune != root, reroot inside the pruned subtree,
+// regraft outside it, and (when reroot == prune, the SPR degenerate) regraft
+// not at the no-op positions {sibling, parent(prune)}.
+int tbr_apply(int n_leaves, std::vector<std::vector<int32_t>> kids,
+              std::vector<int32_t> parent, int32_t prune_node,
+              int32_t reroot_node, int32_t regraft_node, Tree* out) {
+  const int n_all = 2 * n_leaves - 1;
+  int32_t p = parent[prune_node];
+  int32_t sibling = kids[p][0] == prune_node ? kids[p][1] : kids[p][0];
+  bool plain_spr = (reroot_node == prune_node);
+
+  // Splice p out of the remainder (sibling takes its place).
+  int32_t gp = parent[p];
+  if (gp != p) {
+    for (auto& k : kids[gp])
+      if (k == p) k = sibling;
+    parent[sibling] = gp;
+  } else {
+    parent[sibling] = sibling;  // sibling becomes the remainder's root
+  }
+
+  // Re-root the pruned subtree at the edge above reroot_node (see trex_tbr).
+  int32_t sub_root;
+  if (plain_spr) {
+    sub_root = prune_node;
+  } else {
+    std::vector<int32_t> path;  // reroot_node ... prune_node
+    for (int32_t n = reroot_node;; n = parent[n]) {
+      path.push_back(n);
+      if (n == prune_node) break;
+    }
+    int32_t reversed = -1;
+    for (size_t i = path.size(); i-- > 1;) {
+      int32_t node = path[i];
+      int32_t path_child = path[i - 1];
+      if (node == prune_node) {
+        reversed = kids[node][0] == path_child ? kids[node][1] : kids[node][0];
+        kids[node].clear();  // smoothed out of the tree
+      } else {
+        int32_t keep =
+            kids[node][0] == path_child ? kids[node][1] : kids[node][0];
+        kids[node] = {keep, reversed};
+        reversed = node;
+      }
+    }
+    kids[prune_node] = {reroot_node, reversed};
+    sub_root = prune_node;
+  }
+
+  // Regraft sub_root onto the edge above regraft_node, reusing p.
+  int32_t rp = parent[regraft_node];
+  if (rp == regraft_node) {
+    kids[p] = {sub_root, regraft_node};
+    parent[p] = p;
+  } else {
+    for (auto& k : kids[rp])
+      if (k == regraft_node) k = p;
+    kids[p] = {sub_root, regraft_node};
+    parent[p] = rp;
+  }
+  parent[sub_root] = p;
+  parent[regraft_node] = p;
+
+  // Find root and validate binary shape before canonicalizing.
+  int32_t root = -1;
+  int internal = 0;
+  for (int node = 0; node < n_all; ++node) {
+    if (!kids[node].empty() && kids[node].size() != 2) return -1;
+    if (!kids[node].empty()) ++internal;
+  }
+  {
+    std::vector<bool> is_child(n_all, false);
+    for (int node = 0; node < n_all; ++node)
+      for (int32_t c : kids[node]) is_child[c] = true;
+    for (int node = 0; node < n_all; ++node)
+      if (!kids[node].empty() && !is_child[node]) {
+        if (root != -1) return -1;
+        root = node;
+      }
+  }
+  if (root < 0 || internal != n_leaves - 1) return -1;
+  *out = canonicalize(n_leaves, kids, root);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -686,96 +773,101 @@ int trex_tbr(const int32_t* children, int n_leaves, int32_t prune_node,
   int32_t p = parent[prune_node];
   int32_t sibling = kids[p][0] == prune_node ? kids[p][1] : kids[p][0];
   bool plain_spr = (reroot_node == prune_node);
-  if (plain_spr && (regraft_node == sibling || regraft_node == p)) return -1;
+  // The junction p is spliced out of the remainder before regrafting, so
+  // the "edge above p" never exists as a target — for ANY reroot choice
+  // (regrafting there used to corrupt the child lists: p became its own
+  // child and canonicalize indexed unvisited nodes).
+  if (regraft_node == p) return -1;
+  if (plain_spr && regraft_node == sibling) return -1;
 
-  // Splice p out of the remainder (sibling takes its place).
-  int32_t gp = parent[p];
-  if (gp != p) {
-    for (auto& k : kids[gp])
-      if (k == p) k = sibling;
-    parent[sibling] = gp;
-  } else {
-    parent[sibling] = sibling;  // sibling becomes the remainder's root
-  }
-
-  // Re-root the pruned subtree at the edge above reroot_node. The rerooted
-  // subtree's root takes children (reroot_node, reversed path); the old
-  // subtree root (degree 2 after reversal) is smoothed out. We reuse p as
-  // the junction node placed at the regraft edge.
-  int32_t sub_root;
-  if (plain_spr) {
-    sub_root = prune_node;
-  } else {
-    // Reverse parent pointers along reroot_node -> ... -> prune_node.
-    // rev(n): children = (n's children except path-child) + rev(parent(n));
-    // at prune_node the reversal yields its other child (smoothing).
-    std::vector<int32_t> path;  // reroot_node ... prune_node
-    for (int32_t n = reroot_node;; n = parent[n]) {
-      path.push_back(n);
-      if (n == prune_node) break;
-    }
-    // Walk from the top (prune_node) down, rebuilding reversed nodes.
-    // reversed(prune_node) = its child not on the path.
-    int32_t reversed = -1;
-    for (size_t i = path.size(); i-- > 1;) {
-      int32_t node = path[i];
-      int32_t path_child = path[i - 1];
-      if (node == prune_node) {
-        reversed = kids[node][0] == path_child ? kids[node][1] : kids[node][0];
-        kids[node].clear();  // smoothed out of the tree
-      } else {
-        // node keeps its non-path child and adopts the reversed upper part.
-        int32_t keep = kids[node][0] == path_child ? kids[node][1] : kids[node][0];
-        kids[node] = {keep, reversed};
-        reversed = node;
-      }
-    }
-    // New subtree root = old prune_node id is gone; reuse reroot's edge:
-    // the rerooted subtree hangs reroot_node next to `reversed`. Reuse the
-    // freed prune... the smoothed node is prune_node; reuse it as sub_root.
-    kids[prune_node] = {reroot_node, reversed};
-    sub_root = prune_node;
-  }
-
-  // Regraft sub_root onto the edge above regraft_node, reusing p.
-  int32_t rp = parent[regraft_node];
-  if (rp == regraft_node) {
-    kids[p] = {sub_root, regraft_node};
-    parent[p] = p;
-  } else {
-    for (auto& k : kids[rp])
-      if (k == regraft_node) k = p;
-    kids[p] = {sub_root, regraft_node};
-    parent[p] = rp;
-  }
-  parent[sub_root] = p;
-  parent[regraft_node] = p;
-
-  // Find root and validate binary shape before canonicalizing.
-  int32_t root = -1;
-  int internal = 0;
-  for (int node = 0; node < n_all; ++node) {
-    if (!kids[node].empty() && kids[node].size() != 2) return -1;
-    if (!kids[node].empty()) ++internal;
-  }
-  {
-    // root = the unique internal node not anyone's child.
-    std::vector<bool> is_child(n_all, false);
-    for (int node = 0; node < n_all; ++node)
-      for (int32_t c : kids[node]) is_child[c] = true;
-    for (int node = 0; node < n_all; ++node)
-      if (!kids[node].empty() && !is_child[node]) {
-        if (root != -1) return -1;
-        root = node;
-      }
-  }
-  if (root < 0 || internal != n_leaves - 1) return -1;
-  Tree t = canonicalize(n_leaves, kids, root);
+  Tree t;
+  if (tbr_apply(n_leaves, std::move(kids), std::move(parent), prune_node,
+                reroot_node, regraft_node, &t) != 0)
+    return -1;
   std::memcpy(children_out, t.children.data(),
               t.children.size() * sizeof(int32_t));
   std::memcpy(parents_out, t.parents.data(),
               t.parents.size() * sizeof(int32_t));
   return 0;
+}
+
+// Enumerate the TBR neighborhood: every valid (prune, reroot, regraft)
+// triple, canonicalized and deduplicated (identity excluded). SPR moves are
+// included as the reroot == prune degenerate, so this is the full TBR set.
+// The iteration order of prune and regraft nodes is shuffled by `seed`, so
+// truncation at `max_out` yields an unbiased sample of the neighborhood
+// rather than a low-index-biased prefix. Returns the number written.
+int trex_tbr_neighborhood(const int32_t* children, int n_leaves,
+                          uint64_t seed, int32_t* children_out,
+                          int32_t* parents_out, int max_out) {
+  const int n_anc = n_leaves - 1;
+  const int n_all = 2 * n_leaves - 1;
+  auto base_kids = child_lists(children, n_leaves);
+  std::vector<int32_t> base_parent(n_all, -1);
+  for (int node = 0; node < n_all; ++node)
+    for (int32_t c : base_kids[node]) base_parent[c] = node;
+  base_parent[n_all - 1] = n_all - 1;
+
+  struct VecHash {
+    size_t operator()(const std::vector<int32_t>& v) const {
+      size_t h = 1469598103934665603ull;
+      for (int32_t x : v) {
+        h ^= (size_t)(uint32_t)x;
+        h *= 1099511628211ull;
+      }
+      return h;
+    }
+  };
+  std::unordered_set<std::vector<int32_t>, VecHash> seen;
+  seen.insert(std::vector<int32_t>(children, children + n_anc * 2));
+
+  std::mt19937_64 rng(seed);
+  std::vector<int32_t> prune_order(n_all - 1);
+  for (int i = 0; i < n_all - 1; ++i) prune_order[i] = i;
+  std::shuffle(prune_order.begin(), prune_order.end(), rng);
+  std::vector<int32_t> node_order(n_all - 1);
+  for (int i = 0; i < n_all - 1; ++i) node_order[i] = i;
+  std::shuffle(node_order.begin(), node_order.end(), rng);
+
+  std::vector<bool> in_sub(n_all);
+  std::vector<int32_t> dfs(n_all);
+  std::vector<int32_t> sub_nodes;
+  int written = 0;
+  for (int32_t prune : prune_order) {
+    // Mark the pruned subtree and collect reroot candidates.
+    std::fill(in_sub.begin(), in_sub.end(), false);
+    sub_nodes.clear();
+    int top = 0;
+    dfs[top++] = prune;
+    while (top > 0) {
+      int32_t n = dfs[--top];
+      in_sub[n] = true;
+      sub_nodes.push_back(n);
+      for (int32_t c : base_kids[n]) dfs[top++] = c;
+    }
+    int32_t p = base_parent[prune];
+    int32_t sibling =
+        base_kids[p][0] == prune ? base_kids[p][1] : base_kids[p][0];
+    for (int32_t reroot : sub_nodes) {
+      bool plain_spr = (reroot == prune);
+      for (int32_t regraft : node_order) {
+        if (in_sub[regraft] || regraft == p) continue;
+        if (plain_spr && regraft == sibling) continue;
+        Tree t;
+        if (tbr_apply(n_leaves, base_kids, base_parent, prune, reroot,
+                      regraft, &t) != 0)
+          continue;
+        if (!seen.insert(t.children).second) continue;
+        if (written >= max_out) return written;
+        std::memcpy(children_out + (size_t)written * n_anc * 2,
+                    t.children.data(), t.children.size() * sizeof(int32_t));
+        std::memcpy(parents_out + (size_t)written * n_all, t.parents.data(),
+                    t.parents.size() * sizeof(int32_t));
+        ++written;
+      }
+    }
+  }
+  return written;
 }
 
 }  // extern "C"

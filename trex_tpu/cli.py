@@ -1068,10 +1068,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="stepwise")
     p.add_argument("--orders", type=int, default=4,
                    help="random addition orders for --start stepwise")
-    p.add_argument("--neighborhood", choices=("spr-scan", "spr", "nni"),
+    p.add_argument("--neighborhood",
+                   choices=("spr-scan", "spr", "nni", "tbr"),
                    default="spr-scan",
                    help="spr-scan = analytic all-SPR evaluation (fastest; "
-                        "exact under both criteria)")
+                        "exact under both criteria); tbr = sampled O(n^3) "
+                        "TBR set (strongest, needs the native library)")
     p.add_argument("--rounds", type=int, default=100,
                    help="max hill-climb rounds")
     p.add_argument("--ratchet", type=int, default=0,

@@ -391,6 +391,32 @@ def spr_neighborhood(topology: Topology) -> Topology:
     return Topology(children=jnp.asarray(nc), parents=jnp.asarray(npar))
 
 
+def tbr_neighborhood_host(
+    topology: Topology, max_trees: int = 16384, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """TBR neighborhood as HOST numpy (children, parents) — no transfer.
+
+    The full O(n^3) TBR set (SPR included as the reroot == prune
+    degenerate), deduplicated; ``max_trees`` truncates after a seeded
+    shuffle of the iteration order, so a truncated result is an unbiased
+    sample. Returns views into per-shape cached buffers (overwritten by the
+    next same-shape call); copy for persistence.
+    """
+    if not native.available():
+        raise NotImplementedError("TBR requires the native library")
+    return native.tbr_neighborhood(
+        np.asarray(topology.children), max_trees=max_trees, seed=seed
+    )
+
+
+def tbr_neighborhood(
+    topology: Topology, max_trees: int = 16384, seed: int = 0
+) -> Topology:
+    """The (possibly sampled) TBR neighborhood as a batched Topology."""
+    nc, npar = tbr_neighborhood_host(topology, max_trees=max_trees, seed=seed)
+    return Topology(children=jnp.asarray(nc), parents=jnp.asarray(npar))
+
+
 def tbr_move(
     topology: Topology, prune_node: int, reroot_node: int, regraft_node: int
 ) -> Topology | None:
@@ -446,4 +472,6 @@ __all__ = [
     "spr_neighborhood",
     "spr_move",
     "tbr_move",
+    "tbr_neighborhood",
+    "tbr_neighborhood_host",
 ]

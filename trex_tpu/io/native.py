@@ -69,6 +69,10 @@ def load_library() -> ctypes.CDLL | None:
     lib.trex_spr_neighborhood.argtypes = [
         i32p, ctypes.c_int, i32p, i32p, ctypes.c_int,
     ]
+    lib.trex_tbr_neighborhood.restype = ctypes.c_int
+    lib.trex_tbr_neighborhood.argtypes = [
+        i32p, ctypes.c_int, ctypes.c_uint64, i32p, i32p, ctypes.c_int,
+    ]
     return lib
 
 
@@ -197,7 +201,7 @@ def tbr_move(
 
 # Reused output buffers: page faults on fresh large allocations cost
 # ~0.5 ms/page under the microVM kernel, dwarfing the enumeration itself.
-_NEIGHBORHOOD_BUFFERS: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+_NEIGHBORHOOD_BUFFERS: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
 
 def spr_neighborhood(children: np.ndarray, max_trees: int | None = None):
@@ -230,4 +234,40 @@ def spr_neighborhood(children: np.ndarray, max_trees: int | None = None):
     )
     if count < 0:
         raise RuntimeError(f"spr_neighborhood failed (code {count})")
+    return out_children[:count], out_parents[:count]
+
+
+def tbr_neighborhood(
+    children: np.ndarray, max_trees: int = 16384, seed: int = 0
+):
+    """TBR neighborhood in one native call (deduplicated, SPR included).
+
+    The full TBR set is O(n^3); ``max_trees`` bounds the output and the
+    native side shuffles the (prune, regraft) iteration order by ``seed``,
+    so truncation yields an unbiased neighborhood sample rather than a
+    low-index-biased prefix.
+
+    Returns VIEWS into per-shape cached buffers (overwritten by the next
+    same-shape call); copy for persistence.
+    """
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    children = np.ascontiguousarray(children, dtype=np.int32)
+    n_leaves = children.shape[0] + 1
+    n_all = 2 * n_leaves - 1
+    cap = min(max_trees, 200_000)
+    key = (cap, n_leaves, "tbr")
+    if key not in _NEIGHBORHOOD_BUFFERS:
+        _NEIGHBORHOOD_BUFFERS[key] = (
+            np.zeros((cap, n_leaves - 1, 2), dtype=np.int32),
+            np.zeros((cap, n_all), dtype=np.int32),
+        )
+    out_children, out_parents = _NEIGHBORHOOD_BUFFERS[key]
+    count = lib.trex_tbr_neighborhood(
+        _i32(children), n_leaves, ctypes.c_uint64(seed),
+        _i32(out_children), _i32(out_parents), cap,
+    )
+    if count < 0:
+        raise RuntimeError(f"tbr_neighborhood failed (code {count})")
     return out_children[:count], out_parents[:count]

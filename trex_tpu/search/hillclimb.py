@@ -46,6 +46,7 @@ def parsimony_hill_climb(
     neighborhood: str = "nni",
     site_weights: jax.Array | None = None,
     sequences_are_masks: bool = False,
+    tbr_budget: int = 16384,
 ) -> SearchResult:
     """Greedy hill climb from ``start``; stops at a local optimum.
 
@@ -60,17 +61,26 @@ def parsimony_hill_climb(
             (cheap diversification; 0 = none).
         key: PRNG key, only needed when ``random_kicks > 0``.
         neighborhood: "nni" (2(n-2) moves/round), "spr" (O(n^2)
-            moves/round, stronger optima, needs the native library), or
+            moves/round, stronger optima, needs the native library),
             "spr-scan" (the same SPR neighborhood evaluated analytically by
             ``ops.spr_scan`` — one up/down pass per round instead of O(n^2)
             candidate DPs; unit-cost only, incompatible with a custom
             ``score_batch_fn``; ``site_weights``/``sequences_are_masks``
-            apply).
+            apply), or "tbr" (the O(n^3) TBR set — SPR plus re-rooted
+            regrafts — sampled to ``tbr_budget`` candidates/round with a
+            per-round seed; the strongest and most expensive neighborhood).
+        tbr_budget: candidate cap per TBR round (seeded unbiased sample of
+            the full set when it exceeds the budget).
 
     Returns:
         ``SearchResult`` with the best topology found and the score trace.
     """
-    from trex_tpu.io import native, nni_neighbors_host, spr_neighborhood_host
+    from trex_tpu.io import (
+        native,
+        nni_neighbors_host,
+        spr_neighborhood_host,
+        tbr_neighborhood_host,
+    )
     from trex_tpu.ops.dispatch import batched_scores_fastest
     from trex_tpu.padding import next_bucket
 
@@ -102,9 +112,18 @@ def parsimony_hill_climb(
     )
     n_all = start.n_all
 
-    neighbors_fn = (
-        spr_neighborhood_host if neighborhood == "spr" else nni_neighbors_host
-    )
+    if neighborhood == "tbr":
+        def neighbors_fn(topo):
+            # Fresh seed per round: a truncated TBR set is re-sampled each
+            # climb step instead of repeating one fixed subset.
+            return tbr_neighborhood_host(
+                topo, max_trees=tbr_budget,
+                seed=int(rng.integers(0, 2**63 - 1)),
+            )
+    elif neighborhood == "spr":
+        neighbors_fn = spr_neighborhood_host
+    else:
+        neighbors_fn = nni_neighbors_host
     for round_idx in range(max_rounds):
         # Candidate generation stays HOST-side numpy; only the children
         # tensors cross to the device (scoring never reads parents values,
