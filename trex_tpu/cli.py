@@ -312,6 +312,32 @@ def cmd_infer(args) -> None:
             ]
             out["sh_alrt_support"] = [round(float(s), 3) for s in sup.sh_alrt]
             out["rell_support"] = [round(float(s), 3) for s in sup.rell]
+        if args.ufboot > 0:
+            from trex_tpu.search.ufboot import ultrafast_bootstrap
+
+            fitted_rates = jnp.asarray(params["rates"]) if args.model != "jc" else None
+            fitted_freqs = jnp.asarray(params["freqs"]) if args.model != "jc" else None
+            ub = ultrafast_bootstrap(
+                jax.random.PRNGKey(args.seed + 11),
+                result.topology,
+                jnp.asarray(patterns),
+                n_states,
+                rates=fitted_rates,
+                freqs=fitted_freqs,
+                site_weights=weights,
+                n_replicates=args.ufboot,
+                sequences_are_masks=True,
+            )
+            out["ufboot_support"] = [
+                round(float(s), 3) for s in ub.support
+            ]
+            out["ufboot_candidates"] = ub.n_candidates
+            out["ufboot_reference_wins"] = int(
+                ub.winner_counts[ub.reference_index]
+            )
+            # UFBoot supports take precedence on the newick labels when both
+            # support flavors were requested.
+            alrt_support = ub.support
         newick = save_newick(
             result.topology, names, np.asarray(lengths), support=alrt_support
         )
@@ -1083,6 +1109,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alrt", type=int, default=0,
                    help="SH-aLRT branch supports with this many RELL "
                         "resamples (ML criterion only; 0 = none)")
+    p.add_argument("--ufboot", type=int, default=0,
+                   help="ultrafast bootstrap supports with this many RELL "
+                        "replicates over a candidate tree set (ML criterion "
+                        "only; 0 = none)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-tree", type=str, default=None)
     p.set_defaults(fn=cmd_infer)

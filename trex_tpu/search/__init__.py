@@ -26,6 +26,11 @@ from trex_tpu.search.ratchet import (
     unrooted_splits,
 )
 from trex_tpu.search.alrt import BranchSupports, branch_supports
+from trex_tpu.search.ufboot import (
+    UFBootResult,
+    default_candidates,
+    ultrafast_bootstrap,
+)
 from trex_tpu.search.model_select import (
     ModelFit,
     compare_models,
@@ -73,6 +78,9 @@ __all__ = [
     "unrooted_splits",
     "BranchSupports",
     "branch_supports",
+    "UFBootResult",
+    "default_candidates",
+    "ultrafast_bootstrap",
     "ModelFit",
     "compare_models",
     "count_parameters",
