@@ -14,6 +14,7 @@ nk-bench    The reference's accuracy benchmark: NK data, Sankoff vs gradient
 simulate    Simulate an alignment down a (given or generated) tree under
             JC/GTR/empirical (+G/+I) models — the seq-gen equivalent.
 treedist    Robinson-Foulds distance between two newick files.
+consensus   Majority-rule consensus of a multi-newick file.
 
 The reference has no CLI at all (SURVEY.md §1); flags here use a plain
 argparse tree so the module stays dependency-free.
@@ -71,6 +72,15 @@ def _load_alignment(path: str, alphabet_name: str):
     else:
         names, masks = parse_fasta_masks(text, alphabet)
     return names, np.asarray(masks, dtype=np.int32), len(alphabet)
+
+
+def _outgroup_indices(names: list[str], outgroup: str) -> list[int]:
+    """Resolve a comma-separated outgroup name list to leaf indices."""
+    wanted = [s.strip() for s in outgroup.split(",") if s.strip()]
+    missing = [w for w in wanted if w not in names]
+    if missing:
+        raise SystemExit(f"outgroup taxa not in the alignment: {missing}")
+    return [names.index(w) for w in wanted]
 
 
 def _start_tree(kind: str, masks, n_states: int, seed: int, weights, orders: int):
@@ -248,6 +258,19 @@ def cmd_infer(args) -> None:
             sequences_are_masks=True,
             site_weights=weights,
         )
+        if args.outgroup:
+            import dataclasses
+
+            from trex_tpu.io import reroot_on_outgroup
+
+            topo2, lens2 = reroot_on_outgroup(
+                result.topology,
+                _outgroup_indices(names, args.outgroup),
+                np.asarray(lengths),
+            )
+            result = dataclasses.replace(result, topology=topo2)
+            lengths = jnp.asarray(lens2, jnp.float32)
+            out["outgroup"] = args.outgroup
         out.update(
             neg_log_likelihood=float(losses[-1]),
             ranking_score=result.score,
@@ -395,6 +418,18 @@ def cmd_infer(args) -> None:
                 sequences_are_masks=scan,
             )
         out["parsimony_score"] = result.score
+        if args.outgroup:
+            import dataclasses
+
+            from trex_tpu.io import reroot_on_outgroup
+
+            # Unit-cost parsimony is rerooting-invariant, so the reported
+            # score still holds for the rerooted tree.
+            topo2, _ = reroot_on_outgroup(
+                result.topology, _outgroup_indices(names, args.outgroup)
+            )
+            result = dataclasses.replace(result, topology=topo2)
+            out["outgroup"] = args.outgroup
         support = None
         if args.bootstrap > 0:
             from trex_tpu.search.bootstrap import bootstrap_analysis
@@ -1052,6 +1087,47 @@ def cmd_treedist(args) -> None:
     )
 
 
+def cmd_consensus(args) -> None:
+    """Majority-rule consensus of a file of newick trees (one per line or
+    ;-separated), e.g. bootstrap replicate outputs or independent runs."""
+    from trex_tpu.io import load_newick, renumber_leaves
+    from trex_tpu.search.consensus import majority_rule_consensus
+
+    with open(args.trees) as fh:
+        text = fh.read()
+    chunks = [c.strip() + ";" for c in text.split(";") if c.strip()]
+    if not chunks:
+        raise SystemExit(f"{args.trees}: no trees found")
+    topos = []
+    ref_names: list[str] | None = None
+    order: dict[str, int] = {}
+    for chunk in chunks:
+        topo, _, names = load_newick(chunk)
+        if ref_names is None:
+            ref_names = names
+            order = {n: i for i, n in enumerate(names)}
+        elif sorted(names) != sorted(ref_names):
+            raise SystemExit("trees have different leaf sets")
+        topos.append(renumber_leaves(topo, [order[n] for n in names]))
+    assert ref_names is not None
+    newick, kept = majority_rule_consensus(
+        topos, ref_names, threshold=args.threshold
+    )
+    if args.output_tree:
+        with open(args.output_tree, "w") as fh:
+            fh.write(newick + "\n")
+    print(
+        json.dumps(
+            {
+                "n_trees": len(topos),
+                "threshold": args.threshold,
+                "n_splits": len(kept),
+                "tree": newick,
+            }
+        )
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="trex_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -1109,6 +1185,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alrt", type=int, default=0,
                    help="SH-aLRT branch supports with this many RELL "
                         "resamples (ML criterion only; 0 = none)")
+    p.add_argument("--outgroup", type=str, default=None,
+                   help="comma-separated taxa to root the final tree on "
+                        "(must form a split of the inferred tree)")
     p.add_argument("--ufboot", type=int, default=0,
                    help="ultrafast bootstrap supports with this many RELL "
                         "replicates over a candidate tree set (ML criterion "
@@ -1261,6 +1340,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("trees", nargs=2, help="two newick files")
     p.set_defaults(fn=cmd_treedist)
+
+    p = sub.add_parser(
+        "consensus",
+        help="majority-rule consensus of a multi-newick file",
+    )
+    p.add_argument("trees", help="file with one newick per line")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--output-tree", type=str, default=None)
+    p.set_defaults(fn=cmd_consensus)
 
     p = sub.add_parser("nk-bench", help="NK accuracy benchmark")
     _add_common(p)

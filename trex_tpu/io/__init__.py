@@ -391,6 +391,157 @@ def spr_neighborhood(topology: Topology) -> Topology:
     return Topology(children=jnp.asarray(nc), parents=jnp.asarray(npar))
 
 
+def renumber_leaves(topology: Topology, new_leaf_ids: list[int]) -> Topology:
+    """Permute leaf indices (``new_leaf_ids[i]`` = new index of leaf ``i``)
+    and re-canonicalize the ancestor numbering.
+
+    Used to put independently parsed trees (whose leaf numbering follows
+    each file's own name order) onto one shared name -> index mapping so
+    index-based split operations (consensus, RF) compare like with like.
+    """
+    from trex_tpu.io.fallback import _canonicalize
+
+    children = np.asarray(topology.children)
+    n_leaves = topology.n_leaves
+    kids = {}
+    for a in range(topology.n_ancestors):
+        node = n_leaves + a
+        kids[node] = [
+            int(c) if c >= n_leaves else int(new_leaf_ids[int(c)])
+            for c in children[a]
+        ]
+    ch, par, _ = _canonicalize(n_leaves, kids, topology.n_all - 1)
+    return Topology(children=jnp.asarray(ch), parents=jnp.asarray(par))
+
+
+def reroot_at_edge(
+    topology: Topology,
+    node: int,
+    branch_lengths: np.ndarray | None = None,
+) -> tuple[Topology, np.ndarray | None]:
+    """Re-root the tree's UNROOTED structure on the edge above ``node``.
+
+    The old root (a degree-2 vertex in the unrooted view) is smoothed out
+    and a new root is inserted in the middle of the edge between ``node``
+    and its current parent. Branch lengths, when given (indexed by child
+    node as everywhere), follow the edges; the target edge's length is
+    split evenly between the new root's two children, and the smoothed old
+    root edge becomes one edge whose length is the sum of its two halves.
+
+    Likelihoods under reversible models and parsimony scores are invariant
+    to this operation (the pulley principle); it exists for presentation —
+    outgroup rooting of inferred trees.
+    """
+    children = np.asarray(topology.children)
+    n_leaves = topology.n_leaves
+    n_all = topology.n_all
+    old_root = n_all - 1
+    parents = np.asarray(topology.parents)
+    if int(parents[node]) == old_root or node == old_root:
+        out_b = None if branch_lengths is None else np.asarray(
+            branch_lengths, dtype=np.float64
+        )
+        return topology, out_b  # the root already subdivides this edge
+
+    blens = (
+        None
+        if branch_lengths is None
+        else np.asarray(branch_lengths, dtype=np.float64)
+    )
+    # Undirected adjacency of the unrooted tree with edge lengths: old root
+    # suppressed, its two children joined by one edge.
+    adj: dict[int, list[tuple[int, float]]] = {
+        i: [] for i in range(n_all) if i != old_root
+    }
+
+    def add_edge(a: int, b: int, w: float) -> None:
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+
+    rc1, rc2 = (int(c) for c in children[old_root - n_leaves])
+    for a in range(topology.n_ancestors):
+        parent = n_leaves + a
+        if parent == old_root:
+            continue
+        for c in children[a]:
+            c = int(c)
+            add_edge(parent, c, 0.0 if blens is None else float(blens[c]))
+    root_w = 0.0 if blens is None else float(blens[rc1]) + float(blens[rc2])
+    add_edge(rc1, rc2, root_w)
+
+    # Locate the target edge (node, up) in the unrooted view: `node`'s
+    # parent, unless that was the smoothed old root — then the other side
+    # of the joined edge.
+    up = int(parents[node])
+    target_w = 0.0 if blens is None else float(blens[node])
+
+    # Orient everything away from a synthetic root bisecting (node, up).
+    kids: dict[int, list[int]] = {old_root: [node, up]}
+    new_blens = np.zeros((n_all,), dtype=np.float64)
+    new_blens[node] = target_w / 2.0
+    new_blens[up] = target_w / 2.0
+    stack = [(node, up), (up, node)]
+    while stack:
+        cur, came_from = stack.pop()
+        cs = []
+        for nxt, w in adj[cur]:
+            if nxt == came_from:
+                continue
+            cs.append(nxt)
+            new_blens[nxt] = w
+            stack.append((nxt, cur))
+        if cs:
+            kids[cur] = cs
+    from trex_tpu.io.fallback import _canonicalize
+
+    ch, par, relabel = _canonicalize(n_leaves, kids, old_root)
+    out = Topology(children=jnp.asarray(ch), parents=jnp.asarray(par))
+    if blens is None:
+        return out, None
+    remapped = np.zeros((n_all,), dtype=np.float64)
+    for old, new in relabel.items():
+        remapped[new] = new_blens[old]
+    remapped[n_all - 1] = 0.0
+    return out, remapped
+
+
+def reroot_on_outgroup(
+    topology: Topology,
+    outgroup: list[int],
+    branch_lengths: np.ndarray | None = None,
+) -> tuple[Topology, np.ndarray | None]:
+    """Root so the outgroup leaves form one child of the root.
+
+    ``outgroup``: leaf indices. The outgroup must be a split of the
+    unrooted tree (monophyletic given some rooting); otherwise ValueError.
+    """
+    from trex_tpu.search.bootstrap import subtree_leaf_sets
+
+    n_leaves = topology.n_leaves
+    want = frozenset(outgroup)
+    if not want or not all(0 <= x < n_leaves for x in want):
+        raise ValueError("outgroup must be a non-empty set of leaf indices")
+    every = frozenset(range(n_leaves))
+    if want == every:
+        raise ValueError("outgroup cannot contain every taxon")
+    if len(want) == 1:
+        return reroot_at_edge(topology, next(iter(want)), branch_lengths)
+    clades = subtree_leaf_sets(topology)
+    children = np.asarray(topology.children)
+    n_all = topology.n_all
+    # Edge above ancestor a splits off clades[a]; edge above leaf l splits
+    # off {l}. Accept either orientation of the target bipartition.
+    for a, clade in enumerate(clades):
+        node = n_leaves + a
+        if node == n_all - 1:
+            continue
+        if clade == want or every - clade == want:
+            return reroot_at_edge(topology, node, branch_lengths)
+    raise ValueError(
+        "outgroup is not monophyletic on this tree (no edge splits it off)"
+    )
+
+
 def tbr_neighborhood_host(
     topology: Topology, max_trees: int = 16384, seed: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -471,6 +622,9 @@ __all__ = [
     "nni_neighbors",
     "spr_neighborhood",
     "spr_move",
+    "renumber_leaves",
+    "reroot_at_edge",
+    "reroot_on_outgroup",
     "tbr_move",
     "tbr_neighborhood",
     "tbr_neighborhood_host",
