@@ -305,6 +305,9 @@ def cmd_infer(args) -> None:
                 out["gamma_shape"] = float(params["gamma_shape"])
             if "p_invariant" in params:
                 out["p_invariant"] = float(params["p_invariant"])
+            for kname in ("kappa", "kappa_purine", "kappa_pyrimidine"):
+                if kname in params:
+                    out[kname] = float(params[kname])
             if "category_rates" in params:
                 out["category_rates"] = np.round(
                     np.asarray(params["category_rates"]), 4
@@ -1160,7 +1163,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="parsimony")
     p.add_argument("--model", default="jc",
                    help="substitution model fitted on the final ML tree: "
-                        "jc|gtr|empirical with optional +g, +g+i, or +rK "
+                        "jc|k80|hky|f81|tn93|gtr|empirical with optional "
+                        "+g, +g+i, or +rK "
                         "(FreeRate, K=2..8); 'empirical' needs --model-file")
     p.add_argument("--model-file", type=str, default=None,
                    help="PAML-format rate file for --model empirical "
@@ -1265,9 +1269,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tree", type=str, default=None,
                    help="fixed newick topology (default: stepwise start)")
     p.add_argument("--models", type=str,
-                   default="jc,jc+g,gtr,gtr+g,gtr+g+i,gtr+r3",
+                   default="jc,jc+g,k80,hky,hky+g,tn93+g,gtr,gtr+g,gtr+g+i,gtr+r3",
                    help="comma-separated candidates "
-                        "(jc|gtr|empirical with +g/+g+i/+rK suffixes)")
+                        "(jc|k80|hky|f81|tn93|gtr|empirical with "
+                        "+g/+g+i/+rK suffixes)")
     p.add_argument("--criterion", choices=("aic", "aicc", "bic"),
                    default="bic")
     p.add_argument("--iterations", type=int, default=500)

@@ -450,18 +450,32 @@ def optimize_branch_lengths(
 
 
 def _parse_model_string(model: str) -> dict:
-    """Parse "<base>[+g[+i] | +rK]" (base jc|gtr|empirical) into a spec."""
+    """Parse "<base>[+g[+i] | +rK]" into a spec.
+
+    Bases: jc | k80 | hky | f81 | tn93 | gtr | empirical. The named
+    nucleotide models are the classic constrained GTR submodels (DNA order
+    ACGT; transitions A<->G and C<->T): K80 = one kappa, equal frequencies;
+    HKY85 = kappa + free frequencies; F81 = equal exchangeabilities + free
+    frequencies; TN93 = separate purine/pyrimidine transition rates + free
+    frequencies. They require n_states == 4.
+    """
     import re as _re
 
     m = _re.fullmatch(
-        r"(jc|gtr|empirical)(?:(\+g)(\+i)?|(\+r([2-8])))?", model.lower()
+        r"(jc|k80|hky|f81|tn93|gtr|empirical)(?:(\+g)(\+i)?|(\+r([2-8])))?",
+        model.lower(),
     )
     if not m:
         raise ValueError(f"unknown model {model!r}")
+    base = m.group(1)
     return {
         "model": model.lower(),
-        "use_gtr": m.group(1) == "gtr",
-        "use_fixed": m.group(1) == "empirical",
+        "base": base,
+        "use_gtr": base == "gtr",
+        "use_fixed": base == "empirical",
+        "use_kappa": base in ("k80", "hky"),
+        "use_tn": base == "tn93",
+        "free_freqs": base in ("hky", "f81", "tn93"),
         "use_gamma": bool(m.group(2)),
         "use_inv": bool(m.group(3)),
         "n_free": int(m.group(5)) if m.group(5) else 0,
@@ -477,6 +491,19 @@ def _init_model_params(spec: dict, q: int, fixed_freqs=None) -> dict:
         params["theta_rates"] = 0.01 * jnp.arange(1, n_pairs, dtype=jnp.float32)
         params["logit_freqs"] = jnp.zeros((q,))
     if spec["use_fixed"] and fixed_freqs is None:
+        params["logit_freqs"] = jnp.zeros((q,))
+    if spec["use_kappa"] or spec["use_tn"] or spec["base"] == "f81":
+        if q != 4:
+            raise ValueError(
+                f"model {spec['model']!r} is a nucleotide model (needs "
+                f"n_states == 4, got {q})"
+            )
+    if spec["use_kappa"]:
+        params["theta_kappa"] = jnp.asarray(jnp.log(jnp.expm1(2.0)))
+    if spec["use_tn"]:
+        params["theta_kappa_r"] = jnp.asarray(jnp.log(jnp.expm1(2.0)))
+        params["theta_kappa_y"] = jnp.asarray(jnp.log(jnp.expm1(2.0)))
+    if spec["free_freqs"]:
         params["logit_freqs"] = jnp.zeros((q,))
     if spec["use_gamma"]:
         params["theta_shape"] = jnp.asarray(jnp.log(jnp.expm1(1.0)))
@@ -516,6 +543,29 @@ def _build_model_params(
         rates = rates.at[pair_i, pair_j].set(pair_rates)
         rates = rates + rates.T
         freqs = jax.nn.softmax(params["logit_freqs"])
+        out["rates"] = rates
+        out["freqs"] = freqs
+    if spec["use_kappa"] or spec["use_tn"] or spec["base"] == "f81":
+        # Constrained GTR submodels, DNA order ACGT: transitions are
+        # A<->G (0,2) and C<->T (1,3); transversions pinned at 1.
+        if spec["use_tn"]:
+            k_r = jax.nn.softplus(params["theta_kappa_r"])
+            k_y = jax.nn.softplus(params["theta_kappa_y"])
+            out["kappa_purine"] = k_r
+            out["kappa_pyrimidine"] = k_y
+        elif spec["use_kappa"]:
+            k_r = k_y = jax.nn.softplus(params["theta_kappa"])
+            out["kappa"] = k_r
+        else:  # f81
+            k_r = k_y = jnp.asarray(1.0)
+        rates = jnp.ones((q, q)) - jnp.eye(q)
+        rates = rates.at[0, 2].set(k_r).at[2, 0].set(k_r)
+        rates = rates.at[1, 3].set(k_y).at[3, 1].set(k_y)
+        freqs = (
+            jax.nn.softmax(params["logit_freqs"])
+            if spec["free_freqs"]
+            else jnp.full((q,), 1.0 / q)
+        )
         out["rates"] = rates
         out["freqs"] = freqs
     if spec["use_gamma"]:

@@ -44,15 +44,27 @@ class ModelFit:
 def count_parameters(model: str, n_states: int, n_leaves: int,
                      freqs_fitted: bool = False) -> int:
     """Free-parameter count for a model string (see module docstring)."""
-    m = re.fullmatch(r"(jc|gtr|empirical)(?:(\+g)(\+i)?|(\+r([2-8])))?", model)
+    m = re.fullmatch(
+        r"(jc|k80|hky|f81|tn93|gtr|empirical)(?:(\+g)(\+i)?|(\+r([2-8])))?",
+        model,
+    )
     if not m:
         raise ValueError(f"unknown model {model!r}")
     k = 2 * n_leaves - 3  # unrooted branch lengths
     q = n_states
-    if m.group(1) == "gtr":
+    base = m.group(1)
+    if base == "gtr":
         k += q * (q - 1) // 2 - 1 + (q - 1)
-    elif m.group(1) == "empirical" and freqs_fitted:
+    elif base == "empirical" and freqs_fitted:
         k += q - 1
+    elif base == "k80":
+        k += 1  # kappa
+    elif base == "hky":
+        k += 1 + (q - 1)  # kappa + frequencies
+    elif base == "f81":
+        k += q - 1  # frequencies
+    elif base == "tn93":
+        k += 2 + (q - 1)  # two transition rates + frequencies
     if m.group(2):
         k += 1
     if m.group(3):
