@@ -91,3 +91,34 @@ def test_cli_consensus_rejects_mismatched_leafsets(tmp_path, capsys):
     path.write_text("((a,b),(c,d));\n((a,b),(c,e));\n")
     with pytest.raises(SystemExit):
         main(["consensus", str(path)])
+
+
+def test_cli_infer_distance_criterion(capsys, tmp_path):
+    import json
+
+    from trex_tpu.cli import main
+    from trex_tpu.io import DNA, load_newick, write_fasta
+    from trex_tpu.models.simulate import simulate_alignment
+
+    truth = _single(jax.random.key(20), 10)
+    blens = np.full((truth.n_all,), 0.15)
+    leaves = simulate_alignment(jax.random.key(21), truth, blens,
+                                n_sites=3000)
+    path = tmp_path / "a.fasta"
+    names = [f"t{i}" for i in range(10)]
+    path.write_text(write_fasta(names, leaves, DNA))
+    main(["infer", "--fasta", str(path), "--criterion", "distance",
+          "--start", "nj", "--outgroup", "t4"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["method"] == "nj" and out["tree_length"] > 0
+    topo, blens2, pnames = load_newick(out["tree"])
+    # NJ on long clean data recovers the true unrooted topology.
+    from trex_tpu.io import renumber_leaves
+
+    order = {n: i for i, n in enumerate(names)}
+    aligned = renumber_leaves(topo, [order[n] for n in pnames])
+    assert rf_distance_unrooted(aligned, truth) == 0
+    # Outgroup rooting applied.
+    root_kids = np.asarray(topo.children)[-1]
+    leaf_kids = [pnames[int(k)] for k in root_kids if int(k) < 10]
+    assert "t4" in leaf_kids

@@ -233,10 +233,6 @@ def cmd_infer(args) -> None:
     weights = jnp.asarray(weights, jnp.float32)
     patterns = np.asarray(patterns, dtype=np.int32)
 
-    start = _start_tree(
-        args.start, patterns, n_states, args.seed, weights, args.orders
-    )
-
     out: dict[str, object] = {
         "criterion": args.criterion,
         "start": args.start,
@@ -244,6 +240,38 @@ def cmd_infer(args) -> None:
         "n_sites": int(masks.shape[1]),
         "unique_patterns": int((np.asarray(weights) > 0).sum()),
     }
+    if args.criterion == "distance":
+        # Pure distance-method tree (NJ/UPGMA) with its own branch lengths:
+        # no search. --start picks the agglomeration; default nj.
+        from trex_tpu.search.nj import nj_start_tree
+
+        method = args.start if args.start in ("nj", "upgma") else "nj"
+        ints = np.zeros_like(patterns)
+        lsb = patterns & -patterns
+        for b in range(n_states):
+            ints[lsb == (1 << b)] = b
+        topo, blens = nj_start_tree(ints, n_states, weights, method=method)
+        blens = np.clip(np.asarray(blens, dtype=np.float64), 0.0, None)
+        if args.outgroup:
+            from trex_tpu.io import reroot_on_outgroup
+
+            topo, blens = reroot_on_outgroup(
+                topo, _outgroup_indices(names, args.outgroup), blens
+            )
+            out["outgroup"] = args.outgroup
+        newick = save_newick(topo, names, branch_lengths=blens)
+        out.update(method=method, tree=newick,
+                   tree_length=float(np.asarray(blens)[:-1].sum()))
+        if args.output_tree:
+            with open(args.output_tree, "w") as fh:
+                fh.write(newick + "\n")
+        print(json.dumps(out))
+        return
+
+    start = _start_tree(
+        args.start, patterns, n_states, args.seed, weights, args.orders
+    )
+
     if args.criterion == "ml":
         from trex_tpu.search.ml import ml_hill_climb
 
@@ -1159,7 +1187,7 @@ def build_parser() -> argparse.ArgumentParser:
                    required=True,
                    help="FASTA/PHYLIP/NEXUS alignment (auto-detected)")
     p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
-    p.add_argument("--criterion", choices=("parsimony", "ml"),
+    p.add_argument("--criterion", choices=("parsimony", "ml", "distance"),
                    default="parsimony")
     p.add_argument("--model", default="jc",
                    help="substitution model fitted on the final ML tree: "
