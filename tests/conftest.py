@@ -9,6 +9,18 @@ the env vars and override ``jax_platforms`` in-process.
 
 import os
 
+# The full suite compiles thousands of XLA programs; each leaves JIT code
+# mappings behind, and the kernel default vm.max_map_count=65530 is hit at
+# ~85% of the run (the process then segfaults inside LLVM). Raise the limit
+# when we can (root in this microVM); harmless no-op otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count") as _fh:
+        if int(_fh.read()) < 262144:
+            with open("/proc/sys/vm/max_map_count", "w") as _out:
+                _out.write("1048576")
+except (OSError, ValueError):
+    pass
+
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
