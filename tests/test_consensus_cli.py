@@ -122,3 +122,32 @@ def test_cli_infer_distance_criterion(capsys, tmp_path):
     root_kids = np.asarray(topo.children)[-1]
     leaf_kids = [pnames[int(k)] for k in root_kids if int(k) < 10]
     assert "t4" in leaf_kids
+
+
+def test_cli_infer_restarts(capsys, tmp_path):
+    import json
+
+    from trex_tpu.cli import main
+    from trex_tpu.io import DNA, write_fasta
+    from trex_tpu.models.simulate import simulate_alignment
+
+    truth = _single(jax.random.key(30), 8)
+    blens = np.full((truth.n_all,), 0.2)
+    leaves = simulate_alignment(jax.random.key(31), truth, blens, n_sites=200)
+    path = tmp_path / "a.fasta"
+    path.write_text(write_fasta([f"t{i}" for i in range(8)], leaves, DNA))
+    # Single random start vs 4 restarts: more starts can only match or
+    # improve the best parsimony score.
+    main(["infer", "--fasta", str(path), "--start", "random",
+          "--neighborhood", "nni"])
+    one = json.loads(capsys.readouterr().out)
+    main(["infer", "--fasta", str(path), "--start", "random",
+          "--neighborhood", "nni", "--restarts", "4"])
+    many = json.loads(capsys.readouterr().out)
+    assert many["restarts"] == 4
+    assert many["parsimony_score"] <= one["parsimony_score"]
+    # ML criterion restarts run too.
+    main(["infer", "--fasta", str(path), "--criterion", "ml", "--start",
+          "random", "--neighborhood", "nni", "--restarts", "2"])
+    ml = json.loads(capsys.readouterr().out)
+    assert ml["restarts"] == 2 and "neg_log_likelihood" in ml

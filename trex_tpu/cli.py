@@ -268,24 +268,43 @@ def cmd_infer(args) -> None:
         print(json.dumps(out))
         return
 
-    start = _start_tree(
-        args.start, patterns, n_states, args.seed, weights, args.orders
-    )
+    # Starting topologies: the requested --start, plus (--restarts - 1)
+    # random-addition-order / random restarts (keep the best final score).
+    starts = [
+        _start_tree(
+            args.start, patterns, n_states, args.seed, weights, args.orders
+        )
+    ]
+    for r in range(1, args.restarts):
+        kind = "stepwise" if args.start == "stepwise" else "random"
+        starts.append(
+            _start_tree(
+                kind, patterns, n_states, args.seed + 1000 * r, weights,
+                args.orders,
+            )
+        )
+    if args.restarts > 1:
+        out["restarts"] = args.restarts
 
     if args.criterion == "ml":
         from trex_tpu.search.ml import ml_hill_climb
 
         # Compressed patterns + weights are exact for ML too: the total
         # log-likelihood is a weighted per-site sum.
-        result, lengths, losses = ml_hill_climb(
-            start,
-            jnp.asarray(patterns),
-            n_states,
-            max_rounds=args.rounds,
-            neighborhood=args.neighborhood,
-            sequences_are_masks=True,
-            site_weights=weights,
-        )
+        best = None
+        for st in starts:
+            result, lengths, losses = ml_hill_climb(
+                st,
+                jnp.asarray(patterns),
+                n_states,
+                max_rounds=args.rounds,
+                neighborhood=args.neighborhood,
+                sequences_are_masks=True,
+                site_weights=weights,
+            )
+            if best is None or float(losses[-1]) < float(best[2][-1]):
+                best = (result, lengths, losses)
+        result, lengths, losses = best
         if args.outgroup:
             import dataclasses
 
@@ -422,32 +441,36 @@ def cmd_infer(args) -> None:
             )
 
         scan = args.neighborhood == "spr-scan"
-        if args.ratchet > 0:
-            from trex_tpu.search.ratchet import parsimony_ratchet
+        result = None
+        for s_idx, st in enumerate(starts):
+            if args.ratchet > 0:
+                from trex_tpu.search.ratchet import parsimony_ratchet
 
-            result = parsimony_ratchet(
-                jax.random.PRNGKey(args.seed),
-                start,
-                cost,
-                jnp.asarray(patterns),
-                n_iterations=args.ratchet,
-                climb_rounds=args.rounds,
-                neighborhood=args.neighborhood,
-                site_weights=weights,
-                sequences_are_masks=True,
-            )
-            out["ratchet_iterations"] = args.ratchet
-        else:
-            result = parsimony_hill_climb(
-                start,
-                cost,
-                jnp.asarray(patterns),
-                max_rounds=args.rounds,
-                neighborhood=args.neighborhood,
-                score_batch_fn=None if scan else score_batch,
-                site_weights=weights if scan else None,
-                sequences_are_masks=scan,
-            )
+                attempt = parsimony_ratchet(
+                    jax.random.PRNGKey(args.seed + s_idx),
+                    st,
+                    cost,
+                    jnp.asarray(patterns),
+                    n_iterations=args.ratchet,
+                    climb_rounds=args.rounds,
+                    neighborhood=args.neighborhood,
+                    site_weights=weights,
+                    sequences_are_masks=True,
+                )
+                out["ratchet_iterations"] = args.ratchet
+            else:
+                attempt = parsimony_hill_climb(
+                    st,
+                    cost,
+                    jnp.asarray(patterns),
+                    max_rounds=args.rounds,
+                    neighborhood=args.neighborhood,
+                    score_batch_fn=None if scan else score_batch,
+                    site_weights=weights if scan else None,
+                    sequences_are_masks=scan,
+                )
+            if result is None or attempt.score < result.score:
+                result = attempt
         out["parsimony_score"] = result.score
         if args.outgroup:
             import dataclasses
@@ -1220,6 +1243,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--outgroup", type=str, default=None,
                    help="comma-separated taxa to root the final tree on "
                         "(must form a split of the inferred tree)")
+    p.add_argument("--restarts", type=int, default=1,
+                   help="independent searches: the --start tree plus N-1 "
+                        "random-addition/random starts; best final score "
+                        "wins")
     p.add_argument("--ufboot", type=int, default=0,
                    help="ultrafast bootstrap supports with this many RELL "
                         "replicates over a candidate tree set (ML criterion "
