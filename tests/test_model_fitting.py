@@ -105,7 +105,7 @@ def test_model_with_masks_and_weights():
 def test_unknown_model_rejected():
     topo, seqs = _case(11)
     with pytest.raises(ValueError, match="unknown model"):
-        optimize_model(topo, seqs, Q, model="hky")
+        optimize_model(topo, seqs, Q, model="hky85-typo")
 
 
 def test_freerate_single_category_is_plain_likelihood():

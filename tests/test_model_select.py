@@ -42,8 +42,10 @@ def test_count_parameters():
     assert count_parameters("gtr+r3", 4, 8) == 13 + 5 + 3 + 4
     assert count_parameters("empirical", 20, 8) == 13
     assert count_parameters("empirical", 20, 8, freqs_fitted=True) == 13 + 19
+    # Named nucleotide submodels are first-class now.
+    assert count_parameters("hky", 4, 8) == 13 + 4
     with pytest.raises(ValueError):
-        count_parameters("hky", 4, 8)
+        count_parameters("hky85-typo", 4, 8)
 
 
 def test_empirical_model_fits_and_holds_rates_fixed():
