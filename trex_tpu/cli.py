@@ -15,6 +15,7 @@ simulate    Simulate an alignment down a (given or generated) tree under
             JC/GTR/empirical (+G/+I) models — the seq-gen equivalent.
 treedist    Robinson-Foulds distance between two newick files.
 consensus   Majority-rule consensus of a multi-newick file.
+topotest    KH/SH/BP/ELW topology tests of candidate trees on an alignment.
 
 The reference has no CLI at all (SURVEY.md §1); flags here use a plain
 argparse tree so the module stays dependency-free.
@@ -1182,6 +1183,93 @@ def cmd_consensus(args) -> None:
     )
 
 
+def cmd_topotest(args) -> None:
+    """KH / SH / BP / ELW topology tests over a multi-newick candidate file."""
+    import numpy as np
+
+    from trex_tpu.alignment import compress_alignment
+    from trex_tpu.io import load_newick, renumber_leaves
+    from trex_tpu.search.topotest import topology_tests
+    from trex_tpu.topology import Topology
+
+    names, masks, n_states = _load_alignment(args.fasta, args.alphabet)
+    patterns, weights = compress_alignment(masks)
+    order = {n: i for i, n in enumerate(names)}
+
+    with open(args.trees) as fh:
+        text = fh.read()
+    chunks = [c.strip() + ";" for c in text.split(";") if c.strip()]
+    topos = []
+    for chunk in chunks:
+        topo, _, tree_names = load_newick(chunk)
+        if sorted(tree_names) != sorted(names):
+            raise SystemExit("tree leaf set differs from the alignment")
+        topos.append(renumber_leaves(topo, [order[n] for n in tree_names]))
+    if len(topos) < 2:
+        raise SystemExit("topotest needs at least two candidate trees")
+    batch = Topology(
+        children=jnp.stack([t.children for t in topos]),
+        parents=jnp.stack([t.parents for t in topos]),
+    )
+
+    rates = freqs = None
+    if args.model != "jc":
+        from trex_tpu.ops.likelihood import optimize_model
+
+        fixed_rates = fixed_freqs = None
+        if args.model_file:
+            from trex_tpu.io import parse_paml_rates
+
+            with open(args.model_file) as fh:
+                fixed_rates, fixed_freqs = parse_paml_rates(
+                    fh.read(), n_states
+                )
+        # Fix the substitution model at its ML estimates on the first tree
+        # (the standard topology-test protocol).
+        params, _ = optimize_model(
+            topos[0], jnp.asarray(np.asarray(patterns), jnp.int32), n_states,
+            model=args.model, sequences_are_masks=True,
+            site_weights=jnp.asarray(weights, jnp.float32),
+            fixed_rates=fixed_rates, fixed_freqs=fixed_freqs,
+        )
+        rates = jnp.asarray(params["rates"])
+        freqs = jnp.asarray(params["freqs"])
+
+    res = topology_tests(
+        jax.random.PRNGKey(args.seed),
+        batch,
+        jnp.asarray(np.asarray(patterns), jnp.int32),
+        n_states,
+        rates=rates,
+        freqs=freqs,
+        site_weights=jnp.asarray(weights, jnp.float32),
+        n_replicates=args.replicates,
+        sequences_are_masks=True,
+    )
+    print(
+        json.dumps(
+            {
+                "n_trees": len(topos),
+                "replicates": args.replicates,
+                "model": args.model,
+                "best": res.best_index,
+                "table": [
+                    {
+                        "tree": i,
+                        "log_likelihood": round(float(res.log_likelihoods[i]), 3),
+                        "delta": round(float(res.delta[i]), 3),
+                        "p_kh": round(float(res.p_kh[i]), 4),
+                        "p_sh": round(float(res.p_sh[i]), 4),
+                        "bp": round(float(res.bp[i]), 4),
+                        "elw": round(float(res.elw[i]), 4),
+                    }
+                    for i in range(len(topos))
+                ],
+            }
+        )
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="trex_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -1409,6 +1497,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--output-tree", type=str, default=None)
     p.set_defaults(fn=cmd_consensus)
+
+    p = sub.add_parser(
+        "topotest",
+        help="KH/SH/ELW topology tests of candidate trees on one alignment",
+    )
+    p.add_argument("--alignment", "--fasta", dest="fasta", type=str,
+                   required=True,
+                   help="FASTA/PHYLIP/NEXUS alignment (auto-detected)")
+    p.add_argument("--trees", type=str, required=True,
+                   help="multi-newick candidate file")
+    p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
+    p.add_argument("--model", type=str, default="jc",
+                   help="substitution model, fixed at its ML estimates on "
+                        "the first tree (jc|k80|hky|f81|tn93|gtr|empirical)")
+    p.add_argument("--model-file", type=str, default=None)
+    p.add_argument("--replicates", type=int, default=10000)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_topotest)
 
     p = sub.add_parser("nk-bench", help="NK accuracy benchmark")
     _add_common(p)

@@ -26,6 +26,7 @@ from trex_tpu.search.ratchet import (
     unrooted_splits,
 )
 from trex_tpu.search.alrt import BranchSupports, branch_supports
+from trex_tpu.search.topotest import TopologyTestResult, topology_tests
 from trex_tpu.search.ufboot import (
     UFBootResult,
     default_candidates,
@@ -78,6 +79,8 @@ __all__ = [
     "unrooted_splits",
     "BranchSupports",
     "branch_supports",
+    "TopologyTestResult",
+    "topology_tests",
     "UFBootResult",
     "default_candidates",
     "ultrafast_bootstrap",
