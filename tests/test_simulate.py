@@ -207,3 +207,34 @@ def test_cli_simulate_topology_only_tree(capsys, tmp_path):
     assert sorted(names) == ["a", "b", "c", "d"]
     # Non-degenerate: default lengths substituted for the missing ones.
     assert (states != states[0:1]).any()
+
+
+def test_cli_simulate_gy94_dnds_roundtrip(capsys, tmp_path):
+    """Codon simulation -> dnds fit recovers the omega/kappa regime."""
+    from trex_tpu.cli import main
+    from trex_tpu.io import save_newick
+    from trex_tpu.topology import random_topologies
+
+    truth = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.key(50), 8, 1)
+    )
+    names = [f"s{i}" for i in range(8)]
+    tree = tmp_path / "t.nwk"
+    tree.write_text(
+        save_newick(truth, names,
+                    branch_lengths=np.full((truth.n_all,), 0.3)) + "\n"
+    )
+    aln = tmp_path / "codons.fasta"
+    main(["simulate", "--model", "gy94", "--tree", str(tree),
+          "--sites", "300", "--seed", "2", "--kappa", "4.0",
+          "--omega", "0.15", "--output", str(aln)])
+    capsys.readouterr()
+    text = aln.read_text()
+    seqs = [l for l in text.splitlines() if not l.startswith(">")]
+    assert all(len(s) == 900 for s in seqs)  # 300 codons = 900 nt
+    assert not any("TAA" == s[i:i+3] for s in seqs for i in range(0, 900, 3))
+
+    main(["dnds", "--fasta", str(aln), "--tree", str(tree)])
+    out = json.loads(capsys.readouterr().out)
+    assert out["omega"] < 0.6  # purifying regime recovered
+    assert out["kappa"] > 1.5  # transition bias recovered

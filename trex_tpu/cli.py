@@ -1031,6 +1031,44 @@ def cmd_simulate(args) -> None:
         names = [f"t{i}" for i in range(args.leaves)]
         blens = rng.exponential(args.default_blen, size=(topo.n_all,))
 
+    if args.model.lower() == "gy94":
+        # Codon simulation: GY94 over the 61 sense codons, written back out
+        # as in-frame nucleotide triplets (consumable by `cli dnds`).
+        from trex_tpu.models import codon as cd
+
+        codons = cd.simulate_gy94(
+            jax.random.key(args.seed), topo, blens,
+            kappa=args.kappa, omega=args.omega, n_sites=args.sites,
+        )
+        rows = [
+            "".join(cd.SENSE_CODONS[c] for c in row) for row in codons
+        ]
+        fasta = "\n".join(
+            f">{n}\n{seq}" for n, seq in zip(names, rows)
+        ) + "\n"
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write(fasta)
+        else:
+            sys.stdout.write(fasta)
+        if args.output_tree:
+            with open(args.output_tree, "w") as fh:
+                fh.write(save_newick(topo, names, branch_lengths=blens) + "\n")
+        print(
+            json.dumps(
+                {
+                    "leaves": int(topo.n_leaves),
+                    "codons": args.sites,
+                    "model": "gy94",
+                    "kappa": args.kappa,
+                    "omega": args.omega,
+                    "output": args.output,
+                }
+            ),
+            file=sys.stderr,
+        )
+        return
+
     rates = freqs = None
     gamma_shape = None
     p_inv = 0.0
@@ -1463,9 +1501,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
     p.add_argument("--model", type=str, default="jc",
-                   help="jc|gtr|empirical with optional +g / +i suffixes")
+                   help="jc|gtr|empirical with optional +g / +i suffixes, "
+                        "or gy94 (codon simulation; --sites counts codons, "
+                        "output is in-frame nucleotide triplets)")
     p.add_argument("--model-file", type=str, default=None,
                    help="PAML-format rate file for --model empirical")
+    p.add_argument("--kappa", type=float, default=2.0,
+                   help="GY94 transition/transversion ratio")
+    p.add_argument("--omega", type=float, default=0.5,
+                   help="GY94 dN/dS ratio")
     p.add_argument("--gtr-rates", type=float, nargs="+", default=None,
                    help="upper-triangle GTR exchangeabilities (default: "
                         "random, seeded)")
