@@ -1,0 +1,111 @@
+"""Model-aware ML candidate ranking (GTR transition matrices in the search).
+
+Oracles: the fused-kernel ranking with an explicit transition matrix equals
+the lax likelihood with the same rates/freqs (CPU interpret parity comes
+from the existing kernel tests; here we check the search-level wiring);
+model-aware search recovers the true topology on strongly non-JC data and
+reports a better likelihood than the JC-ranked search when they differ.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trex_tpu.models.simulate import simulate_alignment
+from trex_tpu.ops.likelihood import tree_log_likelihood
+from trex_tpu.search.ml import ml_hill_climb
+from trex_tpu.search.ratchet import rf_distance_unrooted
+from trex_tpu.topology import random_topologies
+
+RATES = np.array(
+    [
+        [0.0, 1.0, 12.0, 1.0],
+        [1.0, 0.0, 1.0, 12.0],
+        [12.0, 1.0, 0.0, 1.0],
+        [1.0, 12.0, 1.0, 0.0],
+    ]
+)
+FREQS = np.array([0.35, 0.15, 0.35, 0.15])
+
+
+def _single(key, n_leaves):
+    return jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(key, n_leaves, 1)
+    )
+
+
+def test_model_aware_climb_matches_lax_objective():
+    """The climb's reported score equals the lax GTR likelihood at t0."""
+    truth = _single(jax.random.key(0), 8)
+    blens = np.full((truth.n_all,), 0.15)
+    leaves = simulate_alignment(
+        jax.random.key(1), truth, blens, n_sites=300,
+        rates=RATES, freqs=FREQS,
+    )
+    rates = jnp.asarray(RATES, jnp.float32)
+    freqs = jnp.asarray(FREQS, jnp.float32)
+    result, lengths, losses = ml_hill_climb(
+        truth, jnp.asarray(leaves), 4, max_rounds=0,
+        neighborhood="nni", optimize_final_lengths=False,
+        rates=rates, freqs=freqs,
+    )
+    expected = -float(
+        tree_log_likelihood(
+            truth, jnp.full((truth.n_all,), 0.1), jnp.asarray(leaves), 4,
+            rates=rates, freqs=freqs,
+        )
+    )
+    assert abs(result.score - expected) < 0.5
+
+
+def test_model_aware_search_recovers_topology():
+    truth = _single(jax.random.key(2), 10)
+    blens = np.full((truth.n_all,), 0.25)
+    leaves = simulate_alignment(
+        jax.random.key(3), truth, blens, n_sites=800,
+        rates=RATES, freqs=FREQS,
+    )
+    start = _single(jax.random.key(4), 10)
+    result, lengths, _ = ml_hill_climb(
+        start, jnp.asarray(leaves), 4, neighborhood="spr",
+        rates=jnp.asarray(RATES, jnp.float32),
+        freqs=jnp.asarray(FREQS, jnp.float32),
+    )
+    assert rf_distance_unrooted(result.topology, truth) == 0
+    # Final Newton lengths are fitted under the model too.
+    assert float(lengths[:-1].mean()) > 0.05
+
+
+def test_spr_scan_rejects_model():
+    import pytest
+
+    topo = _single(jax.random.key(5), 6)
+    leaves = jnp.zeros((6, 20), jnp.int32)
+    with pytest.raises(ValueError, match="JC-only"):
+        ml_hill_climb(
+            topo, leaves, 4, neighborhood="spr-scan",
+            rates=jnp.ones((4, 4)),
+        )
+
+
+def test_cli_model_rounds(capsys, tmp_path):
+    import json
+
+    from trex_tpu.cli import main
+    from trex_tpu.io import DNA, write_fasta
+
+    truth = _single(jax.random.key(6), 8)
+    blens = np.full((truth.n_all,), 0.2)
+    leaves = simulate_alignment(
+        jax.random.key(7), truth, blens, n_sites=500,
+        rates=RATES, freqs=FREQS,
+    )
+    path = tmp_path / "a.fasta"
+    path.write_text(write_fasta([f"t{i}" for i in range(8)], leaves, DNA))
+    main(["infer", "--fasta", str(path), "--criterion", "ml",
+          "--start", "nj", "--model", "gtr", "--model-rounds", "2"])
+    out = json.loads(capsys.readouterr().out)
+    assert out.get("model_rounds", 0) >= 1
+    # The fitted exchangeabilities reflect the strong transition bias.
+    r = np.asarray(out["gtr_rates"])
+    assert r[0][2] > 3 * r[0][1]  # A<->G >> A<->C

@@ -343,6 +343,55 @@ def cmd_infer(args) -> None:
             )
             lengths = params["branch_lengths"]
             out["neg_log_likelihood"] = float(model_losses[-1])
+            # Model <-> tree iteration (IQ-TREE-style): re-search ranking
+            # candidates under the FITTED model, then refit; stop when the
+            # topology is stable. The spr-scan ranker is JC-only, so
+            # model-aware rounds use the enumerating SPR neighborhood.
+            for _ in range(args.model_rounds):
+                if "rates" not in params:
+                    break  # jc+g etc.: ranking model unchanged
+                prev_key = np.asarray(result.topology.children).tobytes()
+                result, lengths, losses = ml_hill_climb(
+                    result.topology,
+                    jnp.asarray(patterns),
+                    n_states,
+                    max_rounds=args.rounds,
+                    neighborhood=(
+                        "spr"
+                        if args.neighborhood == "spr-scan"
+                        else args.neighborhood
+                    ),
+                    sequences_are_masks=True,
+                    site_weights=weights,
+                    rates=jnp.asarray(params["rates"]),
+                    freqs=jnp.asarray(params["freqs"]),
+                )
+                params, model_losses = optimize_model(
+                    result.topology, jnp.asarray(patterns), n_states,
+                    model=args.model, sequences_are_masks=True,
+                    site_weights=weights,
+                    fixed_rates=fixed_rates, fixed_freqs=fixed_freqs,
+                )
+                lengths = params["branch_lengths"]
+                out["neg_log_likelihood"] = float(model_losses[-1])
+                out["model_rounds"] = out.get("model_rounds", 0) + 1
+                if (
+                    np.asarray(result.topology.children).tobytes()
+                    == prev_key
+                ):
+                    break
+            if out.get("model_rounds") and args.outgroup:
+                # Re-apply the outgroup rooting to whatever the iteration
+                # settled on (idempotent when already rooted there).
+                import dataclasses
+
+                topo2, lens2 = reroot_on_outgroup(
+                    result.topology,
+                    _outgroup_indices(names, args.outgroup),
+                    np.asarray(lengths),
+                )
+                result = dataclasses.replace(result, topology=topo2)
+                lengths = jnp.asarray(lens2, jnp.float32)
             out["gtr_rates"] = np.round(
                 np.asarray(params["rates"]), 5
             ).tolist() if not args.model.startswith("empirical") else None
@@ -1373,6 +1422,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="independent searches: the --start tree plus N-1 "
                         "random-addition/random starts; best final score "
                         "wins")
+    p.add_argument("--model-rounds", type=int, default=0,
+                   help="ML model <-> tree iterations: re-search ranking "
+                        "candidates under the fitted model, refit, repeat "
+                        "until the topology is stable (needs a model with "
+                        "free rates, e.g. gtr+g)")
     p.add_argument("--ufboot", type=int, default=0,
                    help="ultrafast bootstrap supports with this many RELL "
                         "replicates over a candidate tree set (ML criterion "

@@ -406,6 +406,8 @@ def optimize_branch_lengths(
     n_iterations: int = 500,
     sequences_are_masks: bool = False,
     site_weights: jax.Array | None = None,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """ML branch lengths on a fixed topology by gradient ascent.
 
@@ -420,7 +422,7 @@ def optimize_branch_lengths(
     def loss_fn(theta):
         return -tree_log_likelihood(
             topology, lengths(theta), leaf_sequences, n_states,
-            site_mask=site_weights,
+            site_mask=site_weights, rates=rates, freqs=freqs,
             sequences_are_masks=sequences_are_masks,
         )
 

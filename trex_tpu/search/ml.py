@@ -32,6 +32,8 @@ def ml_hill_climb(
     length_optimizer: str = "newton",
     sequences_are_masks: bool = False,
     site_weights: jax.Array | None = None,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
 ) -> tuple[SearchResult, jax.Array, jax.Array]:
     """Greedy ML topology search + final branch-length optimization.
 
@@ -55,8 +57,15 @@ def ml_hill_climb(
         ``optimize_final_lengths`` is False).
     """
     n_all = start.n_all
+    q = n_states
 
     if neighborhood == "spr-scan":
+        if rates is not None or freqs is not None:
+            raise ValueError(
+                "spr-scan ranking is JC-only (its up/down message algebra "
+                "assumes a symmetric transition matrix); use "
+                "neighborhood='spr' for model-aware search"
+            )
         result = _ml_scan_climb(
             start, leaf_sequences, n_states,
             ranking_branch_length=ranking_branch_length,
@@ -82,6 +91,21 @@ def ml_hill_climb(
 
     on_tpu = jax.default_backend() == "tpu"
 
+    # Model-aware ranking: all candidate branches share one fixed length, so
+    # ONE (Q, Q) transition matrix covers the whole batch; the fused kernel
+    # takes it (broadcast) with the stationary prior.
+    p0 = prior = None
+    if rates is not None or freqs is not None:
+        from trex_tpu.ops.likelihood import gtr_eigensystem, gtr_transition
+
+        model_rates = (
+            rates if rates is not None else jnp.ones((q, q)) - jnp.eye(q)
+        )
+        model_freqs = freqs if freqs is not None else jnp.full((q,), 1.0 / q)
+        eig = gtr_eigensystem(jnp.asarray(model_rates), jnp.asarray(model_freqs))
+        p0 = gtr_transition(jnp.asarray(ranking_branch_length), *eig)
+        prior = jnp.asarray(model_freqs)
+
     def score_batch(topos, _cost, leaves):
         batch = topos.children.shape[0]
         blens = jnp.full((batch, n_all), ranking_branch_length)
@@ -94,14 +118,21 @@ def ml_hill_climb(
             # trees/s vs 78k at T=1 and 84k at T=4; T=8 fails to compile —
             # f32 DP tables are 8x the Fitch bitsets, so the sweet spot is
             # lower than the Fitch kernel's).
+            pmats = (
+                None
+                if p0 is None
+                else jnp.broadcast_to(p0, (batch, n_all, q, q))
+            )
             return -batched_log_likelihood_pallas(
                 topos, blens, leaves, n_states, trees_per_block=2,
+                transition_matrices=pmats, root_prior=prior,
                 sequences_are_masks=sequences_are_masks,
                 site_weights=site_weights,
             )
         return -jax.vmap(
             lambda t, b: tree_log_likelihood(
                 t, b, leaves, n_states, site_mask=site_weights,
+                rates=rates, freqs=freqs,
                 sequences_are_masks=sequences_are_masks,
             )
         )(topos, blens)
@@ -125,6 +156,8 @@ def ml_hill_climb(
                 result.topology,
                 leaf_sequences,
                 n_states,
+                rates,
+                freqs,
                 site_weights=site_weights,
                 sequences_are_masks=sequences_are_masks,
                 init_length=ranking_branch_length,
@@ -136,6 +169,8 @@ def ml_hill_climb(
                 n_states,
                 init_length=ranking_branch_length,
                 n_iterations=n_length_iterations,
+                rates=rates,
+                freqs=freqs,
                 sequences_are_masks=sequences_are_masks,
                 site_weights=site_weights,
             )
