@@ -120,3 +120,52 @@ def test_ml_scan_climb_matches_enumerating_climb():
     np.testing.assert_allclose(scan.score, enum.score, rtol=2e-5)
     assert np.all(np.asarray(scan_lengths) > 0)
     assert np.isfinite(float(scan_losses[-1]))
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_scan_gtr_matches_explicit_rescoring(seed):
+    """Model-aware scan: every entry equals explicit GTR rescoring.
+
+    Uses a strongly asymmetric transition matrix (kappa 9, skewed
+    frequencies) so any hidden symmetry assumption in the up/down message
+    algebra would show up immediately.
+    """
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(seed)
+    n_leaves = 6
+    topo = _single(random_topologies(jax.random.key(seed + 90), n_leaves, 1), 0)
+    leaf = jnp.asarray(rng.integers(0, Q, size=(n_leaves, 12)).astype(np.int32))
+    rates = np.ones((4, 4)) - np.eye(4)
+    rates[0, 2] = rates[2, 0] = 9.0
+    rates[1, 3] = rates[3, 1] = 9.0
+    rates = jnp.asarray(rates, jnp.float32)
+    freqs = jnp.asarray([0.45, 0.25, 0.2, 0.1], jnp.float32)
+
+    def exact(t):
+        blens = jnp.full((t.n_all,), T0)
+        return -float(
+            tree_log_likelihood(t, blens, leaf, Q, rates=rates, freqs=freqs)
+        )
+
+    scores, base = likelihood_spr_scan(
+        topo, leaf, Q, T0, rates=rates, freqs=freqs
+    )
+    scores = np.asarray(scores)
+    np.testing.assert_allclose(float(base), exact(topo), rtol=1e-5)
+    n_all = 2 * n_leaves - 1
+    checked = 0
+    for p in range(n_all - 1):
+        for v in range(n_all):
+            if not np.isfinite(scores[p, v]):
+                continue
+            moved = spr_move(topo, p, v)
+            if moved is None:
+                np.testing.assert_allclose(scores[p, v], float(base), rtol=1e-5)
+                continue
+            np.testing.assert_allclose(
+                scores[p, v], exact(moved), rtol=3e-5,
+                err_msg=f"(p={p}, v={v})",
+            )
+            checked += 1
+    assert checked > 2 * n_all

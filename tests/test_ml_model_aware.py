@@ -76,16 +76,18 @@ def test_model_aware_search_recovers_topology():
     assert float(lengths[:-1].mean()) > 0.05
 
 
-def test_spr_scan_rejects_model():
-    import pytest
-
+def test_spr_scan_accepts_model_smoke():
+    # The analytic scan is model-aware (parity tested exhaustively in
+    # tests/test_likelihood_scan.py); smoke the search-level plumbing.
     topo = _single(jax.random.key(5), 6)
-    leaves = jnp.zeros((6, 20), jnp.int32)
-    with pytest.raises(ValueError, match="JC-only"):
-        ml_hill_climb(
-            topo, leaves, 4, neighborhood="spr-scan",
-            rates=jnp.ones((4, 4)),
-        )
+    rng = np.random.default_rng(0)
+    leaves = jnp.asarray(rng.integers(0, 4, size=(6, 30)).astype(np.int32))
+    result, lengths, _ = ml_hill_climb(
+        topo, leaves, 4, neighborhood="spr-scan", max_rounds=2,
+        rates=jnp.asarray(RATES, jnp.float32),
+        freqs=jnp.asarray(FREQS, jnp.float32),
+    )
+    assert np.isfinite(result.score)
 
 
 def test_cli_model_rounds(capsys, tmp_path):
@@ -109,3 +111,27 @@ def test_cli_model_rounds(capsys, tmp_path):
     # The fitted exchangeabilities reflect the strong transition bias.
     r = np.asarray(out["gtr_rates"])
     assert r[0][2] > 3 * r[0][1]  # A<->G >> A<->C
+
+
+def test_model_aware_scan_climb_matches_enumerating():
+    """spr-scan with GTR reaches the same optimum as the enumerating spr."""
+    truth = _single(jax.random.key(8), 9)
+    blens = np.full((truth.n_all,), 0.2)
+    leaves = simulate_alignment(
+        jax.random.key(9), truth, blens, n_sites=400,
+        rates=RATES, freqs=FREQS,
+    )
+    start = _single(jax.random.key(10), 9)
+    kwargs = dict(
+        rates=jnp.asarray(RATES, jnp.float32),
+        freqs=jnp.asarray(FREQS, jnp.float32),
+        optimize_final_lengths=False,
+    )
+    scan, _, _ = ml_hill_climb(
+        start, jnp.asarray(leaves), 4, neighborhood="spr-scan", **kwargs
+    )
+    enum, _, _ = ml_hill_climb(
+        start, jnp.asarray(leaves), 4, neighborhood="spr", **kwargs
+    )
+    assert abs(scan.score - enum.score) < 0.5
+    assert rf_distance_unrooted(scan.topology, truth) == 0

@@ -344,9 +344,9 @@ def cmd_infer(args) -> None:
             lengths = params["branch_lengths"]
             out["neg_log_likelihood"] = float(model_losses[-1])
             # Model <-> tree iteration (IQ-TREE-style): re-search ranking
-            # candidates under the FITTED model, then refit; stop when the
-            # topology is stable. The spr-scan ranker is JC-only, so
-            # model-aware rounds use the enumerating SPR neighborhood.
+            # candidates under the FITTED model (the analytic spr-scan is
+            # model-aware too), then refit; stop when the topology is
+            # stable.
             for _ in range(args.model_rounds):
                 if "rates" not in params:
                     break  # jc+g etc.: ranking model unchanged
@@ -356,11 +356,7 @@ def cmd_infer(args) -> None:
                     jnp.asarray(patterns),
                     n_states,
                     max_rounds=args.rounds,
-                    neighborhood=(
-                        "spr"
-                        if args.neighborhood == "spr-scan"
-                        else args.neighborhood
-                    ),
+                    neighborhood=args.neighborhood,
                     sequences_are_masks=True,
                     site_weights=weights,
                     rates=jnp.asarray(params["rates"]),

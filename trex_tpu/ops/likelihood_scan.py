@@ -43,11 +43,13 @@ def likelihood_spr_scan(
     ranking_branch_length: float | jax.Array = 0.1,
     site_weights: jax.Array | None = None,
     *,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
     sequences_are_masks: bool = False,
     prune_nodes: jax.Array | None = None,
     prune_chunk: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Negative log-likelihoods of all SPR rearrangements (JC69, all-t0).
+    """Negative log-likelihoods of all SPR rearrangements (all-t0 lengths).
 
     Args / layout mirror ``ops.spr_scan.spr_scan``; returns
     (scores, base_score) where ``scores[i, v]`` is the NEGATIVE
@@ -55,6 +57,14 @@ def likelihood_spr_scan(
     above v with every branch at ``ranking_branch_length``; +inf at invalid
     pairs. ``base_score`` is the unmodified tree's negative log-likelihood
     at the same lengths.
+
+    ``rates``/``freqs``: optional GTR exchangeabilities + stationary
+    frequencies (both None -> JC69). The message algebra is
+    direction-correct for any transition matrix — downward hops use
+    ``P0[parent_state, child_state]`` — and exactness for arbitrary
+    insertion points relies only on reversibility (the pulley principle),
+    which the normalized GTR family satisfies; parity vs the enumerating
+    ranker is tested with strongly asymmetric matrices.
     """
     n_leaves = topology.n_leaves
     n_all = topology.n_all
@@ -77,8 +87,22 @@ def likelihood_spr_scan(
     else:
         weights = site_weights.astype(jnp.float32)
 
-    p0 = jc69_transition(jnp.asarray(ranking_branch_length), q)  # (Q, Q)
-    prior = jnp.full((q,), 1.0 / q)
+    if rates is not None or freqs is not None:
+        from trex_tpu.ops.likelihood import gtr_eigensystem, gtr_transition
+
+        model_rates = (
+            rates if rates is not None else jnp.ones((q, q)) - jnp.eye(q)
+        )
+        prior = (
+            freqs.astype(jnp.float32)
+            if freqs is not None
+            else jnp.full((q,), 1.0 / q)
+        )
+        eig = gtr_eigensystem(jnp.asarray(model_rates), prior)
+        p0 = gtr_transition(jnp.asarray(ranking_branch_length), *eig)
+    else:
+        p0 = jc69_transition(jnp.asarray(ranking_branch_length), q)  # (Q, Q)
+        prior = jnp.full((q,), 1.0 / q)
 
     children = topology.children.astype(jnp.int32)
     parents = topology.parents.astype(jnp.int32)

@@ -60,17 +60,12 @@ def ml_hill_climb(
     q = n_states
 
     if neighborhood == "spr-scan":
-        if rates is not None or freqs is not None:
-            raise ValueError(
-                "spr-scan ranking is JC-only (its up/down message algebra "
-                "assumes a symmetric transition matrix); use "
-                "neighborhood='spr' for model-aware search"
-            )
         result = _ml_scan_climb(
             start, leaf_sequences, n_states,
             ranking_branch_length=ranking_branch_length,
             max_rounds=max_rounds,
             site_weights=site_weights,
+            rates=rates, freqs=freqs,
             sequences_are_masks=sequences_are_masks,
         )
         if optimize_final_lengths:
@@ -80,6 +75,7 @@ def ml_hill_climb(
 
             lengths, losses = optimize_branch_lengths_newton(
                 result.topology, leaf_sequences, n_states,
+                rates, freqs,
                 site_weights=site_weights,
                 sequences_are_masks=sequences_are_masks,
                 init_length=ranking_branch_length,
@@ -189,6 +185,8 @@ def _ml_scan_climb(
     max_rounds: int,
     site_weights: jax.Array | None,
     sequences_are_masks: bool,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
 ) -> SearchResult:
     """Greedy ML climb where each round is one analytic likelihood scan."""
     import numpy as np
@@ -209,7 +207,8 @@ def _ml_scan_climb(
     current = start
     scores, base = likelihood_spr_scan(
         current, leaf_sequences, n_states, ranking_branch_length,
-        site_weights, sequences_are_masks=sequences_are_masks,
+        site_weights, rates=rates, freqs=freqs,
+        sequences_are_masks=sequences_are_masks,
         prune_chunk=prune_chunk,
     )
     current_score = float(base)
@@ -234,7 +233,8 @@ def _ml_scan_climb(
         trace.append(current_score)
         scores, _ = likelihood_spr_scan(
             current, leaf_sequences, n_states, ranking_branch_length,
-            site_weights, sequences_are_masks=sequences_are_masks,
+            site_weights, rates=rates, freqs=freqs,
+            sequences_are_masks=sequences_are_masks,
             prune_chunk=prune_chunk,
         )
     return SearchResult(current, current_score, max_rounds, evaluations, trace)
