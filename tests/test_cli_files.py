@@ -323,3 +323,23 @@ def test_cli_partition(capsys, tmp_path, fasta_path):
     assert out["log_likelihood"] == pytest.approx(
         sum(p["log_likelihood"] for p in out["partitions"]), rel=1e-4
     )
+
+
+def test_cli_score_ml_with_model(capsys, tmp_path, fasta_path):
+    """score --criterion ml --model gtr+g fits the model before the ASR."""
+    import numpy as np
+
+    from trex_tpu.cli import main
+
+    anc = str(tmp_path / "anc_ml.fasta")
+    main(["score", "--fasta", fasta_path, "--criterion", "ml",
+          "--model", "gtr+g", "--output-fasta", anc])
+    out = json.loads(capsys.readouterr().out)
+    assert out["model"] == "gtr+g"
+    assert out["log_likelihood"] < 0
+    assert 0 < out["mean_ancestor_posterior"] <= 1
+    # JC fit of the same data cannot beat the fitted GTR+G likelihood.
+    main(["score", "--fasta", fasta_path, "--criterion", "ml"])
+    out_jc = json.loads(capsys.readouterr().out)
+    assert out["log_likelihood"] >= out_jc["log_likelihood"] - 0.5
+    assert open(anc).read().count(">") == 11

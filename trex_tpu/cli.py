@@ -151,25 +151,47 @@ def cmd_score(args) -> None:
             "tree_source": args.tree or "stepwise addition",
         }
         if args.criterion == "ml":
-            from trex_tpu.ops.likelihood import (
-                optimize_branch_lengths,
-                tree_log_likelihood,
-            )
+            from trex_tpu.ops.likelihood import tree_log_likelihood
             from trex_tpu.ops.likelihood_asr import (
                 marginal_ancestral_posteriors,
             )
 
-            lengths, _ = optimize_branch_lengths(
-                topo, jnp.asarray(masks), n_states,
-                sequences_are_masks=True,
-            )
+            rates = freqs = None
+            if args.model != "jc":
+                from trex_tpu.ops.likelihood import optimize_model
+
+                fixed_rates = fixed_freqs = None
+                if args.model_file:
+                    from trex_tpu.io import parse_paml_rates
+
+                    with open(args.model_file) as fh:
+                        fixed_rates, fixed_freqs = parse_paml_rates(
+                            fh.read(), n_states
+                        )
+                params, _ = optimize_model(
+                    topo, jnp.asarray(masks), n_states, model=args.model,
+                    sequences_are_masks=True,
+                    fixed_rates=fixed_rates, fixed_freqs=fixed_freqs,
+                )
+                lengths = params["branch_lengths"]
+                if "rates" in params:
+                    rates = jnp.asarray(params["rates"])
+                    freqs = jnp.asarray(params["freqs"])
+                out["model"] = args.model
+            else:
+                from trex_tpu.ops.likelihood import optimize_branch_lengths
+
+                lengths, _ = optimize_branch_lengths(
+                    topo, jnp.asarray(masks), n_states,
+                    sequences_are_masks=True,
+                )
             posteriors, recon = marginal_ancestral_posteriors(
                 topo, lengths, jnp.asarray(masks), n_states,
-                sequences_are_masks=True,
+                rates, freqs, sequences_are_masks=True,
             )
             ll = tree_log_likelihood(
                 topo, lengths, jnp.asarray(masks), n_states,
-                sequences_are_masks=True,
+                rates=rates, freqs=freqs, sequences_are_masks=True,
             )
             anc_conf = jnp.max(posteriors, axis=1)[len(names):]
             out.update(
@@ -1370,6 +1392,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--criterion", choices=("parsimony", "ml"),
                    default="parsimony",
                    help="ml = ML branch lengths + marginal posterior ASR")
+    p.add_argument("--model", type=str, default="jc",
+                   help="substitution model for --criterion ml "
+                        "(jc|k80|hky|f81|tn93|gtr|empirical, +g/+g+i/+rK; "
+                        "fitted before the ASR)")
+    p.add_argument("--model-file", type=str, default=None,
+                   help="PAML-format rate file for --model empirical")
     p.add_argument("--output-fasta", type=str, default=None,
                    help="write leaves + reconstructed ancestors here")
     p.set_defaults(fn=cmd_score)
