@@ -135,3 +135,47 @@ def test_model_aware_scan_climb_matches_enumerating():
     )
     assert abs(scan.score - enum.score) < 0.5
     assert rf_distance_unrooted(scan.topology, truth) == 0
+
+
+def test_ml_iterated_search_escapes_local_optimum():
+    """Iterated perturbation+reclimb matches or beats the plain NNI climb."""
+    from trex_tpu.io import native
+    from trex_tpu.search.ml import ml_iterated_search
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("needs the native library")
+    truth = _single(jax.random.key(20), 10)
+    blens = np.full((truth.n_all,), 0.15)
+    leaves = simulate_alignment(jax.random.key(21), truth, blens, n_sites=400)
+    start = _single(jax.random.key(22), 10)
+    plain, _, _ = ml_hill_climb(
+        start, jnp.asarray(leaves), 4, neighborhood="nni",
+        optimize_final_lengths=False,
+    )
+    iterated, lengths, losses = ml_iterated_search(
+        jax.random.key(23), start, jnp.asarray(leaves), 4,
+        n_iterations=5, neighborhood="nni",
+    )
+    assert iterated.score <= plain.score + 1e-6
+    assert len(iterated.trace) >= 1
+    assert lengths.shape == (truth.n_all,)
+
+
+def test_cli_ml_ratchet(capsys, tmp_path):
+    import json
+
+    from trex_tpu.cli import main
+    from trex_tpu.io import DNA, write_fasta
+
+    truth = _single(jax.random.key(24), 8)
+    blens = np.full((truth.n_all,), 0.2)
+    leaves = simulate_alignment(jax.random.key(25), truth, blens, n_sites=300)
+    path = tmp_path / "a.fasta"
+    path.write_text(write_fasta([f"t{i}" for i in range(8)], leaves, DNA))
+    main(["infer", "--fasta", str(path), "--criterion", "ml",
+          "--start", "nj", "--ratchet", "3"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["ml_iterations"] == 3
+    assert "neg_log_likelihood" in out

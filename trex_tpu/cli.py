@@ -316,15 +316,31 @@ def cmd_infer(args) -> None:
         # log-likelihood is a weighted per-site sum.
         best = None
         for st in starts:
-            result, lengths, losses = ml_hill_climb(
-                st,
-                jnp.asarray(patterns),
-                n_states,
-                max_rounds=args.rounds,
-                neighborhood=args.neighborhood,
-                sequences_are_masks=True,
-                site_weights=weights,
-            )
+            if args.ratchet > 0:
+                from trex_tpu.search.ml import ml_iterated_search
+
+                result, lengths, losses = ml_iterated_search(
+                    jax.random.PRNGKey(args.seed + 13),
+                    st,
+                    jnp.asarray(patterns),
+                    n_states,
+                    n_iterations=args.ratchet,
+                    max_rounds=args.rounds,
+                    neighborhood=args.neighborhood,
+                    sequences_are_masks=True,
+                    site_weights=weights,
+                )
+                out["ml_iterations"] = args.ratchet
+            else:
+                result, lengths, losses = ml_hill_climb(
+                    st,
+                    jnp.asarray(patterns),
+                    n_states,
+                    max_rounds=args.rounds,
+                    neighborhood=args.neighborhood,
+                    sequences_are_masks=True,
+                    site_weights=weights,
+                )
             if best is None or float(losses[-1]) < float(best[2][-1]):
                 best = (result, lengths, losses)
         result, lengths, losses = best

@@ -39,7 +39,7 @@ from trex_tpu.search.model_select import (
 )
 from trex_tpu.search.nj import neighbor_joining, nj_start_tree, upgma
 from trex_tpu.search.stepwise import stepwise_addition, stepwise_addition_multi
-from trex_tpu.search.ml import ml_hill_climb
+from trex_tpu.search.ml import ml_hill_climb, ml_iterated_search
 from trex_tpu.search.runner import RunnerConfig, run_search
 from trex_tpu.search.joint import (
     JointConfig,
@@ -93,6 +93,7 @@ __all__ = [
     "stepwise_addition",
     "stepwise_addition_multi",
     "ml_hill_climb",
+    "ml_iterated_search",
     "RunnerConfig",
     "run_search",
 ]

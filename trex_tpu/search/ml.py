@@ -176,6 +176,112 @@ def ml_hill_climb(
     return result, lengths, losses
 
 
+def ml_iterated_search(
+    key: jax.Array,
+    start: Topology,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    *,
+    n_iterations: int = 10,
+    perturb_moves: int = 3,
+    stop_after: int = 5,
+    ranking_branch_length: float = 0.1,
+    max_rounds: int = 50,
+    neighborhood: str = "spr-scan",
+    sequences_are_masks: bool = False,
+    site_weights: jax.Array | None = None,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+) -> tuple[SearchResult, jax.Array, jax.Array]:
+    """Iterated ML search: random perturbation + reclimb, keep the best.
+
+    The ML analogue of the parsimony ratchet (and of IQ-TREE's iterated NNI
+    core): each iteration applies ``perturb_moves`` random SPR/TBR kicks to
+    the incumbent (escaping its basin), reclimbs with ``ml_hill_climb``
+    (model-aware when ``rates``/``freqs`` are given), and keeps the best
+    ranking score seen. Stops early after ``stop_after`` consecutive
+    non-improving iterations. Needs the native library for the kicks.
+
+    Returns:
+        (best SearchResult, branch lengths, loss curve) — lengths Newton-
+        optimized on the final best topology; ``trace`` records the best
+        score per iteration.
+    """
+    import numpy as np
+
+    from trex_tpu.io import native
+    from trex_tpu.ops.likelihood_asr import optimize_branch_lengths_newton
+
+    if not native.available():
+        raise NotImplementedError(
+            "ml_iterated_search needs the native library for SPR/TBR kicks"
+        )
+    rng = np.random.default_rng(
+        int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+    )
+    climb_kwargs = dict(
+        ranking_branch_length=ranking_branch_length,
+        max_rounds=max_rounds,
+        neighborhood=neighborhood,
+        optimize_final_lengths=False,
+        sequences_are_masks=sequences_are_masks,
+        site_weights=site_weights,
+        rates=rates,
+        freqs=freqs,
+    )
+    best, _, _ = ml_hill_climb(
+        start, leaf_sequences, n_states, **climb_kwargs
+    )
+    trace = [best.score]
+    evaluations = best.evaluations
+    n_all = start.n_all
+    stale = 0
+    for _ in range(n_iterations):
+        if stale >= stop_after:
+            break
+        # Random kicks (alternating SPR and TBR, like the ratchet's).
+        children_np = np.asarray(best.topology.children)
+        parents_np = np.asarray(best.topology.parents)
+        kicked = None
+        applied = 0
+        while applied < perturb_moves:
+            prune = int(rng.integers(0, n_all - 1))
+            regraft = int(rng.integers(0, n_all - 1))
+            reroot = int(rng.integers(0, n_all))
+            if applied % 2 == 0:
+                moved = native.spr_move(children_np, prune, regraft)
+            else:
+                moved = native.tbr_move(children_np, prune, reroot, regraft)
+            if moved is None:
+                continue
+            children_np, parents_np = moved
+            applied += 1
+        kicked = Topology(
+            children=jnp.asarray(children_np.copy()),
+            parents=jnp.asarray(parents_np.copy()),
+        )
+        attempt, _, _ = ml_hill_climb(
+            kicked, leaf_sequences, n_states, **climb_kwargs
+        )
+        evaluations += attempt.evaluations
+        if attempt.score < best.score - 1e-6:
+            best = attempt
+            stale = 0
+        else:
+            stale += 1
+        trace.append(best.score)
+    lengths, losses = optimize_branch_lengths_newton(
+        best.topology, leaf_sequences, n_states, rates, freqs,
+        site_weights=site_weights,
+        sequences_are_masks=sequences_are_masks,
+        init_length=ranking_branch_length,
+    )
+    result = SearchResult(
+        best.topology, best.score, len(trace) - 1, evaluations, trace
+    )
+    return result, lengths, losses
+
+
 def _ml_scan_climb(
     start: Topology,
     leaf_sequences: jax.Array,
