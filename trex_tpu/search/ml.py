@@ -192,8 +192,14 @@ def ml_iterated_search(
     site_weights: jax.Array | None = None,
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
+    progress_dir: str | None = None,
 ) -> tuple[SearchResult, jax.Array, jax.Array]:
     """Iterated ML search: random perturbation + reclimb, keep the best.
+
+    ``progress_dir``: when set, the best tree so far (newick) and the score
+    trace (JSON lines) are written after every iteration, so long runs
+    survive interruption with their best result on disk (the parsimony
+    ratchet's convention).
 
     The ML analogue of the parsimony ratchet (and of IQ-TREE's iterated NNI
     core): each iteration applies ``perturb_moves`` random SPR/TBR kicks to
@@ -229,6 +235,23 @@ def ml_iterated_search(
         rates=rates,
         freqs=freqs,
     )
+    def dump_progress(iteration: int, best) -> None:
+        if progress_dir is None:
+            return
+        import json
+        import os
+
+        from trex_tpu.io import save_newick
+
+        os.makedirs(progress_dir, exist_ok=True)
+        with open(os.path.join(progress_dir, "best.nwk"), "w") as fh:
+            fh.write(save_newick(best.topology) + "\n")
+        with open(os.path.join(progress_dir, "trace.jsonl"), "a") as fh:
+            fh.write(
+                json.dumps({"iteration": iteration, "score": best.score})
+                + "\n"
+            )
+
     best, _, _ = ml_hill_climb(
         start, leaf_sequences, n_states, **climb_kwargs
     )
@@ -236,6 +259,7 @@ def ml_iterated_search(
     evaluations = best.evaluations
     n_all = start.n_all
     stale = 0
+    dump_progress(0, best)
     for _ in range(n_iterations):
         if stale >= stop_after:
             break
@@ -270,6 +294,7 @@ def ml_iterated_search(
         else:
             stale += 1
         trace.append(best.score)
+        dump_progress(len(trace) - 1, best)
     lengths, losses = optimize_branch_lengths_newton(
         best.topology, leaf_sequences, n_states, rates, freqs,
         site_weights=site_weights,
