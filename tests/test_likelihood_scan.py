@@ -169,3 +169,70 @@ def test_scan_gtr_matches_explicit_rescoring(seed):
             )
             checked += 1
     assert checked > 2 * n_all
+
+
+def test_scan_gamma_matches_explicit_rescoring():
+    """+G scan entries equal tree_log_likelihood_gamma on each candidate."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from trex_tpu.ops.likelihood import tree_log_likelihood_gamma
+
+    rng = np.random.default_rng(11)
+    n_leaves = 6
+    topo = _single(random_topologies(jax.random.key(111), n_leaves, 1), 0)
+    leaf = jnp.asarray(rng.integers(0, Q, size=(n_leaves, 10)).astype(np.int32))
+    alpha = 0.4
+
+    def exact(t):
+        blens = jnp.full((t.n_all,), T0)
+        return -float(
+            tree_log_likelihood_gamma(
+                t, blens, leaf, Q, gamma_shape=alpha, n_categories=4
+            )
+        )
+
+    scores, base = likelihood_spr_scan(
+        topo, leaf, Q, T0, gamma_shape=alpha, n_categories=4
+    )
+    scores = np.asarray(scores)
+    np.testing.assert_allclose(float(base), exact(topo), rtol=1e-5)
+    n_all = 2 * n_leaves - 1
+    checked = 0
+    for p in range(n_all - 1):
+        for v in range(n_all):
+            if not np.isfinite(scores[p, v]):
+                continue
+            moved = spr_move(topo, p, v)
+            if moved is None:
+                np.testing.assert_allclose(scores[p, v], float(base), rtol=1e-5)
+                continue
+            np.testing.assert_allclose(
+                scores[p, v], exact(moved), rtol=3e-5,
+                err_msg=f"(p={p}, v={v})",
+            )
+            checked += 1
+    assert checked > 2 * n_all
+
+
+def test_scan_gamma_gtr_combination():
+    """GTR + Gamma together: base score matches the lax mixture."""
+    from trex_tpu.ops.likelihood import tree_log_likelihood_gamma
+
+    rng = np.random.default_rng(12)
+    n_leaves = 5
+    topo = _single(random_topologies(jax.random.key(112), n_leaves, 1), 0)
+    leaf = jnp.asarray(rng.integers(0, Q, size=(n_leaves, 8)).astype(np.int32))
+    rates = jnp.asarray(np.ones((4, 4)) - np.eye(4) + np.diag([0.0] * 4), jnp.float32)
+    rates = rates.at[0, 2].set(7.0).at[2, 0].set(7.0)
+    freqs = jnp.asarray([0.4, 0.3, 0.2, 0.1], jnp.float32)
+    _, base = likelihood_spr_scan(
+        topo, leaf, Q, T0, rates=rates, freqs=freqs,
+        gamma_shape=0.7, n_categories=4,
+    )
+    expected = -float(
+        tree_log_likelihood_gamma(
+            topo, jnp.full((topo.n_all,), T0), leaf, Q,
+            gamma_shape=0.7, n_categories=4, rates=rates, freqs=freqs,
+        )
+    )
+    np.testing.assert_allclose(float(base), expected, rtol=1e-5)

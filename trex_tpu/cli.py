@@ -399,6 +399,12 @@ def cmd_infer(args) -> None:
                     site_weights=weights,
                     rates=jnp.asarray(params["rates"]),
                     freqs=jnp.asarray(params["freqs"]),
+                    # +Gamma-aware ranking (scan neighborhood only).
+                    gamma_shape=(
+                        params.get("gamma_shape")
+                        if args.neighborhood == "spr-scan"
+                        else None
+                    ),
                 )
                 params, model_losses = optimize_model(
                     result.topology, jnp.asarray(patterns), n_states,

@@ -34,7 +34,9 @@ from trex_tpu.topology import Topology
 
 @partial(
     jax.jit,
-    static_argnames=("n_states", "sequences_are_masks", "prune_chunk"),
+    static_argnames=(
+        "n_states", "sequences_are_masks", "prune_chunk", "n_categories"
+    ),
 )
 def likelihood_spr_scan(
     topology: Topology,
@@ -45,6 +47,8 @@ def likelihood_spr_scan(
     *,
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
+    gamma_shape: float | jax.Array | None = None,
+    n_categories: int = 4,
     sequences_are_masks: bool = False,
     prune_nodes: jax.Array | None = None,
     prune_chunk: int | None = None,
@@ -65,6 +69,13 @@ def likelihood_spr_scan(
     insertion points relies only on reversibility (the pulley principle),
     which the normalized GTR family satisfies; parity vs the enumerating
     ranker is tested with strongly asymmetric matrices.
+
+    ``gamma_shape``: optional discrete-Gamma site-rate heterogeneity — the
+    up/down passes run once per category (branch lengths scaled by the
+    Yang-1994 category rates) and the per-site likelihoods are mixed with
+    equal category weights BEFORE the site-sum, matching
+    ``tree_log_likelihood_gamma`` exactly. Compute and memory scale by
+    ``n_categories``.
     """
     n_leaves = topology.n_leaves
     n_all = topology.n_all
@@ -87,6 +98,14 @@ def likelihood_spr_scan(
     else:
         weights = site_weights.astype(jnp.float32)
 
+    # Per-rate-category transition matrices (K = 1 without +Gamma).
+    if gamma_shape is not None:
+        from trex_tpu.ops.likelihood import discrete_gamma_rates
+
+        cat_rates = discrete_gamma_rates(gamma_shape, n_categories)  # (K,)
+    else:
+        cat_rates = jnp.ones((1,), jnp.float32)
+    t0 = jnp.asarray(ranking_branch_length)
     if rates is not None or freqs is not None:
         from trex_tpu.ops.likelihood import gtr_eigensystem, gtr_transition
 
@@ -99,10 +118,11 @@ def likelihood_spr_scan(
             else jnp.full((q,), 1.0 / q)
         )
         eig = gtr_eigensystem(jnp.asarray(model_rates), prior)
-        p0 = gtr_transition(jnp.asarray(ranking_branch_length), *eig)
+        p0s = jax.vmap(lambda r: gtr_transition(t0 * r, *eig))(cat_rates)
     else:
-        p0 = jc69_transition(jnp.asarray(ranking_branch_length), q)  # (Q, Q)
+        p0s = jax.vmap(lambda r: jc69_transition(t0 * r, q))(cat_rates)
         prior = jnp.full((q,), 1.0 / q)
+    n_cat = p0s.shape[0]
 
     children = topology.children.astype(jnp.int32)
     parents = topology.parents.astype(jnp.int32)
@@ -121,7 +141,7 @@ def likelihood_spr_scan(
 
     var_children = jax.vmap(variant)(q_rows, siblings)
 
-    def up_pass(ch):
+    def up_pass(p0, ch):
         """inside partials (n_all, Q, L) + per-node log-scales (n_all, L)."""
         inside0 = jnp.zeros((n_all, q, length))
         inside0 = inside0.at[:n_leaves].set(tips)
@@ -156,7 +176,7 @@ def likelihood_spr_scan(
         (inside, ls), _ = jax.lax.scan(step, (inside0, ls0), (offsets, ch))
         return inside, ls
 
-    def down_pass(ch, inside, ls_in):
+    def down_pass(p0, ch, inside, ls_in):
         """upstream partials (n_all, Q, L) + log-scales (n_all, L).
 
         ``upstream(v)`` lives at the PARENT's states and excludes v's own
@@ -211,40 +231,63 @@ def likelihood_spr_scan(
         )
         return upstream, ls
 
-    # Base score (all branches t0) from the unmodified tree.
-    base_inside, base_ls = up_pass(children)
-    base_site = jnp.log(
-        jnp.maximum(
-            jnp.sum(prior[:, None] * base_inside[root], axis=0), 1e-30
+    log_k = jnp.log(jnp.asarray(float(n_cat)))
+
+    # Base score (all branches t0) from the unmodified tree: per-category
+    # per-site log-liks, mixed equal-weight BEFORE the site-sum.
+    def base_per_site(p0):
+        base_inside, base_ls = up_pass(p0, children)
+        return jnp.log(
+            jnp.maximum(
+                jnp.sum(prior[:, None] * base_inside[root], axis=0), 1e-30
+            )
+        ) + base_ls[root]
+
+    base_site = (
+        jax.scipy.special.logsumexp(
+            jax.vmap(base_per_site)(p0s), axis=0
         )
-    ) + base_ls[root]
+        - log_k
+    )
     base_score = -jnp.sum(base_site * weights)
 
     def chunk_scores(args):
         pn, vch = args
-        inside, ls_in = jax.vmap(up_pass)(vch)
-        upstream, ls_up = jax.vmap(down_pass)(vch, inside, ls_in)
         c = pn.shape[0]
         rows = jnp.arange(c)
-        u_s = inside[rows, pn]  # (C, Q, L): pruned subtree root partial
-        ls_s = ls_in[rows, pn]  # (C, L)
-        msg_s = jnp.einsum(
-            "ij,cjl->cil", p0, u_s, preferred_element_type=jnp.float32
-        )
-        msg_v = jnp.einsum(
-            "ij,cnjl->cnil", p0, inside, preferred_element_type=jnp.float32
-        )
-        alpha = jnp.einsum(
-            "ij,cnil->cnjl", p0, upstream, preferred_element_type=jnp.float32
-        )
-        site_lik = jnp.sum(alpha * msg_v * msg_s[:, None], axis=2)  # (C,n,L)
-        per_site = (
-            jnp.log(jnp.maximum(site_lik, 1e-30))
-            + ls_in
-            + ls_up
-            + ls_s[:, None, :]
-        )
-        return -jnp.sum(per_site * weights[None, None, :], axis=-1)
+
+        def cat_per_site(p0):
+            inside, ls_in = jax.vmap(up_pass, in_axes=(None, 0))(p0, vch)
+            upstream, ls_up = jax.vmap(down_pass, in_axes=(None, 0, 0, 0))(
+                p0, vch, inside, ls_in
+            )
+            u_s = inside[rows, pn]  # (C, Q, L): pruned subtree root partial
+            ls_s = ls_in[rows, pn]  # (C, L)
+            msg_s = jnp.einsum(
+                "ij,cjl->cil", p0, u_s, preferred_element_type=jnp.float32
+            )
+            msg_v = jnp.einsum(
+                "ij,cnjl->cnil", p0, inside,
+                preferred_element_type=jnp.float32,
+            )
+            alpha = jnp.einsum(
+                "ij,cnil->cnjl", p0, upstream,
+                preferred_element_type=jnp.float32,
+            )
+            site_lik = jnp.sum(
+                alpha * msg_v * msg_s[:, None], axis=2
+            )  # (C, n, L)
+            return (
+                jnp.log(jnp.maximum(site_lik, 1e-30))
+                + ls_in
+                + ls_up
+                + ls_s[:, None, :]
+            )
+
+        # lax.map over categories: peak memory stays ~one category's passes.
+        per_site_k = jax.lax.map(cat_per_site, p0s)  # (K, C, n, L)
+        mixed = jax.scipy.special.logsumexp(per_site_k, axis=0) - log_k
+        return -jnp.sum(mixed * weights[None, None, :], axis=-1)
 
     n_prune = prune_nodes.shape[0]
     if prune_chunk is None or prune_chunk >= n_prune:

@@ -34,8 +34,14 @@ def ml_hill_climb(
     site_weights: jax.Array | None = None,
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
+    gamma_shape: float | jax.Array | None = None,
 ) -> tuple[SearchResult, jax.Array, jax.Array]:
     """Greedy ML topology search + final branch-length optimization.
+
+    ``gamma_shape``: +Gamma-aware candidate ranking (the per-site category
+    mixture of ``tree_log_likelihood_gamma``). Supported by the analytic
+    ``spr-scan`` neighborhood only — the fused enumerating kernel returns
+    site-summed scores, which cannot be mixed per site after the fact.
 
     Candidates are ranked by log-likelihood with every branch fixed at
     ``ranking_branch_length`` (negated so the hill climber minimizes).
@@ -59,13 +65,17 @@ def ml_hill_climb(
     n_all = start.n_all
     q = n_states
 
+    if gamma_shape is not None and neighborhood != "spr-scan":
+        raise ValueError(
+            "+Gamma-aware ranking needs neighborhood='spr-scan'"
+        )
     if neighborhood == "spr-scan":
         result = _ml_scan_climb(
             start, leaf_sequences, n_states,
             ranking_branch_length=ranking_branch_length,
             max_rounds=max_rounds,
             site_weights=site_weights,
-            rates=rates, freqs=freqs,
+            rates=rates, freqs=freqs, gamma_shape=gamma_shape,
             sequences_are_masks=sequences_are_masks,
         )
         if optimize_final_lengths:
@@ -318,6 +328,7 @@ def _ml_scan_climb(
     sequences_are_masks: bool,
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
+    gamma_shape: float | jax.Array | None = None,
 ) -> SearchResult:
     """Greedy ML climb where each round is one analytic likelihood scan."""
     import numpy as np
@@ -338,7 +349,7 @@ def _ml_scan_climb(
     current = start
     scores, base = likelihood_spr_scan(
         current, leaf_sequences, n_states, ranking_branch_length,
-        site_weights, rates=rates, freqs=freqs,
+        site_weights, rates=rates, freqs=freqs, gamma_shape=gamma_shape,
         sequences_are_masks=sequences_are_masks,
         prune_chunk=prune_chunk,
     )
@@ -364,7 +375,7 @@ def _ml_scan_climb(
         trace.append(current_score)
         scores, _ = likelihood_spr_scan(
             current, leaf_sequences, n_states, ranking_branch_length,
-            site_weights, rates=rates, freqs=freqs,
+            site_weights, rates=rates, freqs=freqs, gamma_shape=gamma_shape,
             sequences_are_masks=sequences_are_masks,
             prune_chunk=prune_chunk,
         )
