@@ -115,3 +115,34 @@ def test_cli_topotest(capsys, tmp_path):
     table = out["table"]
     assert table[1]["delta"] > 0 and table[1]["p_sh"] < 0.05
     assert table[0]["p_kh"] == 1.0
+
+
+def test_cli_topotest_site_lnl_export(capsys, tmp_path):
+    """Site-lnL export: rows sum to the reported totals, original order."""
+    from trex_tpu.cli import main
+    from trex_tpu.io import DNA, save_newick, write_fasta
+
+    truth = _single(jax.random.key(30), 6)
+    blens = np.full((truth.n_all,), 0.25)
+    leaves = simulate_alignment(jax.random.key(31), truth, blens, n_sites=120)
+    names = [f"t{i}" for i in range(6)]
+    aln = tmp_path / "a.fasta"
+    aln.write_text(write_fasta(names, leaves, DNA))
+    other = _single(jax.random.key(32), 6)
+    trees = tmp_path / "c.nwk"
+    trees.write_text(
+        save_newick(truth, names) + "\n" + save_newick(other, names) + "\n"
+    )
+    out_lnl = tmp_path / "site.lnl"
+    main(["topotest", "--fasta", str(aln), "--trees", str(trees),
+          "--replicates", "200", "--site-lnl", str(out_lnl)])
+    out = json.loads(capsys.readouterr().out)
+
+    lines = out_lnl.read_text().splitlines()
+    n_trees, n_sites = (int(x) for x in lines[0].split())
+    assert n_trees == 2 and n_sites == 120
+    for t in range(2):
+        row = [float(x) for x in lines[1 + t].split()[1:]]
+        assert len(row) == 120
+        # Row sum equals the reported total lnL for that tree.
+        assert abs(sum(row) - out["table"][t]["log_likelihood"]) < 0.01

@@ -1373,6 +1373,24 @@ def cmd_topotest(args) -> None:
         n_replicates=args.replicates,
         sequences_are_masks=True,
     )
+    if args.site_lnl:
+        # Expand per-pattern lnLs back to original site order and write the
+        # CONSEL/puzzle site-lnL matrix ("T L" header, one row per tree).
+        _, first_idx, inverse = np.unique(
+            masks, axis=1, return_index=True, return_inverse=True
+        )
+        order = np.argsort(first_idx)
+        rank = np.empty_like(order)
+        rank[order] = np.arange(order.size)
+        site_lnl = res.per_site[:, rank[inverse.ravel()]]  # (T, L)
+        with open(args.site_lnl, "w") as fh:
+            fh.write(f"{site_lnl.shape[0]} {site_lnl.shape[1]}\n")
+            for t in range(site_lnl.shape[0]):
+                fh.write(
+                    f"tree{t + 1} "
+                    + " ".join(f"{v:.6f}" for v in site_lnl[t])
+                    + "\n"
+                )
     print(
         json.dumps(
             {
@@ -1658,6 +1676,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-file", type=str, default=None)
     p.add_argument("--replicates", type=int, default=10000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--site-lnl", type=str, default=None,
+                   help="write per-tree per-site log-likelihoods here "
+                        "(CONSEL/puzzle site-lnL format) for external "
+                        "AU-test tools")
     p.set_defaults(fn=cmd_topotest)
 
     p = sub.add_parser("nk-bench", help="NK accuracy benchmark")

@@ -48,6 +48,7 @@ class TopologyTestResult:
     bp: np.ndarray               # (T,) RELL bootstrap proportion
     elw: np.ndarray              # (T,) expected likelihood weight
     best_index: int
+    per_site: np.ndarray         # (T, P) per-pattern lnL vectors
 
 
 def topology_tests(
@@ -131,4 +132,5 @@ def topology_tests(
         bp=bp,
         elw=elw,
         best_index=best,
+        per_site=np.asarray(per_site, np.float64),
     )
