@@ -146,3 +146,33 @@ def test_cli_topotest_site_lnl_export(capsys, tmp_path):
         assert len(row) == 120
         # Row sum equals the reported total lnL for that tree.
         assert abs(sum(row) - out["table"][t]["log_likelihood"]) < 0.01
+
+
+def test_au_test_behavior(strong_case):
+    """AU: best tree retained (p high), clearly wrong trees rejected."""
+    res = strong_case
+    assert res.p_au is not None and res.p_au.shape == (3,)
+    assert ((res.p_au >= 0) & (res.p_au <= 1)).all()
+    assert res.p_au[1] > 0.9
+    assert res.p_au[0] < 0.05 and res.p_au[2] < 0.05
+
+
+def test_au_close_alternative_not_rejected():
+    # Nearly no signal (expected substitutions per branch ~0.02 x 40 sites):
+    # the NNI alternative is statistically indistinguishable from the truth.
+    truth = _single(jax.random.key(40), 8)
+    blens = np.full((truth.n_all,), 0.02)
+    leaves = simulate_alignment(jax.random.key(41), truth, blens, n_sites=40)
+    from trex_tpu.io import nni_neighbors_host
+
+    nc, npar = nni_neighbors_host(truth)
+    neighbor = Topology(
+        children=jnp.asarray(nc[0]), parents=jnp.asarray(npar[0])
+    )
+    res = topology_tests(
+        jax.random.key(42), _batch([truth, neighbor]), jnp.asarray(leaves), 4,
+        n_replicates=1000,
+    )
+    worse = 1 - res.best_index
+    assert res.delta[worse] < 3.0  # genuinely weak signal
+    assert res.p_au[worse] > 0.05

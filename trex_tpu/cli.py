@@ -1405,6 +1405,11 @@ def cmd_topotest(args) -> None:
                         "delta": round(float(res.delta[i]), 3),
                         "p_kh": round(float(res.p_kh[i]), 4),
                         "p_sh": round(float(res.p_sh[i]), 4),
+                        "p_au": (
+                            None
+                            if res.p_au is None
+                            else round(float(res.p_au[i]), 4)
+                        ),
                         "bp": round(float(res.bp[i]), 4),
                         "elw": round(float(res.elw[i]), 4),
                     }

@@ -18,6 +18,12 @@ Implemented tests (per non-best tree, against the ML tree):
 - ``bp``     RELL bootstrap proportion: fraction of replicates the tree wins.
 - ``elw``    Expected likelihood weight (Strimmer & Rambaut 2002): mean over
   replicates of the tree's likelihood weight softmax(L*_r).
+- ``p_au``   Approximately unbiased test (Shimodaira 2002): multiscale
+  bootstrap — win proportions at several resampling scales r, weighted
+  least-squares fit of ``z(r) = d*sqrt(r) + c/sqrt(r)`` to the normal
+  quantiles of the win proportions, ``p_au = 1 - Phi(d - c)``. The least
+  biased of the tests; degenerate cases (a tree winning everywhere or
+  nowhere at every scale) collapse to 1/0.
 
 The reference has no model-based machinery at all (SURVEY.md §2); this is
 new capability alongside `search.alrt` / `search.ufboot`.
@@ -49,6 +55,7 @@ class TopologyTestResult:
     elw: np.ndarray              # (T,) expected likelihood weight
     best_index: int
     per_site: np.ndarray         # (T, P) per-pattern lnL vectors
+    p_au: np.ndarray | None = None  # (T,) AU p-values (when au_scales set)
 
 
 def topology_tests(
@@ -63,6 +70,9 @@ def topology_tests(
     n_replicates: int = 10000,
     n_sweeps: int = 8,
     sequences_are_masks: bool = False,
+    au_scales: tuple[float, ...] | None = (
+        0.5, 0.6, 0.7, 0.8, 0.9, 1.0, 1.1, 1.2, 1.3, 1.4,
+    ),
 ) -> TopologyTestResult:
     """Run KH / SH / BP / ELW over a batched Topology of candidate trees.
 
@@ -119,6 +129,13 @@ def topology_tests(
 
     winners = rell.argmax(axis=1)
     bp = np.bincount(winners, minlength=n_trees) / float(rell.shape[0])
+
+    p_au = None
+    if au_scales is not None and len(au_scales) >= 2:
+        p_au = _au_test(
+            jax.random.fold_in(key, 7), per_site, weights,
+            n_replicates, au_scales,
+        )
     # ELW in log space: softmax of replicate totals across trees.
     shifted = rell - rell.max(axis=1, keepdims=True)
     w = np.exp(shifted)
@@ -133,4 +150,68 @@ def topology_tests(
         elw=elw,
         best_index=best,
         per_site=np.asarray(per_site, np.float64),
+        p_au=p_au,
     )
+
+
+def _au_test(
+    key: jax.Array,
+    per_site: jax.Array,
+    weights: jax.Array,
+    n_replicates: int,
+    scales: tuple[float, ...],
+) -> np.ndarray:
+    """AU p-values from multiscale RELL bootstraps.
+
+    For each scale r, resample ``round(n * r)`` sites and record each
+    tree's win proportion bp_r. A weighted least-squares fit of
+    ``Phi^{-1}(1 - bp_r) = d sqrt(r) + c / sqrt(r)`` (weights = the
+    binomial delta-method precision of each quantile) gives the signed
+    distance d and curvature c of the hypothesis boundary;
+    ``p_au = 1 - Phi(d - c)``.
+    """
+    from scipy.stats import norm
+
+    n_trees = per_site.shape[0]
+    length = per_site.shape[1]
+    base = jnp.asarray(weights, jnp.float32)
+    total = float(jnp.sum(base))
+    probs = base / jnp.sum(base)
+    per_site_t = jnp.transpose(jnp.asarray(per_site, jnp.float32))
+
+    bps = np.zeros((len(scales), n_trees))
+    for s_idx, r in enumerate(scales):
+        n_r = max(1, int(round(total * r)))
+        k = jax.random.fold_in(key, s_idx)
+
+        def one(kk, n_r=n_r):
+            picks = jax.random.choice(kk, length, (n_r,), p=probs)
+            return jnp.zeros((length,), jnp.float32).at[picks].add(1.0)
+
+        rep_w = jax.vmap(one)(jax.random.split(k, n_replicates))  # (R, P)
+        rell_r = np.asarray(rep_w @ per_site_t)  # (R, T)
+        wins = rell_r.argmax(axis=1)
+        bps[s_idx] = np.bincount(wins, minlength=n_trees) / float(
+            n_replicates
+        )
+
+    rs = np.asarray(scales, np.float64)
+    p_au = np.zeros((n_trees,))
+    for t in range(n_trees):
+        bp_t = bps[:, t]
+        usable = (bp_t > 0) & (bp_t < 1)
+        if usable.sum() < 2:
+            p_au[t] = 1.0 if bp_t.mean() > 0.5 else 0.0
+            continue
+        z = norm.ppf(1.0 - bp_t[usable])
+        x1 = np.sqrt(rs[usable])
+        x2 = 1.0 / np.sqrt(rs[usable])
+        # Delta-method precision of each z estimate.
+        var = bp_t[usable] * (1.0 - bp_t[usable]) / n_replicates
+        w = norm.pdf(z) ** 2 / np.maximum(var, 1e-12)
+        X = np.stack([x1, x2], axis=1)
+        sw = np.sqrt(w)
+        beta, *_ = np.linalg.lstsq(sw[:, None] * X, sw * z, rcond=None)
+        d, c = beta
+        p_au[t] = float(1.0 - norm.cdf(d - c))
+    return p_au
