@@ -193,3 +193,37 @@ def test_optimize_gy94_smoke():
     assert float(params["omega"]) > 0 and float(params["kappa"]) > 0
     assert params["branch_lengths"].shape == (7,)
     assert bool(jnp.all(jnp.isfinite(params["branch_lengths"])))
+
+
+def test_cli_dnds_search_recovers_topology(capsys, tmp_path):
+    """Codon-model tree search: GY94 SPR scan recovers the true tree."""
+    import json
+
+    import jax as _jax
+
+    from trex_tpu.cli import main
+    from trex_tpu.io import load_newick, renumber_leaves, save_newick
+    from trex_tpu.search.ratchet import rf_distance_unrooted
+    from trex_tpu.topology import random_topologies
+
+    truth = _jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.key(60), 7, 1)
+    )
+    names = [f"c{i}" for i in range(7)]
+    blens = np.full((truth.n_all,), 0.35)
+    codons = cd.simulate_gy94(
+        jax.random.key(61), truth, blens, kappa=3.0, omega=0.2, n_sites=150
+    )
+    rows = ["".join(cd.SENSE_CODONS[c] for c in row) for row in codons]
+    aln = tmp_path / "codons.fasta"
+    aln.write_text("\n".join(f">{n}\n{s}" for n, s in zip(names, rows)) + "\n")
+    out_tree = tmp_path / "out.nwk"
+    main(["dnds", "--fasta", str(aln), "--search", "--iterations", "300",
+          "--output-tree", str(out_tree)])
+    out = json.loads(capsys.readouterr().out)
+    assert "search" in out["tree_source"]
+    assert out["omega"] < 1.0
+    got, _, got_names = load_newick(out_tree.read_text())
+    order = {n: i for i, n in enumerate(names)}
+    aligned = renumber_leaves(got, [order[n] for n in got_names])
+    assert rf_distance_unrooted(aligned, truth) == 0

@@ -977,6 +977,40 @@ def cmd_dnds(args) -> None:
         n_iterations=args.iterations,
         site_weights=jnp.asarray(weights, jnp.float32),
     )
+    if args.search:
+        # Codon-model tree search: rank SPR candidates under GY94 at the
+        # fitted kappa/omega (the model-aware analytic scan works at Q=61
+        # because GY94 is reversible: S_ij * pi_j generator), then refit
+        # the full model on the winning topology.
+        from trex_tpu.search.ml import ml_hill_climb
+
+        s_matrix = cd.gy94_exchangeabilities(
+            jnp.asarray(params["kappa"]), jnp.asarray(params["omega"])
+        )
+        result, _, _ = ml_hill_climb(
+            topo,
+            jnp.asarray(patterns, jnp.int32),
+            cd.N_CODONS,
+            neighborhood="spr-scan",
+            site_weights=jnp.asarray(weights, jnp.float32),
+            rates=jnp.asarray(s_matrix, jnp.float32),
+            freqs=jnp.asarray(freqs, jnp.float32),
+            optimize_final_lengths=False,
+        )
+        if (
+            np.asarray(result.topology.children).tobytes()
+            != np.asarray(topo.children).tobytes()
+        ):
+            topo = result.topology
+            params, losses = cd.optimize_gy94(
+                topo,
+                jnp.asarray(patterns, jnp.int32),
+                freqs=freqs,
+                model=args.model,
+                n_iterations=args.iterations,
+                site_weights=jnp.asarray(weights, jnp.float32),
+            )
+        tree_source = f"{tree_source} + GY94 SPR-scan search"
     lengths = np.asarray(params["branch_lengths"])
     out = {
         "model": args.model,
@@ -1600,6 +1634,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stops", choices=("error", "missing"), default="error",
                    help="how to treat in-frame stop codons")
     p.add_argument("--iterations", type=int, default=600)
+    p.add_argument("--search", action="store_true",
+                   help="search topology under GY94 (analytic SPR scan at "
+                        "the fitted kappa/omega) instead of keeping the "
+                        "start tree, then refit")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-tree", type=str, default=None)
     p.set_defaults(fn=cmd_dnds)

@@ -65,7 +65,14 @@ def _likelihood_kernel(
             # State-set bitmask tips: partial 1 at every allowed state.
             onehot = jnp.where((observed >> state_iota) & 1 == 1, 1.0, 0.0)
         else:
-            onehot = jnp.where(state_iota == observed, 1.0, 0.0)
+            # Negative states mean "missing" (ambiguous codon): all-ones
+            # partial within the real states, matching tree_log_likelihood.
+            onehot = jnp.where(
+                (state_iota == observed)
+                | ((observed < 0) & (state_iota < n_states)),
+                1.0,
+                0.0,
+            )
         for t in range(trees):
             part_ref[pl.ds(t * stride + i * q_pad, q_pad), :] = onehot
         return 0

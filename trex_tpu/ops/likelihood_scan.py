@@ -90,8 +90,11 @@ def likelihood_spr_scan(
             (leaf_sequences.astype(jnp.int32)[:, None, :] >> states[None, :, None]) & 1
         ).astype(jnp.float32)
     else:
+        # Negative states mean "missing" (e.g. an ambiguous codon): all-ones
+        # tip partial, the same marginalization as tree_log_likelihood.
+        leaves = leaf_sequences.astype(jnp.int32)[:, None, :]
         tips = (
-            leaf_sequences.astype(jnp.int32)[:, None, :] == states[None, :, None]
+            (leaves == states[None, :, None]) | (leaves < 0)
         ).astype(jnp.float32)
     if site_weights is None:
         weights = jnp.ones((length,), jnp.float32)
