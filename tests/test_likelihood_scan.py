@@ -236,3 +236,24 @@ def test_scan_gamma_gtr_combination():
         )
     )
     np.testing.assert_allclose(float(base), expected, rtol=1e-5)
+
+
+def test_scan_freerate_matches_explicit_rescoring():
+    """FreeRate mixture (explicit rates+weights) matches the lax mixture."""
+    from trex_tpu.ops.likelihood import tree_log_likelihood_freerate
+
+    rng = np.random.default_rng(13)
+    n_leaves = 5
+    topo = _single(random_topologies(jax.random.key(113), n_leaves, 1), 0)
+    leaf = jnp.asarray(rng.integers(0, Q, size=(n_leaves, 9)).astype(np.int32))
+    cr = jnp.asarray([0.3, 1.0, 2.4], jnp.float32)
+    cw = jnp.asarray([0.5, 0.3, 0.2], jnp.float32)
+    _, base = likelihood_spr_scan(
+        topo, leaf, Q, T0, category_rates=cr, category_weights=cw
+    )
+    expected = -float(
+        tree_log_likelihood_freerate(
+            topo, jnp.full((topo.n_all,), T0), leaf, Q, cr, cw
+        )
+    )
+    np.testing.assert_allclose(float(base), expected, rtol=1e-5)

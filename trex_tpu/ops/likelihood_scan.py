@@ -49,6 +49,8 @@ def likelihood_spr_scan(
     freqs: jax.Array | None = None,
     gamma_shape: float | jax.Array | None = None,
     n_categories: int = 4,
+    category_rates: jax.Array | None = None,
+    category_weights: jax.Array | None = None,
     sequences_are_masks: bool = False,
     prune_nodes: jax.Array | None = None,
     prune_chunk: int | None = None,
@@ -101,8 +103,16 @@ def likelihood_spr_scan(
     else:
         weights = site_weights.astype(jnp.float32)
 
-    # Per-rate-category transition matrices (K = 1 without +Gamma).
-    if gamma_shape is not None:
+    # Per-rate-category transition matrices (K = 1 without a rate mixture).
+    # ``category_rates``/``category_weights`` give an explicit mixture (the
+    # FreeRate family); ``gamma_shape`` the equal-weight discrete Gamma.
+    cat_log_w = None
+    if category_rates is not None:
+        cat_rates = jnp.asarray(category_rates, jnp.float32)
+        if category_weights is not None:
+            w = jnp.asarray(category_weights, jnp.float32)
+            cat_log_w = jnp.log(w / jnp.sum(w))
+    elif gamma_shape is not None:
         from trex_tpu.ops.likelihood import discrete_gamma_rates
 
         cat_rates = discrete_gamma_rates(gamma_shape, n_categories)  # (K,)
@@ -234,10 +244,19 @@ def likelihood_spr_scan(
         )
         return upstream, ls
 
-    log_k = jnp.log(jnp.asarray(float(n_cat)))
+    # Category mixing constants: log-weights (FreeRate) or -log K (Gamma).
+    if cat_log_w is None:
+        cat_log_w = jnp.full((n_cat,), -jnp.log(float(n_cat)))
+
+    def mix(per_site_k, axis=0):
+        shape = [1] * per_site_k.ndim
+        shape[axis] = n_cat
+        return jax.scipy.special.logsumexp(
+            per_site_k + cat_log_w.reshape(shape), axis=axis
+        )
 
     # Base score (all branches t0) from the unmodified tree: per-category
-    # per-site log-liks, mixed equal-weight BEFORE the site-sum.
+    # per-site log-liks, weight-mixed BEFORE the site-sum.
     def base_per_site(p0):
         base_inside, base_ls = up_pass(p0, children)
         return jnp.log(
@@ -246,12 +265,7 @@ def likelihood_spr_scan(
             )
         ) + base_ls[root]
 
-    base_site = (
-        jax.scipy.special.logsumexp(
-            jax.vmap(base_per_site)(p0s), axis=0
-        )
-        - log_k
-    )
+    base_site = mix(jax.vmap(base_per_site)(p0s))
     base_score = -jnp.sum(base_site * weights)
 
     def chunk_scores(args):
@@ -289,7 +303,7 @@ def likelihood_spr_scan(
 
         # lax.map over categories: peak memory stays ~one category's passes.
         per_site_k = jax.lax.map(cat_per_site, p0s)  # (K, C, n, L)
-        mixed = jax.scipy.special.logsumexp(per_site_k, axis=0) - log_k
+        mixed = mix(per_site_k)
         return -jnp.sum(mixed * weights[None, None, :], axis=-1)
 
     n_prune = prune_nodes.shape[0]
