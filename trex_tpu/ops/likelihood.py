@@ -93,8 +93,17 @@ def gtr_transition(
     left: jax.Array,
     right: jax.Array,
 ) -> jax.Array:
-    """(Q, Q) transition matrix from a precomputed GTR eigensystem."""
-    p = (right * jnp.exp(eigvals * branch_length)[None, :]) @ left
+    """(Q, Q) transition matrix from a precomputed GTR eigensystem.
+
+    The reconstruction matmul runs at HIGHEST precision: TPU default
+    (bf16 passes) perturbs small transition probabilities by several
+    percent, which is likelihood-visible (~1% of the total lnL).
+    """
+    p = jnp.matmul(
+        right * jnp.exp(eigvals * branch_length)[None, :],
+        left,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jnp.clip(p, 0.0, 1.0)
 
 
@@ -320,6 +329,26 @@ def per_site_log_likelihood(
     return jax.nn.logsumexp(all_cat, axis=0) - jnp.log(n_categories)
 
 
+def highest_matmul_precision(fn):
+    """Trace ``fn`` under f32 matmul precision.
+
+    TPU's default matmul precision runs bf16 passes; the likelihood stack's
+    small Q x Q transition/message contractions lose several percent on
+    individual probabilities that way (~1% of total lnL — model-selection
+    visible). Scoped here rather than set globally so the soft-cost MXU
+    gram matmuls keep the fast default.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@highest_matmul_precision
 def _per_site_log_likelihood(
     topology: Topology,
     branch_lengths: jax.Array,

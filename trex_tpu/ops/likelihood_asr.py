@@ -30,7 +30,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from trex_tpu.ops.likelihood import gtr_generator, jc69_transition
+from trex_tpu.ops.likelihood import highest_matmul_precision, gtr_generator, jc69_transition
 from trex_tpu.topology import Topology
 
 
@@ -155,6 +155,7 @@ def _outside_partials(topology, pmats, inside, prior):
 
 
 @partial(jax.jit, static_argnames=("n_states", "sequences_are_masks"))
+@highest_matmul_precision
 def marginal_ancestral_posteriors(
     topology: Topology,
     branch_lengths: jax.Array,
@@ -191,6 +192,7 @@ def marginal_ancestral_posteriors(
 
 
 @partial(jax.jit, static_argnames=("n_states", "sequences_are_masks"))
+@highest_matmul_precision
 def branch_length_gradients(
     topology: Topology,
     branch_lengths: jax.Array,
@@ -288,6 +290,7 @@ def _branch_curvatures(
     jax.jit,
     static_argnames=("n_states", "sequences_are_masks", "n_sweeps"),
 )
+@highest_matmul_precision
 def optimize_branch_lengths_newton(
     topology: Topology,
     leaf_sequences: jax.Array,

@@ -28,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from trex_tpu.ops.likelihood import jc69_transition
+from trex_tpu.ops.likelihood import highest_matmul_precision, jc69_transition
 from trex_tpu.topology import Topology
 
 
@@ -38,6 +38,7 @@ from trex_tpu.topology import Topology
         "n_states", "sequences_are_masks", "prune_chunk", "n_categories"
     ),
 )
+@highest_matmul_precision
 def likelihood_spr_scan(
     topology: Topology,
     leaf_sequences: jax.Array,
