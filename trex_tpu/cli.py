@@ -1454,6 +1454,57 @@ def cmd_topotest(args) -> None:
     )
 
 
+def cmd_treeprune(args) -> None:
+    """Extract the induced subtree (and optional alignment rows) for a
+    taxa subset."""
+    import numpy as np
+
+    from trex_tpu.io import load_newick, prune_to_taxa, save_newick
+
+    with open(args.tree) as fh:
+        topo, blens, names = load_newick(fh.read())
+    wanted = [s.strip() for s in args.taxa.split(",") if s.strip()]
+    missing = [w for w in wanted if w not in names]
+    if missing:
+        raise SystemExit(f"taxa not in the tree: {missing}")
+    if args.invert:
+        wanted = [n for n in names if n not in set(wanted)]
+    keep = [names.index(w) for w in wanted]
+    has_lengths = np.isfinite(np.asarray(blens)[:-1]).all() and (
+        np.asarray(blens)[:-1] > 0
+    ).any()
+    pruned, new_blens, kept = prune_to_taxa(
+        topo, keep, np.asarray(blens) if has_lengths else None
+    )
+    new_names = [names[i] for i in kept]
+    newick = save_newick(pruned, new_names, branch_lengths=new_blens)
+    if args.output_tree:
+        with open(args.output_tree, "w") as fh:
+            fh.write(newick + "\n")
+    if args.alignment:
+        from trex_tpu.io import _split_fasta
+
+        with open(args.alignment) as fh:
+            aln_names, rows = _split_fasta(fh.read())
+        by_name = {n: r for n, r in zip(aln_names, rows)}
+        missing_aln = [n for n in new_names if n not in by_name]
+        if missing_aln:
+            raise SystemExit(f"taxa not in the alignment: {missing_aln}")
+        out_path = args.output_alignment or "pruned.fasta"
+        with open(out_path, "w") as fh:
+            for n in new_names:
+                fh.write(f">{n}\n{by_name[n].tobytes().decode('ascii')}\n")
+    print(
+        json.dumps(
+            {
+                "kept": len(new_names),
+                "dropped": len(names) - len(new_names),
+                "tree": newick,
+            }
+        )
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="trex_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -1702,6 +1753,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--output-tree", type=str, default=None)
     p.set_defaults(fn=cmd_consensus)
+
+    p = sub.add_parser(
+        "treeprune",
+        help="extract the induced subtree (+ alignment rows) for a taxa set",
+    )
+    p.add_argument("--tree", type=str, required=True)
+    p.add_argument("--taxa", type=str, required=True,
+                   help="comma-separated taxa to keep")
+    p.add_argument("--invert", action="store_true",
+                   help="drop the listed taxa instead of keeping them")
+    p.add_argument("--alignment", type=str, default=None,
+                   help="also subset this FASTA to the kept taxa")
+    p.add_argument("--output-tree", type=str, default=None)
+    p.add_argument("--output-alignment", type=str, default=None)
+    p.set_defaults(fn=cmd_treeprune)
 
     p = sub.add_parser(
         "topotest",

@@ -414,6 +414,88 @@ def renumber_leaves(topology: Topology, new_leaf_ids: list[int]) -> Topology:
     return Topology(children=jnp.asarray(ch), parents=jnp.asarray(par))
 
 
+def prune_to_taxa(
+    topology: Topology,
+    keep: list[int],
+    branch_lengths: np.ndarray | None = None,
+) -> tuple[Topology, np.ndarray | None, list[int]]:
+    """Induced subtree on a leaf subset (degree-2 nodes suppressed).
+
+    Args:
+        keep: leaf indices to retain (>= 2); the pruned tree renumbers them
+            0..k-1 in the order given.
+        branch_lengths: optional (n_all,) lengths (child-indexed); lengths
+            along suppressed unary paths are summed onto the surviving edge.
+
+    Returns:
+        (pruned Topology, pruned lengths or None, keep) — ``keep`` echoes
+        the old leaf index of each new leaf.
+    """
+    from trex_tpu.io.fallback import _canonicalize
+
+    n_leaves = topology.n_leaves
+    n_all = topology.n_all
+    if len(keep) < 2:
+        raise ValueError("need at least two retained taxa")
+    if len(set(keep)) != len(keep) or not all(
+        0 <= x < n_leaves for x in keep
+    ):
+        raise ValueError("keep must be distinct leaf indices")
+    children = np.asarray(topology.children)
+    blens = (
+        None
+        if branch_lengths is None
+        else np.asarray(branch_lengths, dtype=np.float64)
+    )
+    new_id = {old: i for i, old in enumerate(keep)}
+
+    # Bottom-up: each node resolves to (surviving node id, accumulated
+    # length above it) or None when its subtree holds no kept leaf.
+    k = len(keep)
+    resolved: list[tuple[int, float] | None] = [None] * n_all
+    for leaf in range(n_leaves):
+        if leaf in new_id:
+            resolved[leaf] = (
+                new_id[leaf], 0.0 if blens is None else float(blens[leaf])
+            )
+    kids: dict[int, list[tuple[int, float]]] = {}
+    next_internal = k
+    for a in range(topology.n_ancestors):
+        node = n_leaves + a
+        survivors = [resolved[int(c)] for c in children[a]]
+        survivors = [s for s in survivors if s is not None]
+        own_len = (
+            0.0
+            if blens is None or node == n_all - 1
+            else float(blens[node])
+        )
+        if not survivors:
+            resolved[node] = None
+        elif len(survivors) == 1:
+            # Unary: suppress this node, extend the child's edge upward.
+            child_id, below = survivors[0]
+            resolved[node] = (child_id, below + own_len)
+        else:
+            me = next_internal
+            next_internal += 1
+            kids[me] = survivors
+            resolved[node] = (me, own_len)
+    root_entry = resolved[n_all - 1]
+    assert root_entry is not None and root_entry[0] in kids
+    new_root = root_entry[0]
+
+    plain_kids = {p: [c for c, _ in cs] for p, cs in kids.items()}
+    ch, par, relabel = _canonicalize(k, plain_kids, new_root)
+    out = Topology(children=jnp.asarray(ch), parents=jnp.asarray(par))
+    if blens is None:
+        return out, None, list(keep)
+    new_blens = np.zeros((2 * k - 1,), dtype=np.float64)
+    for p, cs in kids.items():
+        for c, length in cs:
+            new_blens[relabel[c]] = length
+    return out, new_blens, list(keep)
+
+
 def reroot_at_edge(
     topology: Topology,
     node: int,
@@ -622,6 +704,7 @@ __all__ = [
     "nni_neighbors",
     "spr_neighborhood",
     "spr_move",
+    "prune_to_taxa",
     "renumber_leaves",
     "reroot_at_edge",
     "reroot_on_outgroup",
