@@ -137,3 +137,23 @@ def test_cli_modeltest_includes_named_models(capsys, tmp_path):
     assert set(ranked) == {"jc", "k80", "hky"}
     # Strong transition bias: kappa models beat JC.
     assert out["best"] in ("k80", "hky")
+
+
+def test_plus_i_without_gamma():
+    """'+i' alone: single rate-1 category + invariant class, p recovered."""
+    topo = _single(jax.random.key(50), 8)
+    blens = np.full((topo.n_all,), 0.3)
+    leaves = simulate_alignment(
+        jax.random.key(51), topo, blens, n_sites=600, p_invariant=0.4
+    )
+    params, losses = optimize_model(topo, jnp.asarray(leaves), 4, model="jc+i")
+    assert 0.25 < float(params["p_invariant"]) < 0.6
+    _, losses_jc = optimize_model(topo, jnp.asarray(leaves), 4, model="jc")
+    assert -float(losses[-1]) > -float(losses_jc[-1]) + 50.0
+    # Named-model combination parses too.
+    params2, _ = optimize_model(topo, jnp.asarray(leaves), 4, model="hky+i")
+    assert "kappa" in params2 and "p_invariant" in params2
+    assert count_parameters("jc+i", 4, 8) == count_parameters("jc", 4, 8) + 1
+    assert (
+        count_parameters("gtr+i", 4, 8) == count_parameters("gtr", 4, 8) + 1
+    )

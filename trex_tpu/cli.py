@@ -15,7 +15,9 @@ simulate    Simulate an alignment down a (given or generated) tree under
             JC/GTR/empirical (+G/+I) models — the seq-gen equivalent.
 treedist    Robinson-Foulds distance between two newick files.
 consensus   Majority-rule consensus of a multi-newick file.
-topotest    KH/SH/BP/ELW topology tests of candidate trees on an alignment.
+topotest    KH/SH/AU/BP/ELW topology tests of candidate trees on an
+            alignment (optional CONSEL site-lnL export).
+treeprune   Induced subtree + alignment rows for a taxa subset.
 
 The reference has no CLI at all (SURVEY.md §1); flags here use a plain
 argparse tree so the module stays dependency-free.

@@ -481,7 +481,7 @@ def optimize_branch_lengths(
 
 
 def _parse_model_string(model: str) -> dict:
-    """Parse "<base>[+g[+i] | +rK]" into a spec.
+    """Parse "<base>[+g][+i] | <base>+rK" into a spec.
 
     Bases: jc | k80 | hky | f81 | tn93 | gtr | empirical. The named
     nucleotide models are the classic constrained GTR submodels (DNA order
@@ -493,7 +493,7 @@ def _parse_model_string(model: str) -> dict:
     import re as _re
 
     m = _re.fullmatch(
-        r"(jc|k80|hky|f81|tn93|gtr|empirical)(?:(\+g)(\+i)?|(\+r([2-8])))?",
+        r"(jc|k80|hky|f81|tn93|gtr|empirical)(?:(\+g)?(\+i)?|(\+r([2-8])))?",
         model.lower(),
     )
     if not m:
@@ -638,11 +638,13 @@ def _model_log_likelihood(
             built["category_rates"], built["category_weights"], **common,
         )
     if spec["use_inv"]:
+        # "+i" without "+g": one rate-1 category plus the invariant class.
         return tree_log_likelihood_gamma_invariant(
             topology, lengths, leaf_sequences, n_states,
-            gamma_shape=built["gamma_shape"],
+            gamma_shape=built.get("gamma_shape", 1.0),
             p_invariant=built["p_invariant"],
-            n_categories=n_categories, **common,
+            n_categories=n_categories if spec["use_gamma"] else 1,
+            **common,
         )
     if spec["use_gamma"]:
         return tree_log_likelihood_gamma(

@@ -45,7 +45,7 @@ def count_parameters(model: str, n_states: int, n_leaves: int,
                      freqs_fitted: bool = False) -> int:
     """Free-parameter count for a model string (see module docstring)."""
     m = re.fullmatch(
-        r"(jc|k80|hky|f81|tn93|gtr|empirical)(?:(\+g)(\+i)?|(\+r([2-8])))?",
+        r"(jc|k80|hky|f81|tn93|gtr|empirical)(?:(\+g)?(\+i)?|(\+r([2-8])))?",
         model,
     )
     if not m:
