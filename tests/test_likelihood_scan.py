@@ -257,3 +257,32 @@ def test_scan_freerate_matches_explicit_rescoring():
         )
     )
     np.testing.assert_allclose(float(base), expected, rtol=1e-5)
+
+
+def test_scan_invariant_category_matches_gamma_invariant():
+    """Rate-0 category + weights reproduce the +G+I mixture at all-t0."""
+    from trex_tpu.ops.likelihood import (
+        discrete_gamma_rates,
+        tree_log_likelihood_gamma_invariant,
+    )
+
+    rng = np.random.default_rng(14)
+    n_leaves = 5
+    topo = _single(random_topologies(jax.random.key(114), n_leaves, 1), 0)
+    leaf = jnp.asarray(rng.integers(0, Q, size=(n_leaves, 12)).astype(np.int32))
+    alpha, p_inv = 0.8, 0.3
+    g = np.asarray(discrete_gamma_rates(alpha, 4))
+    cr = jnp.asarray(np.concatenate([g, [0.0]]), jnp.float32)
+    cw = jnp.asarray(
+        np.concatenate([np.full(4, (1 - p_inv) / 4), [p_inv]]), jnp.float32
+    )
+    _, base = likelihood_spr_scan(
+        topo, leaf, Q, T0, category_rates=cr, category_weights=cw
+    )
+    expected = -float(
+        tree_log_likelihood_gamma_invariant(
+            topo, jnp.full((topo.n_all,), T0), leaf, Q,
+            gamma_shape=alpha, p_invariant=p_inv, n_categories=4,
+        )
+    )
+    np.testing.assert_allclose(float(base), expected, rtol=1e-5)

@@ -391,6 +391,54 @@ def cmd_infer(args) -> None:
                 if "rates" not in params:
                     break  # jc+g etc.: ranking model unchanged
                 prev_key = np.asarray(result.topology.children).tobytes()
+                # Rate-mixture-aware ranking (scan neighborhood only):
+                # +rK categories verbatim; +I as an extra rate-0 class.
+                mix_kwargs: dict = {}
+                if args.neighborhood == "spr-scan":
+                    if "category_rates" in params:
+                        mix_kwargs = dict(
+                            category_rates=jnp.asarray(
+                                params["category_rates"]
+                            ),
+                            category_weights=jnp.asarray(
+                                params["category_weights"]
+                            ),
+                        )
+                    elif "p_invariant" in params:
+                        from trex_tpu.ops.likelihood import (
+                            discrete_gamma_rates,
+                        )
+
+                        p_inv = float(params["p_invariant"])
+                        g = (
+                            np.asarray(
+                                discrete_gamma_rates(
+                                    float(params["gamma_shape"]), 4
+                                )
+                            )
+                            if "gamma_shape" in params
+                            else np.ones((1,))
+                        )
+                        mix_kwargs = dict(
+                            category_rates=jnp.asarray(
+                                np.concatenate([g, [0.0]]), jnp.float32
+                            ),
+                            category_weights=jnp.asarray(
+                                np.concatenate(
+                                    [
+                                        np.full(
+                                            g.size, (1.0 - p_inv) / g.size
+                                        ),
+                                        [p_inv],
+                                    ]
+                                ),
+                                jnp.float32,
+                            ),
+                        )
+                    elif "gamma_shape" in params:
+                        mix_kwargs = dict(
+                            gamma_shape=params["gamma_shape"]
+                        )
                 result, lengths, losses = ml_hill_climb(
                     result.topology,
                     jnp.asarray(patterns),
@@ -401,12 +449,7 @@ def cmd_infer(args) -> None:
                     site_weights=weights,
                     rates=jnp.asarray(params["rates"]),
                     freqs=jnp.asarray(params["freqs"]),
-                    # +Gamma-aware ranking (scan neighborhood only).
-                    gamma_shape=(
-                        params.get("gamma_shape")
-                        if args.neighborhood == "spr-scan"
-                        else None
-                    ),
+                    **mix_kwargs,
                 )
                 params, model_losses = optimize_model(
                     result.topology, jnp.asarray(patterns), n_states,

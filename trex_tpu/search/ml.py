@@ -35,6 +35,8 @@ def ml_hill_climb(
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
     gamma_shape: float | jax.Array | None = None,
+    category_rates: jax.Array | None = None,
+    category_weights: jax.Array | None = None,
 ) -> tuple[SearchResult, jax.Array, jax.Array]:
     """Greedy ML topology search + final branch-length optimization.
 
@@ -65,9 +67,11 @@ def ml_hill_climb(
     n_all = start.n_all
     q = n_states
 
-    if gamma_shape is not None and neighborhood != "spr-scan":
+    if (
+        gamma_shape is not None or category_rates is not None
+    ) and neighborhood != "spr-scan":
         raise ValueError(
-            "+Gamma-aware ranking needs neighborhood='spr-scan'"
+            "rate-mixture-aware ranking needs neighborhood='spr-scan'"
         )
     if neighborhood == "spr-scan":
         result = _ml_scan_climb(
@@ -76,6 +80,8 @@ def ml_hill_climb(
             max_rounds=max_rounds,
             site_weights=site_weights,
             rates=rates, freqs=freqs, gamma_shape=gamma_shape,
+            category_rates=category_rates,
+            category_weights=category_weights,
             sequences_are_masks=sequences_are_masks,
         )
         if optimize_final_lengths:
@@ -329,6 +335,8 @@ def _ml_scan_climb(
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
     gamma_shape: float | jax.Array | None = None,
+    category_rates: jax.Array | None = None,
+    category_weights: jax.Array | None = None,
 ) -> SearchResult:
     """Greedy ML climb where each round is one analytic likelihood scan."""
     import numpy as np
@@ -350,6 +358,7 @@ def _ml_scan_climb(
     scores, base = likelihood_spr_scan(
         current, leaf_sequences, n_states, ranking_branch_length,
         site_weights, rates=rates, freqs=freqs, gamma_shape=gamma_shape,
+        category_rates=category_rates, category_weights=category_weights,
         sequences_are_masks=sequences_are_masks,
         prune_chunk=prune_chunk,
     )
@@ -376,6 +385,8 @@ def _ml_scan_climb(
         scores, _ = likelihood_spr_scan(
             current, leaf_sequences, n_states, ranking_branch_length,
             site_weights, rates=rates, freqs=freqs, gamma_shape=gamma_shape,
+            category_rates=category_rates,
+            category_weights=category_weights,
             sequences_are_masks=sequences_are_masks,
             prune_chunk=prune_chunk,
         )
