@@ -343,3 +343,15 @@ def test_cli_score_ml_with_model(capsys, tmp_path, fasta_path):
     out_jc = json.loads(capsys.readouterr().out)
     assert out["log_likelihood"] >= out_jc["log_likelihood"] - 0.5
     assert open(anc).read().count(">") == 11
+
+
+def test_cli_score_joint_asr(capsys, tmp_path, fasta_path):
+    from trex_tpu.cli import main
+
+    anc = str(tmp_path / "anc_joint.fasta")
+    main(["score", "--fasta", fasta_path, "--criterion", "ml",
+          "--asr", "joint", "--output-fasta", anc])
+    out = json.loads(capsys.readouterr().out)
+    # The single best assignment never beats the marginalized likelihood.
+    assert out["joint_log_probability"] <= out["log_likelihood"] + 1e-3
+    assert open(anc).read().count(">") == 11

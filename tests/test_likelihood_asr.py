@@ -200,3 +200,80 @@ def test_analytic_gradients_with_masks():
         np.asarray(analytic)[:-1], np.asarray(autodiff)[:-1],
         rtol=2e-3, atol=2e-4,
     )
+
+
+def test_joint_reconstruction_matches_enumeration():
+    """Joint ML assignment == exhaustive max over all ancestor states."""
+    import itertools
+
+    from trex_tpu.ops.likelihood import gtr_generator
+    from trex_tpu.ops.likelihood_asr import joint_ancestral_reconstruction
+    from trex_tpu.topology import parents_to_topology
+    import scipy.linalg
+
+    # 4 leaves, 3 ancestors: caterpillar ((0,1)4,(2,3)5)6.
+    topo = parents_to_topology(jnp.asarray([4, 4, 5, 5, 6, 6, 6]), 4)
+    rng = np.random.default_rng(0)
+    blens = rng.uniform(0.05, 0.6, size=(7,))
+    blens[-1] = 0.0
+    rates = np.ones((4, 4)) - np.eye(4)
+    rates[0, 2] = rates[2, 0] = 5.0
+    freqs = np.array([0.4, 0.3, 0.2, 0.1])
+    leaves = rng.integers(0, 4, size=(4, 6)).astype(np.int32)
+    leaves[2, 0] = -1  # one missing entry
+
+    states, joint_lp = joint_ancestral_reconstruction(
+        topo, jnp.asarray(blens, jnp.float32), jnp.asarray(leaves), 4,
+        rates=jnp.asarray(rates, jnp.float32),
+        freqs=jnp.asarray(freqs, jnp.float32),
+    )
+    states = np.asarray(states)
+    joint_lp = np.asarray(joint_lp)
+
+    gen = np.asarray(
+        gtr_generator(jnp.asarray(rates, jnp.float32),
+                      jnp.asarray(freqs, jnp.float32)), np.float64
+    )
+    pmat = {n: scipy.linalg.expm(gen * blens[n]) for n in range(6)}
+    parents = [4, 4, 5, 5, 6, 6]
+
+    for site in range(6):
+        best_lp, best_assign = -np.inf, None
+        leaf_choices = [
+            range(4) if leaves[i, site] < 0 else [int(leaves[i, site])]
+            for i in range(4)
+        ]
+        for leaf_states in itertools.product(*leaf_choices):
+            for anc in itertools.product(range(4), repeat=3):
+                full = list(leaf_states) + list(anc)
+                lp = np.log(freqs[full[6]])
+                for n in range(6):
+                    lp += np.log(pmat[n][full[parents[n]], full[n]])
+                if lp > best_lp:
+                    best_lp, best_assign = lp, full
+        np.testing.assert_allclose(joint_lp[site], best_lp, rtol=1e-5)
+        np.testing.assert_array_equal(states[:, site], best_assign)
+
+
+def test_joint_vs_marginal_consistency():
+    """Joint log-prob <= total log-likelihood; observed leaves unchanged."""
+    from trex_tpu.ops.likelihood import tree_log_likelihood
+    from trex_tpu.ops.likelihood_asr import joint_ancestral_reconstruction
+    from trex_tpu.topology import random_topologies
+
+    topo = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.key(0), 10, 1)
+    )
+    rng = np.random.default_rng(1)
+    leaves = rng.integers(0, 4, size=(10, 40)).astype(np.int32)
+    blens = jnp.full((topo.n_all,), 0.2)
+    states, joint_lp = joint_ancestral_reconstruction(
+        topo, blens, jnp.asarray(leaves), 4
+    )
+    per_site = np.asarray(
+        jnp.exp(joint_lp)
+    )
+    assert (np.asarray(states)[:10] == leaves).all()
+    total_ll = float(tree_log_likelihood(topo, blens, jnp.asarray(leaves), 4))
+    # The single best assignment cannot exceed the sum over assignments.
+    assert float(np.asarray(joint_lp).sum()) <= total_ll + 1e-3

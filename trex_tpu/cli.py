@@ -191,6 +191,16 @@ def cmd_score(args) -> None:
                 topo, lengths, jnp.asarray(masks), n_states,
                 rates, freqs, sequences_are_masks=True,
             )
+            if args.asr == "joint":
+                from trex_tpu.ops.likelihood_asr import (
+                    joint_ancestral_reconstruction,
+                )
+
+                recon, joint_lp = joint_ancestral_reconstruction(
+                    topo, lengths, jnp.asarray(masks), n_states,
+                    rates, freqs, sequences_are_masks=True,
+                )
+                out["joint_log_probability"] = float(jnp.sum(joint_lp))
             ll = tree_log_likelihood(
                 topo, lengths, jnp.asarray(masks), n_states,
                 rates=rates, freqs=freqs, sequences_are_masks=True,
@@ -1573,6 +1583,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "fitted before the ASR)")
     p.add_argument("--model-file", type=str, default=None,
                    help="PAML-format rate file for --model empirical")
+    p.add_argument("--asr", choices=("marginal", "joint"),
+                   default="marginal",
+                   help="ancestral reconstruction flavor for --criterion "
+                        "ml: per-node marginal posteriors or the jointly "
+                        "optimal assignment (Pupko max-product)")
     p.add_argument("--output-fasta", type=str, default=None,
                    help="write leaves + reconstructed ancestors here")
     p.set_defaults(fn=cmd_score)

@@ -32,6 +32,7 @@ from trex_tpu.ops.likelihood import (
 )
 from trex_tpu.ops.likelihood_asr import (
     branch_length_gradients,
+    joint_ancestral_reconstruction,
     marginal_ancestral_posteriors,
     optimize_branch_lengths_newton,
 )
@@ -76,6 +77,7 @@ __all__ = [
     "discrete_gamma_rates",
     "tree_log_likelihood_gamma",
     "tree_log_likelihood_gamma_invariant",
+    "joint_ancestral_reconstruction",
     "marginal_ancestral_posteriors",
     "branch_length_gradients",
     "optimize_branch_lengths_newton",

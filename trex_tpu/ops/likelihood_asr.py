@@ -361,3 +361,116 @@ def optimize_branch_lengths_newton(
         sweep, (lengths0, nll0), None, length=n_sweeps
     )
     return lengths, jnp.concatenate([nll0[None], curve])
+
+
+@partial(jax.jit, static_argnames=("n_states", "sequences_are_masks"))
+@highest_matmul_precision
+def joint_ancestral_reconstruction(
+    topology: Topology,
+    branch_lengths: jax.Array,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """JOINT ML ancestral states (Pupko et al. 2000 max-product DP).
+
+    ``marginal_ancestral_posteriors`` maximizes each node's posterior
+    independently; this maximizes the probability of the ENTIRE ancestral
+    assignment at once. Per site and node v with parent p:
+
+        M_v(s_p) = max_{s_v} [ log P_v(s_p -> s_v) + T_v(s_v) ]
+        T_v(s_v) = sum_{c in children(v)} M_c(s_v)   (leaves: 0/-inf tips)
+
+    with the root maximizing ``log prior + T_root``; the argmax tables are
+    replayed root-down. Exactly the Sankoff recursion with per-edge
+    -log-transition costs — verified against exhaustive enumeration in
+    ``tests/test_likelihood_asr.py``.
+
+    Returns:
+        states: (n_all, L) int32 jointly-optimal assignment (leaf rows are
+            the observed states; ambiguous leaves get their ML resolution).
+        joint_log_prob: (L,) per-site log-probability of that assignment.
+    """
+    n_leaves = topology.n_leaves
+    n_all = topology.n_all
+    length = leaf_sequences.shape[-1]
+    q = n_states
+
+    pmats, prior, _ = _transitions(branch_lengths, n_states, rates, freqs)
+    logp = jnp.log(jnp.maximum(pmats, 1e-30))  # (n_all, Q_parent, Q_child)
+
+    neg_inf = jnp.asarray(-1e30, jnp.float32)
+    states_iota = jnp.arange(q, dtype=jnp.int32)
+    if sequences_are_masks:
+        allowed = (
+            (leaf_sequences.astype(jnp.int32)[:, None, :]
+             >> states_iota[None, :, None]) & 1
+        ) == 1
+    else:
+        leaves = leaf_sequences.astype(jnp.int32)[:, None, :]
+        allowed = (leaves == states_iota[None, :, None]) | (leaves < 0)
+    tip_scores = jnp.where(allowed, 0.0, neg_inf)  # (n_leaves, Q, L)
+
+    # Leaf messages to parents: M_leaf(s_p) over own allowed states.
+    def leaf_message(leaf):
+        cand = logp[leaf][:, :, None] + tip_scores[leaf][None, :, :]
+        return jnp.max(cand, axis=1), jnp.argmax(cand, axis=1)
+
+    leaf_m, leaf_a = jax.vmap(leaf_message)(
+        jnp.arange(n_leaves, dtype=jnp.int32)
+    )
+    messages0 = jnp.zeros((n_all, q, length))
+    messages0 = messages0.at[:n_leaves].set(leaf_m)
+    argmax0 = jnp.zeros((n_all, q, length), jnp.int32)
+    argmax0 = argmax0.at[:n_leaves].set(leaf_a.astype(jnp.int32))
+    subtree0 = jnp.zeros((n_all, q, length))
+    subtree0 = subtree0.at[:n_leaves].set(tip_scores)
+
+    def up(carry, inputs):
+        messages, argmax, subtree = carry
+        anc_offset, child_pair = inputs
+        node = n_leaves + anc_offset
+        t_v = messages[child_pair[0]] + messages[child_pair[1]]  # (Q, L)
+        cand = logp[node][:, :, None] + t_v[None, :, :]  # (Qp, Qv, L)
+        messages = jax.lax.dynamic_update_slice(
+            messages, jnp.max(cand, axis=1)[None], (node, 0, 0)
+        )
+        argmax = jax.lax.dynamic_update_slice(
+            argmax,
+            jnp.argmax(cand, axis=1).astype(jnp.int32)[None],
+            (node, 0, 0),
+        )
+        subtree = jax.lax.dynamic_update_slice(
+            subtree, t_v[None], (node, 0, 0)
+        )
+        return (messages, argmax, subtree), None
+
+    offsets = jnp.arange(topology.n_ancestors, dtype=jnp.int32)
+    (messages, argmax, subtree), _ = jax.lax.scan(
+        up, (messages0, argmax0, subtree0), (offsets, topology.children)
+    )
+
+    root_score = jnp.log(prior)[:, None] + subtree[-1]  # (Q, L)
+    joint_log_prob = jnp.max(root_score, axis=0)  # (L,)
+    root_state = jnp.argmax(root_score, axis=0).astype(jnp.int32)
+
+    states0 = jnp.zeros((n_all, length), jnp.int32)
+    states0 = states0.at[-1].set(root_state)
+    site_idx = jnp.arange(length)
+
+    def down(states, inputs):
+        anc_offset, child_pair = inputs
+        node_state = states[n_leaves + anc_offset]  # (L,)
+        for k in range(2):
+            child = child_pair[k]
+            child_state = argmax[child][node_state, site_idx]
+            states = states.at[child].set(child_state)
+        return states, None
+
+    states, _ = jax.lax.scan(
+        down, states0, (offsets, topology.children), reverse=True
+    )
+    return states, joint_log_prob
