@@ -355,3 +355,28 @@ def test_cli_score_joint_asr(capsys, tmp_path, fasta_path):
     # The single best assignment never beats the marginalized likelihood.
     assert out["joint_log_probability"] <= out["log_likelihood"] + 1e-3
     assert open(anc).read().count(">") == 11
+
+
+def test_cli_stats(capsys, tmp_path):
+    from trex_tpu.cli import main
+
+    # 4 taxa x 8 sites, hand-designed site classes:
+    # col0 constant A; col1 informative (2xC, 2xG); col2 variable
+    # singleton (A,A,A,T); col3 constant with one N; col4 one real G
+    # among gaps/N (-> constant); col5 informative; col6 constant;
+    # col7 variable singleton (A,C,A,A).
+    path = tmp_path / "s.fasta"
+    path.write_text(
+        ">a\nACAG-CTA\n"
+        ">b\nACAG-CTC\n"
+        ">c\nAGANGGTA\n"
+        ">d\nAGTGNGTA\n"
+    )
+    main(["stats", "--fasta", str(path)])
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_taxa"] == 4 and out["n_sites"] == 8
+    assert out["constant_sites"] == 4      # cols 0, 3, 4, 6
+    assert out["variable_sites"] == 4      # cols 1, 2, 5, 7
+    assert out["parsimony_informative_sites"] == 2  # cols 1, 5
+    assert out["missing_fraction"] > 0
+    assert abs(sum(out["composition"].values()) - 1.0) < 0.01

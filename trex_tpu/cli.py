@@ -1560,6 +1560,63 @@ def cmd_treeprune(args) -> None:
     )
 
 
+def cmd_stats(args) -> None:
+    """Alignment summary: site classes, composition, missing data."""
+    import numpy as np
+
+    from trex_tpu.alignment import compress_alignment
+    from trex_tpu.io import DNA, PROTEIN
+
+    names, masks, n_states = _load_alignment(args.fasta, args.alphabet)
+    alphabet = {"dna": DNA, "protein": PROTEIN}[args.alphabet]
+    n, length = masks.shape
+    full = (1 << n_states) - 1
+    is_single = (masks & (masks - 1)) == 0  # one-bit masks = unambiguous
+    is_missing = masks == full
+
+    # Site classes over unambiguous cells only (the standard convention).
+    constant = np.zeros(length, bool)
+    informative = np.zeros(length, bool)
+    variable = np.zeros(length, bool)
+    counts_total = np.zeros(n_states, np.int64)
+    for col in range(length):
+        cells = masks[:, col][is_single[:, col]]
+        if cells.size == 0:
+            continue
+        states, counts = np.unique(cells, return_counts=True)
+        idx = np.log2(states).astype(int)
+        counts_total[idx] += counts
+        if states.size == 1:
+            constant[col] = True
+        else:
+            variable[col] = True
+            # Parsimony-informative: >= 2 states each seen >= 2 times.
+            informative[col] = int((counts >= 2).sum()) >= 2
+    patterns, weights = compress_alignment(masks)
+    comp = counts_total / max(counts_total.sum(), 1)
+    print(
+        json.dumps(
+            {
+                "n_taxa": n,
+                "n_sites": int(length),
+                "unique_patterns": int(patterns.shape[1]),
+                "constant_sites": int(constant.sum()),
+                "variable_sites": int(variable.sum()),
+                "parsimony_informative_sites": int(informative.sum()),
+                "missing_fraction": round(float(is_missing.mean()), 4),
+                "ambiguous_fraction": round(
+                    float((~is_single & ~is_missing).mean()), 4
+                ),
+                "composition": {
+                    alphabet[i]: round(float(comp[i]), 4)
+                    for i in range(n_states)
+                    if comp[i] > 0
+                },
+            }
+        )
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="trex_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -1813,6 +1870,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--output-tree", type=str, default=None)
     p.set_defaults(fn=cmd_consensus)
+
+    p = sub.add_parser(
+        "stats",
+        help="alignment summary: site classes, composition, missing data",
+    )
+    p.add_argument("--alignment", "--fasta", dest="fasta", type=str,
+                   required=True)
+    p.add_argument("--alphabet", choices=("dna", "protein"), default="dna")
+    p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser(
         "treeprune",
