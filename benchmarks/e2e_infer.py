@@ -9,8 +9,11 @@ topology (0 = exact recovery).
 Measured 2026-08-18 (v5e via tunnel, spr-scan neighborhoods): parsimony
 20.7 s wall / 104k candidate evaluations / RF 0; ML (NJ start + scan climb +
 GTR+G fit) 31.0 s wall / RF 0. (Enumerating-neighborhood run of the same
-pipeline: 26.8 s / 36.6 s.) Fresh-process numbers include tunnel claim
-warmup; see benchmarks/speed_of_light.md.
+pipeline: 26.8 s / 36.6 s.) Re-measured after the f32-matmul-precision fix
+and the session's search additions: parsimony 19.8 s, ML 30.5 s, both RF 0
+— the Q x Q precision enforcement costs nothing measurable end to end.
+Fresh-process numbers include tunnel claim warmup; see
+benchmarks/speed_of_light.md.
 
 Run: python benchmarks/e2e_infer.py   (claims the TPU tunnel; never run two
 TPU jobs at once)
