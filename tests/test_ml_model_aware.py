@@ -179,3 +179,32 @@ def test_cli_ml_ratchet(capsys, tmp_path):
     out = json.loads(capsys.readouterr().out)
     assert out["ml_iterations"] == 3
     assert "neg_log_likelihood" in out
+
+
+def test_ml_iterated_search_resume(tmp_path):
+    """A second run with the same progress_dir resumes from best.nwk."""
+    from trex_tpu.io import native
+    from trex_tpu.search.ml import ml_iterated_search
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("needs the native library")
+    truth = _single(jax.random.key(30), 8)
+    blens = np.full((truth.n_all,), 0.2)
+    leaves = simulate_alignment(jax.random.key(31), truth, blens, n_sites=200)
+    start = _single(jax.random.key(32), 8)
+    pdir = str(tmp_path / "run")
+    first, _, _ = ml_iterated_search(
+        jax.random.key(33), start, jnp.asarray(leaves), 4,
+        n_iterations=2, neighborhood="nni", progress_dir=pdir,
+    )
+    # Resume from a DIFFERENT (bad) start: the saved best must win out —
+    # iteration 0 reclimbs from the saved tree, so the resumed score can
+    # never be worse than the first run's.
+    worse_start = _single(jax.random.key(34), 8)
+    second, _, _ = ml_iterated_search(
+        jax.random.key(35), worse_start, jnp.asarray(leaves), 4,
+        n_iterations=0, neighborhood="nni", progress_dir=pdir,
+    )
+    assert second.score <= first.score + 1e-6

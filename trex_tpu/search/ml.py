@@ -215,7 +215,9 @@ def ml_iterated_search(
     ``progress_dir``: when set, the best tree so far (newick) and the score
     trace (JSON lines) are written after every iteration, so long runs
     survive interruption with their best result on disk (the parsimony
-    ratchet's convention).
+    ratchet's convention). If the directory already holds a ``best.nwk``
+    from an interrupted run, the search RESUMES from it (the saved tree
+    replaces ``start`` when it exists).
 
     The ML analogue of the parsimony ratchet (and of IQ-TREE's iterated NNI
     core): each iteration applies ``perturb_moves`` random SPR/TBR kicks to
@@ -238,6 +240,20 @@ def ml_iterated_search(
         raise NotImplementedError(
             "ml_iterated_search needs the native library for SPR/TBR kicks"
         )
+    if progress_dir is not None:
+        import os
+
+        best_path = os.path.join(progress_dir, "best.nwk")
+        if os.path.exists(best_path):
+            # Resume: the saved best tree replaces the start. Leaves were
+            # saved under their canonical index names (L<i>), so the parsed
+            # tree's leaf order must be mapped back by name.
+            from trex_tpu.io import load_newick, renumber_leaves
+
+            with open(best_path) as fh:
+                saved, _, names = load_newick(fh.read())
+            ids = [int(n[1:]) if n.startswith("L") else int(n) for n in names]
+            start = renumber_leaves(saved, ids)
     rng = np.random.default_rng(
         int(np.asarray(jax.random.key_data(key)).ravel()[-1])
     )
