@@ -123,3 +123,72 @@ def test_per_partition_models_and_errors():
         optimize_model_partitioned(
             topo, seqs, 4, pids, models=["jc", "jc"], linked="nope"
         )
+
+
+def test_partitioned_scan_climb_recovers_topology():
+    """Summed per-partition scans recover the shared true topology."""
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.search.ml import ml_partitioned_scan_climb
+    from trex_tpu.search.ratchet import rf_distance_unrooted
+    from trex_tpu.topology import random_topologies
+
+    truth = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.key(70), 10, 1)
+    )
+    blens = np.full((truth.n_all,), 0.15)
+    # Two partitions, different models and rates.
+    rates_a = np.ones((4, 4)) - np.eye(4)
+    rates_a[0, 2] = rates_a[2, 0] = 6.0
+    part_a = simulate_alignment(
+        jax.random.key(71), truth, blens, n_sites=300, rates=rates_a
+    )
+    part_b = simulate_alignment(
+        jax.random.key(72), truth, blens * 3.0, n_sites=300
+    )
+    start = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.key(73), 10, 1)
+    )
+    parts = [
+        dict(
+            leaf_sequences=jnp.asarray(part_a),
+            rates=jnp.asarray(rates_a, jnp.float32),
+            freqs=jnp.full((4,), 0.25),
+        ),
+        dict(leaf_sequences=jnp.asarray(part_b), rate_multiplier=3.0),
+    ]
+    res = ml_partitioned_scan_climb(start, parts, 4)
+    assert rf_distance_unrooted(res.topology, truth) == 0
+    # Joint score improves monotonically along the trace.
+    assert all(b <= a + 1e-6 for a, b in zip(res.trace, res.trace[1:]))
+
+
+def test_cli_partition_search(capsys, tmp_path):
+    import json
+
+    from trex_tpu.cli import main
+    from trex_tpu.io import DNA, load_newick, renumber_leaves, save_newick, write_fasta
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.search.ratchet import rf_distance_unrooted
+    from trex_tpu.topology import random_topologies
+
+    truth = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.key(74), 8, 1)
+    )
+    names = [f"g{i}" for i in range(8)]
+    blens = np.full((truth.n_all,), 0.2)
+    a = simulate_alignment(jax.random.key(75), truth, blens, n_sites=200)
+    b = simulate_alignment(jax.random.key(76), truth, blens * 2, n_sites=200)
+    aln = np.concatenate([np.asarray(a), np.asarray(b)], axis=1)
+    fasta = tmp_path / "p.fasta"
+    fasta.write_text(write_fasta(names, aln, DNA))
+    pfile = tmp_path / "parts.txt"
+    pfile.write_text("DNA, g1 = 1-200\nDNA, g2 = 201-400\n")
+    out_tree = tmp_path / "out.nwk"
+    main(["partition", "--fasta", str(fasta), "--partitions", str(pfile),
+          "--model", "jc", "--search", "--output-tree", str(out_tree)])
+    out = json.loads(capsys.readouterr().out)
+    assert "search_rounds" in out
+    got, _, got_names = load_newick(out_tree.read_text())
+    order = {n: i for i, n in enumerate(names)}
+    aligned = renumber_leaves(got, [order[n] for n in got_names])
+    assert rf_distance_unrooted(aligned, truth) == 0

@@ -871,6 +871,52 @@ def cmd_partition(args) -> None:
         n_iterations=args.iterations,
         sequences_are_masks=True,
     )
+    search_rounds = None
+    if args.search:
+        # Partitioned tree search: the joint ranking matrix is the SUM of
+        # per-partition analytic scans (each with its own fitted model and
+        # proportional rate multiplier); refit on the winning topology.
+        from trex_tpu.search.ml import ml_partitioned_scan_climb
+
+        parts = []
+        for p in range(n_parts):
+            pp = result["partitions"][p]
+            parts.append(
+                dict(
+                    leaf_sequences=jnp.asarray(masks[:, pids == p]),
+                    rates=(
+                        jnp.asarray(pp["rates"]) if "rates" in pp else None
+                    ),
+                    freqs=(
+                        jnp.asarray(pp["freqs"]) if "freqs" in pp else None
+                    ),
+                    gamma_shape=(
+                        float(pp["gamma_shape"])
+                        if "gamma_shape" in pp
+                        else None
+                    ),
+                    rate_multiplier=float(result["rate_multipliers"][p]),
+                )
+            )
+        sr = ml_partitioned_scan_climb(
+            topo, parts, n_states, sequences_are_masks=True
+        )
+        search_rounds = sr.rounds
+        if (
+            np.asarray(sr.topology.children).tobytes()
+            != np.asarray(topo.children).tobytes()
+        ):
+            topo = sr.topology
+            result, losses = optimize_model_partitioned(
+                topo,
+                jnp.asarray(masks),
+                n_states,
+                jnp.asarray(pids),
+                models=models,
+                linked=args.linked,
+                n_iterations=args.iterations,
+                sequences_are_masks=True,
+            )
     out = {
         "n_taxa": len(names),
         "n_sites": int(masks.shape[1]),
@@ -888,6 +934,8 @@ def cmd_partition(args) -> None:
         ),
         "partitions": [],
     }
+    if search_rounds is not None:
+        out["search_rounds"] = search_rounds
     for p in range(n_parts):
         entry = {
             "name": part_names[p],
@@ -1761,6 +1809,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="proportional",
                    help="branch-length linking across partitions")
     p.add_argument("--iterations", type=int, default=600)
+    p.add_argument("--search", action="store_true",
+                   help="search topology under the fitted partitioned "
+                        "model (summed per-partition analytic SPR scans), "
+                        "then refit")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-tree", type=str, default=None)
     p.set_defaults(fn=cmd_partition)

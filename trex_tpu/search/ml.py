@@ -407,3 +407,88 @@ def _ml_scan_climb(
             prune_chunk=prune_chunk,
         )
     return SearchResult(current, current_score, max_rounds, evaluations, trace)
+
+
+def ml_partitioned_scan_climb(
+    start: Topology,
+    partitions: list[dict],
+    n_states: int,
+    *,
+    ranking_branch_length: float = 0.1,
+    max_rounds: int = 50,
+    sequences_are_masks: bool = False,
+) -> SearchResult:
+    """Greedy ML climb under a PARTITIONED model via summed analytic scans.
+
+    The partitioned log-likelihood is the sum of per-partition lnLs, so the
+    all-SPR ranking matrix of the joint model is the elementwise SUM of each
+    partition's scan (each evaluated with its own rates/freqs and its
+    proportional rate multiplier scaling the shared ranking length).
+
+    Args:
+        partitions: per-partition dicts with keys ``leaf_sequences``
+            ((n_leaves, L_p) states/masks), optional ``site_weights``,
+            ``rates``, ``freqs``, ``gamma_shape``, and ``rate_multiplier``
+            (default 1.0).
+
+    Returns a ``SearchResult`` whose score is the summed negative ranking
+    log-likelihood (all branches at multiplier-scaled t0).
+    """
+    import numpy as np
+
+    from trex_tpu.io import spr_move
+    from trex_tpu.ops.likelihood_scan import likelihood_spr_scan
+
+    n_all = start.n_all
+
+    def all_scores(topo):
+        total = None
+        base_total = 0.0
+        for part in partitions:
+            leaf = part["leaf_sequences"]
+            length = leaf.shape[-1]
+            q = n_states
+            per_prune = n_all * length * (q + 1) * 4 * 2
+            budget = 2 << 30
+            prune_chunk = (
+                None if (n_all - 1) * per_prune <= budget
+                else max(1, budget // per_prune)
+            )
+            mult = float(part.get("rate_multiplier", 1.0))
+            scores, base = likelihood_spr_scan(
+                topo, leaf, n_states,
+                ranking_branch_length * mult,
+                part.get("site_weights"),
+                rates=part.get("rates"),
+                freqs=part.get("freqs"),
+                gamma_shape=part.get("gamma_shape"),
+                sequences_are_masks=sequences_are_masks,
+                prune_chunk=prune_chunk,
+            )
+            total = scores if total is None else total + scores
+            base_total = base_total + float(base)
+        return total, base_total
+
+    current = start
+    scores, current_score = all_scores(current)
+    trace = [current_score]
+    evaluations = 1
+    for round_idx in range(max_rounds):
+        scores_np = np.asarray(scores)
+        evaluations += int(np.isfinite(scores_np).sum())
+        flat = int(np.argmin(scores_np))
+        p, v = divmod(flat, scores_np.shape[-1])
+        best = float(scores_np[p, v])
+        if best >= current_score:
+            return SearchResult(
+                current, current_score, round_idx, evaluations, trace
+            )
+        moved = spr_move(current, p, v)
+        if moved is None:
+            return SearchResult(
+                current, current_score, round_idx, evaluations, trace
+            )
+        current, current_score = moved, best
+        trace.append(current_score)
+        scores, _ = all_scores(current)
+    return SearchResult(current, current_score, max_rounds, evaluations, trace)
