@@ -136,3 +136,54 @@ def test_cli_infer_outgroup(capsys, tmp_path):
     root_kids = np.asarray(topo.children)[-1]
     leaf_kids = [parsed_names[int(k)] for k in root_kids if int(k) < 8]
     assert "t3" in leaf_kids
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_utility_chain_property(seed):
+    """reroot -> prune -> reroot chains preserve patristic distances."""
+    from trex_tpu.io import prune_to_taxa
+
+    rng = np.random.default_rng(seed)
+    n = 12
+    topo = _single(jax.random.key(100 + seed), n)
+    blens = rng.uniform(0.05, 0.5, size=(topo.n_all,))
+    blens[-1] = 0.0
+
+    def patristic(t, b, leaves):
+        parents = np.asarray(t.parents)
+        n_all = t.n_all
+
+        def path(leaf):
+            out, node, dist = {}, leaf, 0.0
+            while True:
+                out[node] = dist
+                if node == n_all - 1:
+                    return out
+                dist += float(b[node])
+                node = int(parents[node])
+
+        paths = {x: path(x) for x in leaves}
+        d = {}
+        for i in leaves:
+            for j in leaves:
+                if i < j:
+                    common = [k for k in paths[i] if k in paths[j]]
+                    d[(i, j)] = min(
+                        paths[i][k] + paths[j][k] for k in common
+                    )
+        return d
+
+    base = patristic(topo, blens, list(range(n)))
+    # Reroot on a random edge.
+    node = int(rng.integers(0, topo.n_all - 1))
+    r_topo, r_blens = reroot_at_edge(topo, node, blens)
+    after = patristic(r_topo, r_blens, list(range(n)))
+    for key_, v in base.items():
+        assert abs(after[key_] - v) < 1e-9
+    # Prune to a random subset; distances restrict exactly.
+    keep = sorted(rng.choice(n, size=6, replace=False).tolist())
+    p_topo, p_blens, _ = prune_to_taxa(r_topo, keep, r_blens)
+    sub = patristic(p_topo, p_blens, list(range(6)))
+    for a in range(6):
+        for b_ in range(a + 1, 6):
+            assert abs(sub[(a, b_)] - base[tuple(sorted((keep[a], keep[b_])))]) < 1e-9
