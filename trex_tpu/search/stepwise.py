@@ -305,10 +305,15 @@ def _stepwise_scan(
         None if site_weights is None
         else jnp.asarray(site_weights, jnp.float32)
     )
+    # Masks live ON DEVICE and are updated one row per insertion — the
+    # alternative re-uploads the whole (n x L) matrix every step (4 MB per
+    # insertion at 1024 x 1024).
+    masks_dev = jnp.asarray(masks)
+    scored_dev = jnp.asarray(scored_masks)
     for t in order[3:]:
-        scored_masks[t] = masks[t]
+        scored_dev = scored_dev.at[t].set(masks_dev[t])
         scores, _ = spr_scan(
-            topo, jnp.asarray(scored_masks), weights,
+            topo, scored_dev, weights,
             sequences_are_masks=True,
             prune_nodes=jnp.asarray([t], jnp.int32),
         )
