@@ -211,6 +211,31 @@ def cmd_score(args) -> None:
                 mean_branch_length=float(jnp.mean(lengths[:-1])),
                 mean_ancestor_posterior=float(jnp.mean(anc_conf)),
             )
+            if args.site_rates:
+                from trex_tpu.ops.likelihood import posterior_site_rates
+
+                if args.model == "jc" or (
+                    "gamma_shape" not in params
+                    and "category_rates" not in params
+                ):
+                    raise SystemExit(
+                        "--site-rates needs a rate-mixture model "
+                        "(e.g. --model gtr+g or gtr+r3)"
+                    )
+                mean_rates, _ = posterior_site_rates(
+                    topo, lengths, jnp.asarray(masks), n_states,
+                    params.get("gamma_shape", 1.0),
+                    rates=rates, freqs=freqs,
+                    category_rates=params.get("category_rates"),
+                    category_weights=params.get("category_weights"),
+                    sequences_are_masks=True,
+                )
+                with open(args.site_rates, "w") as fh:
+                    fh.write("site\tmean_rate\n")
+                    for i, r in enumerate(np.asarray(mean_rates)):
+                        fh.write(f"{i + 1}\t{r:.6f}\n")
+                out["site_rates"] = args.site_rates
+                out["mean_site_rate"] = float(jnp.mean(mean_rates))
         else:
             recon, score = fitch_reconstruct(
                 topo, jnp.asarray(masks), n_states=n_states,
@@ -1688,6 +1713,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "fitted before the ASR)")
     p.add_argument("--model-file", type=str, default=None,
                    help="PAML-format rate file for --model empirical")
+    p.add_argument("--site-rates", type=str, default=None,
+                   help="write posterior mean per-site rates here "
+                        "(needs a rate-mixture model, e.g. gtr+g)")
     p.add_argument("--asr", choices=("marginal", "joint"),
                    default="marginal",
                    help="ancestral reconstruction flavor for --criterion "

@@ -27,6 +27,7 @@ from trex_tpu.ops.likelihood import (
     optimize_branch_lengths,
     optimize_model,
     discrete_gamma_rates,
+    posterior_site_rates,
     tree_log_likelihood_gamma,
     tree_log_likelihood_gamma_invariant,
 )
@@ -75,6 +76,7 @@ __all__ = [
     "optimize_branch_lengths",
     "optimize_model",
     "discrete_gamma_rates",
+    "posterior_site_rates",
     "tree_log_likelihood_gamma",
     "tree_log_likelihood_gamma_invariant",
     "joint_ancestral_reconstruction",

@@ -903,3 +903,57 @@ def optimize_model_partitioned(
         ],
     }
     return result, losses
+
+
+@highest_matmul_precision
+def posterior_site_rates(
+    topology: Topology,
+    branch_lengths: jax.Array,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    gamma_shape: float | jax.Array,
+    n_categories: int = 4,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    *,
+    category_rates: jax.Array | None = None,
+    category_weights: jax.Array | None = None,
+    sequences_are_masks: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Posterior mean substitution rate per site under a rate mixture.
+
+    The empirical-Bayes site-rate estimate (IQ-TREE's ``--rate``): with
+    discrete-Gamma categories r_k (or an explicit FreeRate mixture via
+    ``category_rates``/``category_weights``), the per-site posterior over
+    categories is ``w_k(s) ∝ prior_k · L_k(s)`` and the returned rate is
+    ``Σ_k w_k(s) r_k``. Slowly-evolving (conserved) sites score < 1, fast
+    sites > 1.
+
+    Returns:
+        (mean_rates (L,), posteriors (K, L)).
+    """
+    if category_rates is not None:
+        cat = jnp.asarray(category_rates, jnp.float32)
+        prior_w = (
+            jnp.asarray(category_weights, jnp.float32)
+            if category_weights is not None
+            else jnp.full((cat.shape[0],), 1.0 / cat.shape[0])
+        )
+    else:
+        cat = discrete_gamma_rates(gamma_shape, n_categories)
+        prior_w = jnp.full((n_categories,), 1.0 / n_categories)
+    prior_w = prior_w / jnp.sum(prior_w)
+
+    def per_site_ll(rate):
+        return _per_site_log_likelihood(
+            topology, branch_lengths * rate, leaf_sequences, n_states,
+            rates=rates, freqs=freqs, sequences_are_masks=sequences_are_masks,
+        )
+
+    ll_k = jax.vmap(per_site_ll)(cat)  # (K, L)
+    log_post = ll_k + jnp.log(prior_w)[:, None]
+    log_post = log_post - jax.scipy.special.logsumexp(
+        log_post, axis=0, keepdims=True
+    )
+    post = jnp.exp(log_post)
+    return jnp.sum(post * cat[:, None], axis=0), post
