@@ -99,3 +99,25 @@ def test_multi_tree_likelihood_parity(trees_per_block):
         topos, blens, leaf, q, interpret=True, trees_per_block=trees_per_block
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_shared_transition_path_matches_per_node():
+    """Shared fixed-length matrix == per-node matrices at the same t0."""
+    import numpy as np
+
+    from trex_tpu.ops.likelihood import jc69_transition
+
+    rng = np.random.default_rng(7)
+    B, n, L, Q = 6, 10, 96, 4
+    topos = random_topologies(jax.random.key(7), n, B)
+    seqs = jnp.asarray(rng.integers(0, Q, size=(n, L)).astype(np.int32))
+    blens = jnp.full((B, 2 * n - 1), 0.17)
+    p0 = jc69_transition(jnp.asarray(0.17), Q)
+    a = batched_log_likelihood_pallas(
+        topos, blens, seqs, Q, interpret=True, trees_per_block=2
+    )
+    b = batched_log_likelihood_pallas(
+        topos, blens, seqs, Q, shared_transition=p0, interpret=True,
+        trees_per_block=2,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -51,6 +51,7 @@ def _likelihood_kernel(
     q_pad: int,
     trees: int,
     masks: bool,
+    shared_pmats: bool = False,
 ):
     n_all = 2 * n_leaves - 1
     n_anc = n_leaves - 1
@@ -88,7 +89,13 @@ def _likelihood_kernel(
 
             def message(c):
                 d = part_ref[pl.ds(base + c * q_pad, q_pad), :]
-                p = pmats_ref[t, pl.ds(c * q_pad, q_pad), :]  # (Q_pad, Q_pad)
+                if shared_pmats:
+                    # One branch-length-shared P for ALL trees and nodes
+                    # (the ranking regime): the pmats operand is a single
+                    # (1, Q_pad, Q_pad) block.
+                    p = pmats_ref[0, :, :]
+                else:
+                    p = pmats_ref[t, pl.ds(c * q_pad, q_pad), :]  # (Q_pad, Q_pad)
                 acc = jnp.zeros((q_pad, l_blk), jnp.float32)
                 for j in range(n_states):
                     col = p[:, j : j + 1]  # (Q_pad, 1) = P[:, j]
@@ -139,6 +146,7 @@ def batched_log_likelihood_pallas(
     n_states: int,
     *,
     transition_matrices: jax.Array | None = None,
+    shared_transition: jax.Array | None = None,
     root_prior: jax.Array | None = None,
     site_weights: jax.Array | None = None,
     site_block: int | None = None,
@@ -153,6 +161,11 @@ def batched_log_likelihood_pallas(
             ``transition_matrices`` is given).
         transition_matrices: optional precomputed (B, n_all, Q, Q) P-matrices
             (e.g. from a GTR eigensystem); overrides ``branch_lengths``.
+        shared_transition: optional single (Q, Q) P shared by EVERY branch
+            of EVERY tree — the fixed-ranking-length regime. Skips the
+            (B, n_all, Q, Q) materialization entirely (a ~19 ms fixed
+            per-call overhead at B=1024 that dominated the 11 ms kernel);
+            overrides both length-derived and per-tree matrices.
         root_prior: (Q,) stationary distribution; uniform when None.
         site_weights: optional (L,) multiplicities for the per-site log-liks
             (compressed site patterns / bootstrap); padded sites weigh 0.
@@ -197,16 +210,22 @@ def batched_log_likelihood_pallas(
         weights.reshape(n_blocks, site_block)
     )
 
-    if transition_matrices is None:
-        transition_matrices = jax.vmap(
-            jax.vmap(lambda t: jc69_transition(t, q))
-        )(branch_lengths)  # (B, n_all, Q, Q)
-    # Pad states; padded rows stay 0 so padded parent states contribute 0.
-    pmats = jnp.zeros((batch, n_all, q_pad, q_pad), jnp.float32)
-    pmats = pmats.at[:, :, :q, :q].set(
-        transition_matrices.astype(jnp.float32)
-    )
-    pmats = pmats.reshape(batch, n_all * q_pad, q_pad)
+    shared = shared_transition is not None
+    if shared:
+        # Single (Q, Q) matrix for every branch: one padded block total.
+        pmats = jnp.zeros((1, q_pad, q_pad), jnp.float32)
+        pmats = pmats.at[0, :q, :q].set(shared_transition.astype(jnp.float32))
+    else:
+        if transition_matrices is None:
+            transition_matrices = jax.vmap(
+                jax.vmap(lambda t: jc69_transition(t, q))
+            )(branch_lengths)  # (B, n_all, Q, Q)
+        # Pad states; padded rows stay 0 so padded parent states give 0.
+        pmats = jnp.zeros((batch, n_all, q_pad, q_pad), jnp.float32)
+        pmats = pmats.at[:, :, :q, :q].set(
+            transition_matrices.astype(jnp.float32)
+        )
+        pmats = pmats.reshape(batch, n_all * q_pad, q_pad)
 
     if root_prior is None:
         root_prior = jnp.full((q,), 1.0 / q)
@@ -221,9 +240,10 @@ def batched_log_likelihood_pallas(
         children = jnp.concatenate(
             [children, jnp.broadcast_to(children[-1:], (reps, n_anc, 2))]
         )
-        pmats = jnp.concatenate(
-            [pmats, jnp.broadcast_to(pmats[-1:], (reps,) + pmats.shape[1:])]
-        )
+        if not shared:
+            pmats = jnp.concatenate(
+                [pmats, jnp.broadcast_to(pmats[-1:], (reps,) + pmats.shape[1:])]
+            )
 
     kernel = functools.partial(
         _likelihood_kernel,
@@ -232,6 +252,7 @@ def batched_log_likelihood_pallas(
         q_pad=q_pad,
         trees=trees,
         masks=sequences_are_masks,
+        shared_pmats=shared,
     )
     block_ll = pl.pallas_call(
         kernel,
@@ -244,8 +265,14 @@ def batched_log_likelihood_pallas(
                 (1, q_pad), lambda b, l: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec((n_leaves, site_block), lambda b, l: (0, l)),
-            pl.BlockSpec(
-                (trees, n_all * q_pad, q_pad), lambda b, l: (b, 0, 0)
+            (
+                pl.BlockSpec(
+                    (1, q_pad, q_pad), lambda b, l: (0, 0, 0)
+                )
+                if shared
+                else pl.BlockSpec(
+                    (trees, n_all * q_pad, q_pad), lambda b, l: (b, 0, 0)
+                )
             ),
             pl.BlockSpec((1, 8, site_block), lambda b, l: (l, 0, 0)),
         ],

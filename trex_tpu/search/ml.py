@@ -122,6 +122,7 @@ def ml_hill_climb(
         batch = topos.children.shape[0]
         blens = jnp.full((batch, n_all), ranking_branch_length)
         if on_tpu:
+            from trex_tpu.ops.likelihood import jc69_transition
             from trex_tpu.ops.likelihood_pallas import (
                 batched_log_likelihood_pallas,
             )
@@ -129,15 +130,20 @@ def ml_hill_climb(
             # T=2 measured fastest on v5e at 64 taxa (interleaved: ~96k
             # trees/s vs 78k at T=1 and 84k at T=4; T=8 fails to compile —
             # f32 DP tables are 8x the Fitch bitsets, so the sweet spot is
-            # lower than the Fitch kernel's).
-            pmats = (
-                None
-                if p0 is None
-                else jnp.broadcast_to(p0, (batch, n_all, q, q))
+            # lower than the Fitch kernel's). All ranking branches share
+            # one fixed length, so ONE (Q, Q) matrix feeds the kernel's
+            # shared-transition fast path (skips the (B, n_all, Q, Q)
+            # materialization, a ~19 ms/call fixed overhead at B=1024).
+            shared = (
+                p0
+                if p0 is not None
+                else jc69_transition(
+                    jnp.asarray(ranking_branch_length), q
+                )
             )
             return -batched_log_likelihood_pallas(
                 topos, blens, leaves, n_states, trees_per_block=2,
-                transition_matrices=pmats, root_prior=prior,
+                shared_transition=shared, root_prior=prior,
                 sequences_are_masks=sequences_are_masks,
                 site_weights=site_weights,
             )
