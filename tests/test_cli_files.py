@@ -380,3 +380,15 @@ def test_cli_stats(capsys, tmp_path):
     assert out["parsimony_informative_sites"] == 2  # cols 1, 5
     assert out["missing_fraction"] > 0
     assert abs(sum(out["composition"].values()) - 1.0) < 0.01
+
+
+def test_cli_treedraw(capsys, tmp_path):
+    from trex_tpu.cli import main
+
+    tree = tmp_path / "t.nwk"
+    tree.write_text("((alpha:0.1,beta:0.2):0.05,(gamma:0.3,delta:0.4):0.15);\n")
+    main(["treedraw", "--tree", str(tree)])
+    out = capsys.readouterr().out
+    for name in ("alpha", "beta", "gamma", "delta"):
+        assert name in out
+    assert ":0.1" in out  # branch lengths annotated

@@ -1633,6 +1633,23 @@ def cmd_treeprune(args) -> None:
     )
 
 
+def cmd_treedraw(args) -> None:
+    """ASCII rendering of a newick tree (branch lengths as annotations)."""
+    import numpy as np
+
+    from trex_tpu.io import format_tree, load_newick
+
+    with open(args.tree) as fh:
+        topo, blens, names = load_newick(fh.read())
+    annotations = None
+    blens = np.asarray(blens)
+    if np.isfinite(blens[:-1]).all() and (blens[:-1] > 0).any():
+        annotations = {
+            i: f":{blens[i]:.4g}" for i in range(topo.n_all - 1)
+        }
+    sys.stdout.write(format_tree(topo, names, annotations) + "\n")
+
+
 def cmd_stats(args) -> None:
     """Alignment summary: site classes, composition, missing data."""
     import numpy as np
@@ -1950,6 +1967,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--output-tree", type=str, default=None)
     p.set_defaults(fn=cmd_consensus)
+
+    p = sub.add_parser(
+        "treedraw",
+        help="ASCII rendering of a newick tree",
+    )
+    p.add_argument("--tree", type=str, required=True)
+    p.set_defaults(fn=cmd_treedraw)
 
     p = sub.add_parser(
         "stats",
