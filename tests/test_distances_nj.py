@@ -152,3 +152,52 @@ def test_unrooted_splits_root_invariance():
     d = _path_distances(true, blens)
     rerooted, _ = neighbor_joining(d)
     assert unrooted_splits(rerooted) == unrooted_splits(true)
+
+
+def test_nj_bootstrap_supports():
+    """Clean long data -> ~1.0 supports; noisy short data -> depressed."""
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.search.nj import nj_bootstrap
+    from trex_tpu.topology import random_topologies
+
+    truth = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.key(80), 8, 1)
+    )
+    blens = np.full((truth.n_all,), 0.2)
+    clean = simulate_alignment(jax.random.key(81), truth, blens, n_sites=2000)
+    topo, bl, support = nj_bootstrap(
+        jax.random.key(82), np.asarray(clean), 4, n_replicates=50
+    )
+    assert support.shape == (7,)
+    assert ((support >= 0) & (support <= 1)).all()
+    assert support.mean() > 0.9
+
+    noisy = simulate_alignment(
+        jax.random.key(83), truth, blens * 0.1, n_sites=60
+    )
+    _, _, weak = nj_bootstrap(
+        jax.random.key(84), np.asarray(noisy), 4, n_replicates=50
+    )
+    assert weak.mean() < support.mean()
+
+
+def test_cli_distance_bootstrap(capsys, tmp_path):
+    import json
+
+    from trex_tpu.cli import main
+    from trex_tpu.io import DNA, write_fasta
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.topology import random_topologies
+
+    truth = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.key(85), 8, 1)
+    )
+    blens = np.full((truth.n_all,), 0.2)
+    leaves = simulate_alignment(jax.random.key(86), truth, blens, n_sites=800)
+    path = tmp_path / "a.fasta"
+    path.write_text(write_fasta([f"t{i}" for i in range(8)], leaves, DNA))
+    main(["infer", "--fasta", str(path), "--criterion", "distance",
+          "--bootstrap", "25"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["bootstrap_replicates"] == 25
+    assert len(out["split_support"]) == 7

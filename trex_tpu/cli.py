@@ -303,23 +303,40 @@ def cmd_infer(args) -> None:
     if args.criterion == "distance":
         # Pure distance-method tree (NJ/UPGMA) with its own branch lengths:
         # no search. --start picks the agglomeration; default nj.
-        from trex_tpu.search.nj import nj_start_tree
+        from trex_tpu.search.nj import nj_bootstrap, nj_start_tree
 
         method = args.start if args.start in ("nj", "upgma") else "nj"
         ints = np.zeros_like(patterns)
         lsb = patterns & -patterns
         for b in range(n_states):
             ints[lsb == (1 << b)] = b
-        topo, blens = nj_start_tree(ints, n_states, weights, method=method)
+        support = None
+        if args.bootstrap > 0:
+            topo, blens, support = nj_bootstrap(
+                jax.random.PRNGKey(args.seed), ints, n_states,
+                n_replicates=args.bootstrap, method=method,
+                site_weights=weights,
+            )
+            out["bootstrap_replicates"] = args.bootstrap
+            out["split_support"] = [round(float(s), 3) for s in support]
+        else:
+            topo, blens = nj_start_tree(
+                ints, n_states, weights, method=method
+            )
         blens = np.clip(np.asarray(blens, dtype=np.float64), 0.0, None)
         if args.outgroup:
             from trex_tpu.io import reroot_on_outgroup
 
+            # Supports are indexed by the pre-rerooting ancestors; drop
+            # them from the newick when rerooting moves the indices.
+            support = None
             topo, blens = reroot_on_outgroup(
                 topo, _outgroup_indices(names, args.outgroup), blens
             )
             out["outgroup"] = args.outgroup
-        newick = save_newick(topo, names, branch_lengths=blens)
+        newick = save_newick(
+            topo, names, branch_lengths=blens, support=support
+        )
         out.update(method=method, tree=newick,
                    tree_length=float(np.asarray(blens)[:-1].sum()))
         if args.output_tree:

@@ -37,7 +37,7 @@ from trex_tpu.search.model_select import (
     compare_models,
     count_parameters,
 )
-from trex_tpu.search.nj import neighbor_joining, nj_start_tree, upgma
+from trex_tpu.search.nj import neighbor_joining, nj_bootstrap, nj_start_tree, upgma
 from trex_tpu.search.stepwise import stepwise_addition, stepwise_addition_multi
 from trex_tpu.search.ml import ml_hill_climb, ml_iterated_search
 from trex_tpu.search.runner import RunnerConfig, run_search
@@ -88,6 +88,7 @@ __all__ = [
     "compare_models",
     "count_parameters",
     "neighbor_joining",
+    "nj_bootstrap",
     "nj_start_tree",
     "upgma",
     "stepwise_addition",

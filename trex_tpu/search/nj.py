@@ -169,3 +169,81 @@ def nj_start_tree(
     d = np.asarray(dist_fn(jnp.asarray(leaf_sequences), n_states, site_weights))
     build = {"nj": neighbor_joining, "upgma": upgma}[method]
     return build(d)
+
+
+def nj_bootstrap(
+    key,
+    leaf_sequences,
+    n_states: int,
+    *,
+    n_replicates: int = 100,
+    method: str = "nj",
+    correction: str = "jc",
+    site_weights=None,
+) -> tuple[Topology, np.ndarray, np.ndarray]:
+    """Distance-tree bootstrap: per-split support for the NJ/UPGMA tree.
+
+    All replicate distance matrices come from ONE vmapped device call
+    (bootstrap site weights feed the weighted distance formulas directly —
+    no resampled alignments are materialized); the host agglomerates each
+    replicate and counts which reference splits it retains.
+
+    Returns:
+        (reference topology, branch_lengths, support (n_ancestors,) in
+        [0, 1]; trivial splits get 1.0).
+    """
+    import jax
+
+    from trex_tpu.ops.distances import jc_distance_matrix, p_distance_matrix
+    from trex_tpu.search.bootstrap import _replicate_weights, subtree_leaf_sets
+
+    dist_fn = {"jc": jc_distance_matrix, "p": p_distance_matrix}[correction]
+    build = {"nj": neighbor_joining, "upgma": upgma}[method]
+    ref_topo, blens = nj_start_tree(
+        leaf_sequences, n_states, site_weights,
+        method=method, correction=correction,
+    )
+    n_leaves = ref_topo.n_leaves
+    every = frozenset(range(n_leaves))
+
+    def norm_splits(topo):
+        out = set()
+        for clade in subtree_leaf_sets(topo):
+            side = every - clade if 0 in clade else clade
+            if 1 < len(side) < n_leaves - 1:
+                out.add(side)
+        return out
+
+    ref_clades = list(subtree_leaf_sets(ref_topo))
+    ref_norm = []
+    for clade in ref_clades:
+        side = every - clade if 0 in clade else clade
+        ref_norm.append(side if 1 < len(side) < n_leaves - 1 else None)
+
+    length = leaf_sequences.shape[-1]
+    base_w = (
+        jnp.ones((length,), jnp.float32)
+        if site_weights is None
+        else jnp.asarray(site_weights, jnp.float32)
+    )
+    rep_w = _replicate_weights(key, length, n_replicates, base_w)
+    seqs = jnp.asarray(leaf_sequences)
+    dists = jax.lax.map(
+        lambda w: dist_fn(seqs, n_states, w.astype(jnp.float32)),
+        rep_w,
+        batch_size=32,
+    )  # (R, n, n)
+    dists_np = np.asarray(dists)
+
+    counts = np.zeros((len(ref_norm),))
+    for r in range(n_replicates):
+        topo_r, _ = build(dists_np[r])
+        splits_r = norm_splits(topo_r)
+        for i, split in enumerate(ref_norm):
+            if split is not None and split in splits_r:
+                counts[i] += 1
+    support = counts / float(n_replicates)
+    for i, split in enumerate(ref_norm):
+        if split is None:
+            support[i] = 1.0
+    return ref_topo, blens, support
