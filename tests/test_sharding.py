@@ -195,3 +195,37 @@ def test_sharded_log_likelihoods_match_single_device(mesh):
     np.testing.assert_allclose(
         np.asarray(sharded_m), np.asarray(single_m), rtol=2e-5
     )
+
+
+def test_sharded_spr_scan_matches_single_device(mesh):
+    """Prune-axis-sharded scan == single-device scan, both criteria."""
+    import numpy as np
+
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.ops.likelihood_scan import likelihood_spr_scan
+    from trex_tpu.ops.spr_scan import spr_scan
+    from trex_tpu.parallel.sharded import sharded_spr_scan
+    from trex_tpu.topology import random_topologies
+
+    topo = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.key(90), 9, 1)
+    )
+    blens = np.full((topo.n_all,), 0.2)
+    leaves = jnp.asarray(
+        simulate_alignment(jax.random.key(91), topo, blens, n_sites=64)
+    )
+    ref_scores, ref_base = spr_scan(topo, leaves, None)
+    sh_scores, sh_base = sharded_spr_scan(mesh, topo, leaves)
+    np.testing.assert_allclose(
+        np.asarray(sh_scores), np.asarray(ref_scores), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(sh_base), float(ref_base), rtol=1e-6)
+
+    ml_ref, ml_base = likelihood_spr_scan(topo, leaves, 4, 0.1)
+    ml_sh, ml_sh_base = sharded_spr_scan(
+        mesh, topo, leaves, criterion="ml", n_states=4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ml_sh), np.asarray(ml_ref), rtol=1e-5
+    )
+    np.testing.assert_allclose(float(ml_sh_base), float(ml_base), rtol=1e-5)

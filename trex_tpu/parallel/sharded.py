@@ -365,3 +365,87 @@ def sharded_joint_step(
     """One-shot convenience wrapper around ``make_sharded_joint_step``."""
     step = make_sharded_joint_step(mesh, optimizer, n_leaves, constraint_scale)
     return step(params, opt_state, leaf_tensor, key, temperature)
+
+
+def sharded_spr_scan(
+    mesh: Mesh,
+    topology: Topology,
+    leaf_sequences: jax.Array,
+    site_weights: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
+    criterion: str = "parsimony",
+    ranking_branch_length: float = 0.1,
+    n_states: int | None = None,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    gamma_shape: float | jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """The analytic all-SPR scan with the PRUNE axis sharded over ``tree``.
+
+    Each prune variant's up/down pass is independent, so the O(n) variants
+    distribute embarrassingly over the mesh's candidate axis: device d
+    scans prune nodes d, d+D, ... and the (n_all-1, n_all) score matrix is
+    reassembled by the output sharding (one all_gather). Criterion
+    "parsimony" (unit-cost Fitch identity) or "ml" (fixed ranking lengths,
+    optional GTR/+Gamma — the model-aware scan).
+
+    Returns (scores (n_all-1, n_all), base_score), numerically identical
+    to the single-device scans (verified in tests/test_sharding.py).
+    """
+    import numpy as np
+
+    n_all = topology.n_all
+    n_dev = mesh.shape[TREE_AXIS]
+    n_prune = n_all - 1
+    padded = ((n_prune + n_dev - 1) // n_dev) * n_dev
+    prune = np.arange(padded, dtype=np.int32)
+    prune[n_prune:] = n_prune - 1  # duplicates; dropped after gather
+    prune = jnp.asarray(prune)
+
+    if criterion == "parsimony":
+        from trex_tpu.ops.spr_scan import spr_scan as scan_fn
+
+        def run(pn, leaves, w):
+            return scan_fn(
+                topology, leaves, w,
+                sequences_are_masks=sequences_are_masks,
+                prune_nodes=pn,
+            )
+    elif criterion == "ml":
+        from trex_tpu.ops.likelihood_scan import likelihood_spr_scan
+
+        q = n_states or int(leaf_sequences.max()) + 1
+
+        def run(pn, leaves, w):
+            return likelihood_spr_scan(
+                topology, leaves, q, ranking_branch_length, w,
+                rates=rates, freqs=freqs, gamma_shape=gamma_shape,
+                sequences_are_masks=sequences_are_masks,
+                prune_nodes=pn,
+            )
+    else:
+        raise ValueError(f"unknown criterion {criterion!r}")
+
+    weights = (
+        jnp.ones((leaf_sequences.shape[-1],), jnp.float32)
+        if site_weights is None
+        else jnp.asarray(site_weights, jnp.float32)
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(TREE_AXIS), P(), P()),
+        out_specs=(P(TREE_AXIS), P()),
+        check_vma=False,
+    )
+    def scan_shard(pn, leaves, w):
+        scores, base = run(pn, leaves, w)
+        return scores, base
+
+    scores, base = scan_shard(prune, jnp.asarray(leaf_sequences), weights)
+    # Match the single-device full-scan layout: one row per node incl. an
+    # all-inf root row, so argmin/divmod consumers are drop-in.
+    root_row = jnp.full((1, scores.shape[-1]), jnp.inf, scores.dtype)
+    return jnp.concatenate([scores[:n_prune], root_row]), base
