@@ -671,6 +671,16 @@ def cmd_infer(args) -> None:
             )
             result = dataclasses.replace(result, topology=topo2)
             out["outgroup"] = args.outgroup
+        if args.decay:
+            from trex_tpu.search.bremer import spr_decay_support
+
+            decay, _ = spr_decay_support(
+                result.topology, jnp.asarray(patterns),
+                site_weights=weights, sequences_are_masks=True,
+            )
+            out["decay"] = [
+                None if np.isnan(d) else round(float(d), 1) for d in decay
+            ]
         support = None
         if args.bootstrap > 0:
             from trex_tpu.search.bootstrap import bootstrap_analysis
@@ -1791,6 +1801,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max hill-climb rounds")
     p.add_argument("--ratchet", type=int, default=0,
                    help="parsimony-ratchet iterations (0 = plain climb)")
+    p.add_argument("--decay", action="store_true",
+                   help="SPR-decay (approximate Bremer) support per "
+                        "internal branch (parsimony criterion)")
     p.add_argument("--bootstrap", type=int, default=0,
                    help="bootstrap replicates for split support (0 = none)")
     p.add_argument("--alrt", type=int, default=0,

@@ -26,6 +26,7 @@ from trex_tpu.search.ratchet import (
     unrooted_splits,
 )
 from trex_tpu.search.alrt import BranchSupports, branch_supports
+from trex_tpu.search.bremer import spr_decay_support
 from trex_tpu.search.topotest import TopologyTestResult, topology_tests
 from trex_tpu.search.ufboot import (
     UFBootResult,
@@ -79,6 +80,7 @@ __all__ = [
     "unrooted_splits",
     "BranchSupports",
     "branch_supports",
+    "spr_decay_support",
     "TopologyTestResult",
     "topology_tests",
     "UFBootResult",
