@@ -13,6 +13,10 @@ single batched up/down pass the search uses) plus O(n^2) host path walks.
 Equality holds whenever some best split-lacking tree is one SPR away —
 verified against exhaustive enumeration on small instances in
 ``tests/test_bremer.py``.
+
+The reference has no branch-support machinery of any kind (SURVEY.md §5);
+this joins `search.bootstrap`/`search.alrt`/`search.ufboot` as new
+TPU-first capability riding the engine's analytic scan.
 """
 
 from __future__ import annotations
