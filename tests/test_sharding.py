@@ -229,3 +229,31 @@ def test_sharded_spr_scan_matches_single_device(mesh):
         np.asarray(ml_sh), np.asarray(ml_ref), rtol=1e-5
     )
     np.testing.assert_allclose(float(ml_sh_base), float(ml_base), rtol=1e-5)
+
+
+def test_sharded_spr_scan_with_weights(mesh):
+    """Compressed patterns + weights match the single-device weighted scan."""
+    import numpy as np
+
+    from trex_tpu.alignment import compress_alignment
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.ops.spr_scan import spr_scan
+    from trex_tpu.parallel.sharded import sharded_spr_scan
+    from trex_tpu.topology import random_topologies
+
+    topo = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.key(95), 8, 1)
+    )
+    blens = np.full((topo.n_all,), 0.3)
+    leaves = np.asarray(
+        simulate_alignment(jax.random.key(96), topo, blens, n_sites=96)
+    )
+    patterns, weights = compress_alignment(leaves)
+    pw = jnp.asarray(np.asarray(patterns), jnp.int32)
+    w = jnp.asarray(weights, jnp.float32)
+    ref_scores, ref_base = spr_scan(topo, pw, w)
+    sh_scores, sh_base = sharded_spr_scan(mesh, topo, pw, w)
+    np.testing.assert_allclose(
+        np.asarray(sh_scores), np.asarray(ref_scores), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(sh_base), float(ref_base), rtol=1e-6)

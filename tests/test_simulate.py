@@ -238,3 +238,22 @@ def test_cli_simulate_gy94_dnds_roundtrip(capsys, tmp_path):
     out = json.loads(capsys.readouterr().out)
     assert out["omega"] < 0.6  # purifying regime recovered
     assert out["kappa"] > 1.5  # transition bias recovered
+
+
+def test_cli_simulate_explicit_gtr_rates(capsys, tmp_path):
+    """--gtr-rates/--freqs override the seeded random model."""
+    from trex_tpu.cli import main
+    from trex_tpu.io import DNA, parse_fasta
+
+    out = tmp_path / "g.fasta"
+    main(["simulate", "--leaves", "6", "--sites", "4000", "--seed", "1",
+          "--model", "gtr",
+          "--gtr-rates", "1", "8", "1", "1", "8", "1",
+          "--freqs", "0.4", "0.1", "0.4", "0.1",
+          "--default-blen", "5.0", "--output", str(out)])
+    capsys.readouterr()
+    names, states = parse_fasta(out.read_text(), DNA)
+    comp = np.bincount(states.ravel(), minlength=4) / states.size
+    # Long branches push composition toward the requested frequencies.
+    assert comp[0] > 0.3 and comp[2] > 0.3
+    assert comp[1] < 0.2 and comp[3] < 0.2
