@@ -497,12 +497,20 @@ int trex_write_newick(const int32_t* children, int n_leaves, const char* names,
 }
 
 // Batched coalescent sampling of random rooted binary topologies.
+// Output is CANONICAL: the coalescent numbering is structurally valid
+// (children < parent) but not the structure-determined canonical numbering
+// the move generators emit, so without re-canonicalizing the same topology
+// could carry two byte identities (breaking dedup/equality by children
+// bytes — e.g. closure counts, vote splitting in candidate dedup).
 void trex_sample_topologies(uint64_t seed, int n_leaves, int batch,
                             int32_t* children_out, int32_t* parents_out) {
   std::mt19937_64 rng(seed);
   const int n_anc = n_leaves - 1;
   const int n_all = 2 * n_leaves - 1;
   std::vector<int32_t> active;
+  std::vector<int32_t> raw_parents(n_all);
+  CanonScratch scratch;
+  scratch.resize(n_all);
   for (int b = 0; b < batch; ++b) {
     int32_t* children = children_out + (size_t)b * n_anc * 2;
     int32_t* parents = parents_out + (size_t)b * n_all;
@@ -519,15 +527,14 @@ void trex_sample_topologies(uint64_t seed, int n_leaves, int batch,
       std::swap(active[j], active.back());
       int32_t c2 = active.back();
       active.pop_back();
-      if (c1 > c2) std::swap(c1, c2);
       int32_t node = n_leaves + a;
-      children[2 * a] = c1;
-      children[2 * a + 1] = c2;
-      parents[c1] = node;
-      parents[c2] = node;
+      raw_parents[c1] = node;
+      raw_parents[c2] = node;
       active.push_back(node);
     }
-    parents[n_all - 1] = n_all - 1;
+    raw_parents[n_all - 1] = n_all - 1;
+    canonicalize_flat(n_leaves, raw_parents.data(), n_all - 1, scratch,
+                      children, parents);
   }
 }
 

@@ -297,3 +297,58 @@ def test_newick_quoting_roundtrip():
     text = save_newick(balanced_topology(4), names)
     _, _, back = load_newick(text)
     assert sorted(back) == sorted(names)
+
+
+@pytest.mark.parametrize("n_leaves", [5, 8, 16])
+def test_sampled_topologies_are_canonical(n_leaves):
+    """Sampler output uses the structure-determined canonical numbering.
+
+    Regression: the raw coalescent numbering is valid but not canonical, so
+    the same topology could carry two byte identities (one from the sampler,
+    one from the move generators), breaking bytes-level dedup/equality —
+    observed as a 106-tree SPR closure at 5 leaves (105 rooted topologies).
+    """
+    topos = sample_topologies(11, n_leaves, 16)
+    n_anc = n_leaves - 1
+    for b in range(16):
+        ch = np.asarray(topos.children[b])
+        kids = {
+            n_leaves + a: [int(ch[a, 0]), int(ch[a, 1])] for a in range(n_anc)
+        }
+        canon, _, _ = fallback._canonicalize(n_leaves, kids, 2 * n_leaves - 2)
+        np.testing.assert_array_equal(ch, canon)
+
+
+def test_nni_neighborhood_symmetric_over_closure():
+    """y in NNI(x) <=> x in NNI(y) with constant neighborhood size.
+
+    MCMC relies on this: a uniform draw from the NNI neighborhood is then a
+    symmetric proposal (no Hastings correction). Checked over the full SPR
+    closure (= all 105 rooted 5-leaf topologies, all canonical)."""
+    from trex_tpu.io import nni_neighbors_host, spr_move
+
+    start = jax.tree_util.tree_map(lambda x: x[0], sample_topologies(0, 5, 1))
+    seen = {np.asarray(start.children).tobytes(): start}
+    frontier = [start]
+    while frontier:
+        nxt = []
+        for topo in frontier:
+            for p in range(topo.n_all - 1):
+                for v in range(topo.n_all - 1):
+                    moved = spr_move(topo, p, v)
+                    if moved is None:
+                        continue
+                    k = np.asarray(moved.children).tobytes()
+                    if k not in seen:
+                        seen[k] = moved
+                        nxt.append(moved)
+        frontier = nxt
+    assert len(seen) == 105  # all rooted 5-leaf topologies, one identity each
+    nbrs = {
+        k: [c.tobytes() for c in np.asarray(nni_neighbors_host(t)[0])]
+        for k, t in seen.items()
+    }
+    for k, ks in nbrs.items():
+        assert len(ks) == 6 and len(set(ks)) == 6 and k not in ks
+        for y in ks:
+            assert k in nbrs[y]

@@ -140,22 +140,25 @@ def py_write_newick(children: np.ndarray, leaf_names: list[str] | None = None) -
 
 
 def py_sample_topologies(seed: int, n_leaves: int, batch: int):
+    # Canonicalized like the native sampler: the raw coalescent numbering is
+    # valid but not structure-determined, which would give sampled trees a
+    # second byte identity vs move-generated ones (breaking bytes dedup).
     rng = np.random.default_rng(seed)
     n_anc, n_all = n_leaves - 1, 2 * n_leaves - 1
     children = np.empty((batch, n_anc, 2), dtype=np.int32)
     parents = np.empty((batch, n_all), dtype=np.int32)
     for b in range(batch):
         active = list(range(n_leaves))
+        kids: dict[int, list[int]] = {}
         for a in range(n_anc):
             i, j = rng.choice(len(active), size=2, replace=False)
             c1, c2 = active[i], active[j]
-            lo, hi = min(c1, c2), max(c1, c2)
             node = n_leaves + a
-            children[b, a] = (lo, hi)
-            parents[b, lo] = node
-            parents[b, hi] = node
+            kids[node] = [min(c1, c2), max(c1, c2)]
             active = [x for x in active if x not in (c1, c2)] + [node]
-        parents[b, n_all - 1] = n_all - 1
+        ch, par, _ = _canonicalize(n_leaves, kids, n_all - 1)
+        children[b] = ch
+        parents[b] = par
     return children, parents
 
 
