@@ -1,0 +1,250 @@
+"""Statistical validation of the Bayesian MCMC sampler.
+
+Three ground-truth oracles, strongest available at each scale:
+
+1. prior recovery — with the likelihood disabled, sampled branch lengths
+   must match the Exponential prior (validates proposal + acceptance
+   mechanics end to end);
+2. 2-taxon quadrature — the posterior of the root-path length under JC has
+   a 1D integral representation; MCMC moments must match it;
+3. 5-taxon exhaustive enumeration — with fixed equal branch lengths the
+   exact topology posterior is a softmax over all 105 rooted topologies;
+   the sampled frequencies must match in total variation, with and without
+   Metropolis coupling.
+
+The reference has no Bayesian machinery to port
+(/root/reference/src/trex — grepped: no MCMC/posterior code), so these
+oracles take the place of reference parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trex_tpu.io import sample_topologies, spr_move
+from trex_tpu.ops.likelihood import tree_log_likelihood
+from trex_tpu.search.mcmc import (
+    carry_lengths_nni,
+    effective_sample_size,
+    mcmc_sample,
+)
+from trex_tpu.topology import Topology
+
+
+def _single(seed, n_leaves):
+    return jax.tree_util.tree_map(
+        lambda x: x[0], sample_topologies(seed, n_leaves, 1)
+    )
+
+
+def test_prior_only_recovers_exponential_prior():
+    res = mcmc_sample(
+        jax.random.PRNGKey(0),
+        jnp.zeros((6, 4), dtype=jnp.int32), 4,
+        n_generations=4000, n_runs=1, n_chains=1, sample_every=5,
+        burnin_frac=0.2, prior_only=True, brlen_prior_mean=0.1,
+    )
+    lens = res.sample_lengths[:, :-1].ravel()
+    assert abs(lens.mean() - 0.1) < 0.015
+    # Exponential: sd == mean.
+    assert abs(lens.std() - 0.1) < 0.02
+    # Uniform topology posterior: no (unrooted-nontrivial) split should
+    # dominate. Samples are canonically rooted on leaf 0, so |s| == 5 is
+    # the always-present complement of the root leaf — trivial.
+    nontrivial = [p for s, p in res.split_posterior.items() if 1 < len(s) < 5]
+    assert max(nontrivial) < 0.6
+
+
+def test_two_taxon_branch_posterior_matches_quadrature():
+    rng = np.random.default_rng(0)
+    length = 300
+    a = rng.integers(0, 4, length)
+    b = np.where(
+        rng.uniform(size=length) < 0.15, (a + rng.integers(1, 4, length)) % 4, a
+    )
+    leaves = jnp.asarray(np.stack([a, b]).astype(np.int32))
+    topo = Topology(
+        children=jnp.asarray([[0, 1]], dtype=jnp.int32),
+        parents=jnp.asarray([2, 2, 2], dtype=jnp.int32),
+    )
+
+    # Exact: s = t0 + t1 is the only likelihood-visible quantity (JC is
+    # reversible); prior of s is Gamma(2, rate); 1D quadrature.
+    grid = jnp.linspace(1e-4, 1.5, 2000)
+    lnl = np.asarray(
+        jax.jit(
+            jax.vmap(
+                lambda s: tree_log_likelihood(
+                    topo, jnp.stack([s, 0.0 * s, 0.0 * s]), leaves, 4
+                )
+            )
+        )(grid)
+    )
+    g = np.asarray(grid)
+    rate = 10.0
+    logpost = lnl + np.log(g) - rate * g
+    w = np.exp(logpost - logpost.max())
+    w /= w.sum()
+    mean_exact = float((w * g).sum())
+    sd_exact = float(np.sqrt((w * (g - mean_exact) ** 2).sum()))
+
+    res = mcmc_sample(
+        jax.random.PRNGKey(1), leaves, 4,
+        n_generations=4000, n_runs=1, n_chains=1, sample_every=4,
+        burnin_frac=0.25, brlen_prior_mean=0.1, topo_moves=False,
+        branch_moves_per_gen=2,
+    )
+    s = res.sample_lengths[:, 0] + res.sample_lengths[:, 1]
+    # ~700 correlated samples: 4 standard errors of tolerance.
+    assert abs(s.mean() - mean_exact) < 4 * sd_exact / np.sqrt(
+        max(res.ess_lnl, 50.0)
+    ) + 0.005
+    assert abs(s.std() - sd_exact) < 0.012
+    assert res.acceptance["branch"] > 0.2
+
+
+def _all_rooted_5leaf(start: Topology) -> dict[bytes, Topology]:
+    seen = {np.asarray(start.children).tobytes(): start}
+    frontier = [start]
+    while frontier:
+        nxt = []
+        for topo in frontier:
+            for p in range(topo.n_all - 1):
+                for v in range(topo.n_all - 1):
+                    moved = spr_move(topo, p, v)
+                    if moved is None:
+                        continue
+                    k = np.asarray(moved.children).tobytes()
+                    if k not in seen:
+                        seen[k] = moved
+                        nxt.append(moved)
+        frontier = nxt
+    return seen
+
+
+@pytest.mark.parametrize("n_chains", [1, 3])
+def test_topology_posterior_matches_enumeration(n_chains):
+    """Sampled topology frequencies vs the exact 105-tree posterior.
+
+    Branch lengths fixed (all equal) so the exact posterior is a softmax
+    of per-tree log-likelihoods; n_chains=3 additionally exercises the
+    MC^3 swap machinery (the cold posterior must be unchanged)."""
+    truth = _single(5, 5)
+    bl = 0.2
+    from trex_tpu.models.simulate import simulate_alignment
+
+    aln = simulate_alignment(
+        jax.random.PRNGKey(2), truth, np.full(9, bl, np.float32), n_sites=60
+    )
+    leaves = jnp.asarray(aln.astype(np.int32))
+
+    seen = _all_rooted_5leaf(truth)
+    assert len(seen) == 105
+    keys = list(seen)
+    children = jnp.asarray(np.stack([np.asarray(seen[k].children) for k in keys]))
+    lens = jnp.full((9,), bl)
+    lnls = np.asarray(
+        jax.jit(
+            jax.vmap(
+                lambda ch: tree_log_likelihood(
+                    Topology(children=ch, parents=jnp.zeros((9,), jnp.int32)),
+                    lens, leaves, 4,
+                )
+            )
+        )(children)
+    )
+    post = np.exp(lnls - lnls.max())
+    post /= post.sum()
+    exact = dict(zip(keys, post))
+
+    res = mcmc_sample(
+        jax.random.PRNGKey(3), leaves, 4,
+        n_generations=12000, n_runs=1, n_chains=n_chains, sample_every=2,
+        burnin_frac=0.15, branch_moves_per_gen=0, topo_moves=True,
+        start=truth, start_lengths=np.full(9, bl, np.float32),
+    )
+    counts: dict[bytes, int] = {}
+    for c in res.sample_children:
+        counts[c.tobytes()] = counts.get(c.tobytes(), 0) + 1
+    n = sum(counts.values())
+    assert set(counts) <= set(keys)  # chain stays on canonical topologies
+    tvd = 0.5 * sum(abs(counts.get(k, 0) / n - exact[k]) for k in keys)
+    assert tvd < 0.08
+    if n_chains > 1:
+        assert res.acceptance["swap"] > 0.2  # coupling actually mixes
+
+
+def test_joint_sampling_converges_and_summarizes():
+    """Joint topology + branch sampling: runs agree (ASDSF), consensus
+    recovers the strongly supported simulated splits.
+
+    Split summaries are canonically rooted (leaf 0), i.e. unrooted splits —
+    the root itself is unidentifiable under a reversible model."""
+    from trex_tpu.io import reroot_on_outgroup
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.search.bootstrap import subtree_leaf_sets
+
+    truth = _single(9, 8)
+    aln = simulate_alignment(
+        jax.random.PRNGKey(4), truth, np.full(15, 0.15, np.float32),
+        n_sites=400,
+    )
+    leaves = jnp.asarray(aln.astype(np.int32))
+    res = mcmc_sample(
+        jax.random.PRNGKey(5), leaves, 4,
+        n_generations=2000, n_runs=2, n_chains=1, sample_every=5,
+        burnin_frac=0.3, branch_moves_per_gen=4,
+    )
+    assert res.asdsf is not None and res.asdsf < 0.05
+    assert res.ess_lnl > 20
+    # Strong data at 400 sites: the true splits carry high posterior mass.
+    truth0 = reroot_on_outgroup(truth, [0])[0]
+    true_splits = set(subtree_leaf_sets(truth0))
+    high = {s for s, p in res.split_posterior.items() if p > 0.8}
+    assert len(high & true_splits) >= 4
+    assert high <= true_splits  # nothing wrong is strongly supported
+    assert res.consensus_newick.count("(") >= 3
+    # Posterior-mean branch lengths in a sane range around the truth.
+    inner = res.mean_lengths[:-1]
+    assert 0.03 < inner.mean() < 0.4
+
+
+def test_carry_lengths_preserves_multiset_and_clades():
+    from trex_tpu.io import nni_neighbors_host
+    from trex_tpu.search.bootstrap import subtree_leaf_sets
+
+    rng = np.random.default_rng(0)
+    topo = _single(13, 10)
+    lengths = rng.exponential(0.1, size=topo.n_all).astype(np.float32)
+    lengths[-1] = 0.0
+    nbr_c, _ = nni_neighbors_host(topo)
+    old_sets = subtree_leaf_sets(topo)
+    old_map = {
+        s: lengths[topo.n_leaves + i] for i, s in enumerate(old_sets)
+    }
+    for j in range(nbr_c.shape[0]):
+        new = Topology(
+            children=nbr_c[j], parents=np.zeros(topo.n_all, np.int32)
+        )
+        out = carry_lengths_nni(topo, lengths, new)
+        # Same multiset of lengths (prior invariance of the topology move).
+        np.testing.assert_allclose(np.sort(out), np.sort(lengths), rtol=1e-6)
+        # Every persisting clade keeps its length.
+        for i, s in enumerate(subtree_leaf_sets(new)):
+            if s in old_map:
+                assert out[new.n_leaves + i] == pytest.approx(old_map[s])
+
+
+def test_effective_sample_size_behaviour():
+    rng = np.random.default_rng(0)
+    iid = rng.normal(size=2000)
+    ess_iid = effective_sample_size(iid)
+    assert ess_iid > 1000
+    # Strongly autocorrelated AR(1): ESS must collapse.
+    x = np.zeros(2000)
+    for i in range(1, 2000):
+        x[i] = 0.98 * x[i - 1] + rng.normal() * 0.02
+    assert effective_sample_size(x) < ess_iid / 5

@@ -1734,6 +1734,118 @@ def cmd_stats(args) -> None:
     )
 
 
+def cmd_mcmc(args) -> None:
+    """Bayesian MCMC tree sampling: FASTA in, posterior summaries out.
+
+    Substitution-model parameters are handled empirical-Bayes style: with
+    ``--model`` other than jc they are fit by ML on an NJ starting tree
+    (``ops.likelihood.optimize_model``) and held fixed while the MCMC
+    samples topology + branch lengths. (MrBayes-style full model sampling
+    is not implemented; +i / +rK models are rejected.)
+    """
+    import numpy as np
+
+    from trex_tpu.alignment import compress_alignment
+    from trex_tpu.io import save_newick
+    from trex_tpu.search.mcmc import mcmc_sample
+
+    names, masks, n_states = _load_alignment(args.fasta, args.alphabet)
+    patterns, weights = compress_alignment(masks)
+    weights = jnp.asarray(weights, jnp.float32)
+    patterns_np = np.asarray(patterns, dtype=np.int32)
+
+    out: dict[str, object] = {
+        "n_taxa": len(names),
+        "n_sites": int(masks.shape[1]),
+        "unique_patterns": int((np.asarray(weights) > 0).sum()),
+        "generations": args.generations,
+        "runs": args.runs,
+        "chains": args.chains,
+        "proposal": args.proposal,
+        "model": args.model,
+    }
+    rates = freqs = None
+    gamma_shape = None
+    if args.model != "jc":
+        if "+i" in args.model or "+r" in args.model:
+            raise SystemExit(
+                "mcmc supports jc / gtr-family models with optional +g "
+                "(fit empirical-Bayes); +i and +rK are not supported"
+            )
+        from trex_tpu.ops.likelihood import optimize_model
+        from trex_tpu.search.nj import nj_start_tree
+
+        ints = np.zeros_like(patterns_np)
+        lsb = patterns_np & -patterns_np
+        for b in range(n_states):
+            ints[lsb == (1 << b)] = b
+        topo0, _ = nj_start_tree(ints, n_states, weights)
+        params, _ = optimize_model(
+            topo0, jnp.asarray(patterns_np), n_states, model=args.model,
+            sequences_are_masks=True, site_weights=weights,
+        )
+        if "rates" in params:
+            rates = jnp.asarray(params["rates"])
+            freqs = jnp.asarray(params["freqs"])
+        if "gamma_shape" in params:
+            gamma_shape = float(params["gamma_shape"])
+            out["gamma_shape"] = round(gamma_shape, 4)
+        out["model_fit"] = "ML on NJ start tree, fixed during MCMC"
+
+    res = mcmc_sample(
+        jax.random.PRNGKey(args.seed), jnp.asarray(patterns_np), n_states,
+        n_generations=args.generations, n_runs=args.runs,
+        n_chains=args.chains, heat=args.heat,
+        sample_every=args.sample_every, burnin_frac=args.burnin,
+        branch_moves_per_gen=args.branch_moves,
+        topo_proposal=args.proposal,
+        brlen_prior_mean=args.brlen_prior_mean,
+        site_weights=weights, sequences_are_masks=True,
+        rates=rates, freqs=freqs, gamma_shape=gamma_shape,
+        leaf_names=names, progress_every=args.progress_every,
+    )
+    # Samples are canonically rooted on leaf 0, so clades of size
+    # n_taxa - 1 are the always-present root split — trivial, skip them.
+    split_names = sorted(
+        (
+            (p, sorted(names[i] for i in s))
+            for s, p in res.split_posterior.items()
+            if 1 < len(s) < len(names) - 1
+        ),
+        key=lambda t: -t[0],
+    )
+    out.update(
+        n_samples=int(res.sample_lnl.size),
+        mean_lnl=round(float(res.sample_lnl.mean()), 4)
+        if res.sample_lnl.size
+        else None,
+        acceptance={k: round(v, 4) for k, v in res.acceptance.items()},
+        asdsf=None if res.asdsf is None else round(res.asdsf, 4),
+        ess_lnl=round(res.ess_lnl, 1),
+        consensus_tree=res.consensus_newick,
+        top_splits=[
+            {"posterior": round(float(p), 3), "clade": c}
+            for p, c in split_names[:10]
+        ],
+    )
+    if args.output_tree:
+        with open(args.output_tree, "w") as fh:
+            fh.write(res.consensus_newick + "\n")
+    if args.samples_out:
+        from trex_tpu.topology import Topology as _Topo
+
+        with open(args.samples_out, "w") as fh:
+            for c, lens in zip(res.sample_children, res.sample_lengths):
+                topo = _Topo(
+                    children=jnp.asarray(c),
+                    parents=jnp.zeros((2 * len(names) - 1,), jnp.int32),
+                )
+                fh.write(
+                    save_newick(topo, names, branch_lengths=lens) + "\n"
+                )
+    print(json.dumps(out))
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="trex_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -2050,6 +2162,36 @@ def build_parser() -> argparse.ArgumentParser:
                         "(CONSEL/puzzle site-lnL format) for external "
                         "AU-test tools")
     p.set_defaults(fn=cmd_topotest)
+
+    p = sub.add_parser(
+        "mcmc",
+        help="Bayesian MCMC tree sampling (Metropolis-coupled chains)",
+    )
+    p.add_argument("--fasta", required=True)
+    p.add_argument("--alphabet", choices=["dna", "protein"], default="dna")
+    p.add_argument(
+        "--model", default="jc",
+        help="jc (default) or a gtr-family string (+g ok); non-jc models "
+        "are ML-fit once and held fixed (empirical Bayes)",
+    )
+    p.add_argument("--generations", type=int, default=10_000)
+    p.add_argument("--runs", type=int, default=2)
+    p.add_argument("--chains", type=int, default=4)
+    p.add_argument("--heat", type=float, default=0.1)
+    p.add_argument("--sample-every", type=int, default=20)
+    p.add_argument("--burnin", type=float, default=0.25)
+    p.add_argument("--branch-moves", type=int, default=2,
+                   help="branch-length moves per generation")
+    p.add_argument("--proposal", choices=["informed", "nni"],
+                   default="informed")
+    p.add_argument("--brlen-prior-mean", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output-tree", default=None,
+                   help="write the consensus newick here")
+    p.add_argument("--samples-out", default=None,
+                   help="write sampled trees (newick, one per line) here")
+    p.add_argument("--progress-every", type=int, default=0)
+    p.set_defaults(fn=cmd_mcmc)
 
     p = sub.add_parser("nk-bench", help="NK accuracy benchmark")
     _add_common(p)

@@ -518,7 +518,12 @@ def reroot_at_edge(
     n_leaves = topology.n_leaves
     n_all = topology.n_all
     old_root = n_all - 1
-    parents = np.asarray(topology.parents)
+    # Derive parents from children: several hot paths (batched scorers,
+    # MCMC host states) legitimately carry a placeholder parents tensor,
+    # and children alone determine the tree.
+    parents = np.arange(n_all, dtype=np.int64)
+    for a in range(topology.n_ancestors):
+        parents[children[a]] = n_leaves + a
     if int(parents[node]) == old_root or node == old_root:
         out_b = None if branch_lengths is None else np.asarray(
             branch_lengths, dtype=np.float64

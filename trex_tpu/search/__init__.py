@@ -41,6 +41,7 @@ from trex_tpu.search.model_select import (
 from trex_tpu.search.nj import neighbor_joining, nj_bootstrap, nj_start_tree, upgma
 from trex_tpu.search.stepwise import stepwise_addition, stepwise_addition_multi
 from trex_tpu.search.ml import ml_hill_climb, ml_iterated_search
+from trex_tpu.search.mcmc import McmcResult, mcmc_sample
 from trex_tpu.search.runner import RunnerConfig, run_search
 from trex_tpu.search.joint import (
     JointConfig,
@@ -97,6 +98,8 @@ __all__ = [
     "stepwise_addition_multi",
     "ml_hill_climb",
     "ml_iterated_search",
+    "McmcResult",
+    "mcmc_sample",
     "RunnerConfig",
     "run_search",
 ]

@@ -1,0 +1,591 @@
+"""Bayesian phylogenetic MCMC: Metropolis-coupled, TPU-batched chains.
+
+The reference has no Bayesian machinery at all (its only posterior-ish
+object is the Gumbel-softmax topology relaxation, ``/root/reference/src/
+trex/tree.py:50-107``); this is the MrBayes-class capability re-designed for
+the TPU execution model:
+
+- **All chains ride one device batch.** Every run x chain is a row of a
+  batched state (topologies as ``children`` tensors, branch lengths, log
+  posteriors); the per-generation likelihood evaluations — the only O(data)
+  work — are ONE vmapped pruning pass over the whole chain batch, exactly
+  the layout the batched scorers already use. Branch-length sweeps run as a
+  jitted ``lax.scan`` entirely on device.
+- **Topology proposals stay host-side** (numpy + the native move library,
+  like every discrete searcher here): a uniform draw from the NNI
+  neighborhood, which is a *symmetric* proposal on canonical topology space
+  (verified exhaustively in ``tests/test_io.py``), so Metropolis needs no
+  Hastings factor. Branch lengths are carried across the rearrangement by
+  clade identity — the one edge whose clade changes inherits the one
+  leftover length (standard NNI bookkeeping).
+- **Metropolis coupling (MC^3)**: within each independent run, chain k
+  targets ``posterior^beta_k`` with ``beta_k = 1/(1 + heat*k)``; adjacent
+  chains propose state swaps between blocks; only the cold chain (k=0) is
+  sampled.
+
+Priors: iid Exponential(rate = 1/brlen_prior_mean) on the 2n-2 branch
+lengths; uniform over topologies. Model: JC69 or fixed GTR(+Gamma is left
+to ``optimize_model`` empirical-Bayes fits — pass fitted ``rates/freqs``).
+
+Convergence diagnostics follow standard practice: ASDSF between the
+independent runs' split frequencies, ESS of the cold-chain log-likelihood,
+and per-move acceptance rates.
+
+Statistical validation (tests/test_mcmc.py): prior-only sampling recovers
+the exponential prior; the 2-taxon branch-length posterior matches 1D
+quadrature; the 5-taxon topology posterior matches exhaustive enumeration
+over all 105 rooted topologies (with and without heated chains).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trex_tpu.topology import Topology
+
+
+@dataclasses.dataclass
+class McmcResult:
+    """Posterior sample + summaries from ``mcmc_sample``."""
+
+    sample_children: np.ndarray
+    """(n_samples, n_anc, 2) cold-chain topology samples (all runs pooled,
+    post burn-in)."""
+    sample_lengths: np.ndarray
+    """(n_samples, n_all) matching branch-length samples."""
+    sample_lnl: np.ndarray
+    """(n_samples,) matching data log-likelihoods."""
+    sample_run: np.ndarray
+    """(n_samples,) which independent run each sample came from."""
+    split_posterior: dict[frozenset[int], float]
+    """Posterior probability of every sampled split (clade leaf set)."""
+    consensus_newick: str
+    """Majority-rule consensus of the posterior sample, clade posterior
+    probabilities as internal labels."""
+    acceptance: dict[str, float]
+    """Acceptance rates per move class ('branch', 'topology', 'swap')."""
+    asdsf: float | None
+    """Average standard deviation of split frequencies across runs (None
+    for a single run). < 0.01-0.05 is the usual converged range."""
+    ess_lnl: float
+    """Effective sample size of the pooled cold-chain lnL trace."""
+    generations: int
+    mean_lengths: np.ndarray
+    """(n_all,) pooled mean branch length per canonical node index. Node
+    identity mixes across topologies; for per-clade summaries aggregate
+    ``sample_lengths`` over ``sample_children`` clades instead."""
+
+
+def _logsumexp_rows(logw: np.ndarray) -> np.ndarray:
+    m = logw.max(axis=1)
+    return m + np.log(np.exp(logw - m[:, None]).sum(axis=1))
+
+
+def _exp_logprior(lengths: jax.Array, rate: float) -> jax.Array:
+    """log p(branch lengths) under iid Exponential(rate); root entry excluded."""
+    return jnp.log(rate) * (lengths.shape[-1] - 1) - rate * jnp.sum(
+        lengths[..., :-1], axis=-1
+    )
+
+
+def _make_device_kernels(
+    leaf_sequences: jax.Array,
+    n_states: int,
+    n_all: int,
+    site_weights: jax.Array | None,
+    sequences_are_masks: bool,
+    rates: jax.Array | None,
+    freqs: jax.Array | None,
+    prior_rate: float,
+    gamma_shape: float | None,
+    n_categories: int,
+):
+    """Jitted (batched lnL, branch-sweep) kernels closed over the data."""
+    from trex_tpu.ops.likelihood import per_site_log_likelihood
+
+    n_anc = n_all - (n_all + 1) // 2
+
+    def lnl_one(children, lengths):
+        topo = Topology(
+            children=children,
+            parents=jnp.zeros((n_all,), dtype=jnp.int32),  # shapes only
+        )
+        per_site = per_site_log_likelihood(
+            topo, lengths, leaf_sequences, n_states,
+            rates=rates, freqs=freqs,
+            gamma_shape=gamma_shape, n_categories=n_categories,
+            sequences_are_masks=sequences_are_masks,
+        )
+        if site_weights is not None:
+            per_site = per_site * site_weights
+        return jnp.sum(per_site)
+
+    batched_lnl = jax.jit(jax.vmap(lnl_one))
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def branch_sweep(children, lengths, lnl, key, beta, steps, tuning):
+        """``steps`` single-branch multiplier moves on every chain, on device.
+
+        Targets ``(likelihood * prior)^beta``; the multiplier proposal
+        ``t' = t * exp(tuning * (u - 1/2))`` has Hastings factor ``t'/t``.
+        """
+        n_chains = lengths.shape[0]
+        rows = jnp.arange(n_chains)
+
+        def step(carry, k):
+            lengths, lnl, logprior, accepted = carry
+            k_node, k_mult, k_acc = jax.random.split(k, 3)
+            node = jax.random.randint(k_node, (n_chains,), 0, n_all - 1)
+            factor = jnp.exp(
+                tuning * (jax.random.uniform(k_mult, (n_chains,)) - 0.5)
+            )
+            old = lengths[rows, node]
+            new = old * factor
+            prop = lengths.at[rows, node].set(new)
+            prop_lnl = jax.vmap(lnl_one)(children, prop)
+            prop_logprior = logprior - prior_rate * (new - old)
+            log_alpha = (
+                beta * (prop_lnl - lnl + prop_logprior - logprior)
+                + jnp.log(factor)
+            )
+            take = jnp.log(jax.random.uniform(k_acc, (n_chains,))) < log_alpha
+            lengths = jnp.where(take[:, None], prop, lengths)
+            lnl = jnp.where(take, prop_lnl, lnl)
+            logprior = jnp.where(take, prop_logprior, logprior)
+            return (lengths, lnl, logprior, accepted + take.sum()), None
+
+        logprior = _exp_logprior(lengths, prior_rate)
+        keys = jax.random.split(key, steps)
+        (lengths, lnl, logprior, accepted), _ = jax.lax.scan(
+            step, (lengths, lnl, logprior, jnp.zeros((), jnp.int32)), keys
+        )
+        return lengths, lnl, accepted
+
+    _ = n_anc  # documented shape only
+    return batched_lnl, branch_sweep
+
+
+def carry_lengths_nni(
+    old_topology: Topology,
+    old_lengths: np.ndarray,
+    new_topology: Topology,
+) -> np.ndarray:
+    """Branch lengths carried across a rearrangement by clade identity.
+
+    Every edge is identified by the leaf set below it; edges whose clade
+    persists keep their length (leaf edges carry by index). Changed clades
+    inherit the leftover lengths by sorted clade rank, which makes the carry
+    an INVOLUTION: applying it from the new topology back to the old one
+    restores the original assignment exactly — required for the reverse
+    proposal density of the topology Metropolis move to be well defined.
+    (For NNI exactly one clade changes, so the rank mapping is trivial.)
+    """
+    from trex_tpu.search.bootstrap import subtree_leaf_sets
+
+    n_leaves = old_topology.n_leaves
+    old_sets = subtree_leaf_sets(old_topology)
+    new_sets = subtree_leaf_sets(new_topology)
+    old_map = {s: float(old_lengths[n_leaves + i]) for i, s in enumerate(old_sets)}
+    new_set_set = set(new_sets)
+    clade_rank = lambda s: tuple(sorted(s))
+    leftover = sorted(
+        (s for s in old_map if s not in new_set_set), key=clade_rank
+    )
+    changed = sorted(
+        (s for s in new_sets if s not in old_map), key=clade_rank
+    )
+    assert len(leftover) == len(changed)
+    inherit = {c: old_map[o] for c, o in zip(changed, leftover)}
+    out = np.array(old_lengths, dtype=np.float32, copy=True)
+    for i, s in enumerate(new_sets):
+        out[n_leaves + i] = old_map.get(s, inherit.get(s, 0.0))
+    return out
+
+
+def effective_sample_size(trace: np.ndarray) -> float:
+    """ESS via the initial positive sequence estimator (Geyer 1992)."""
+    x = np.asarray(trace, dtype=np.float64)
+    n = x.size
+    if n < 4:
+        return float(n)
+    x = x - x.mean()
+    var = float(np.dot(x, x) / n)
+    if var <= 0:
+        return float(n)
+    # Autocovariances via FFT.
+    m = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(x, m)
+    acov = np.fft.irfft(f * np.conjugate(f), m)[:n].real / n
+    rho = acov / var
+    # Sum consecutive pairs while positive.
+    s = 0.0
+    for k in range(1, n // 2):
+        pair = rho[2 * k - 1] + rho[2 * k]
+        if pair <= 0:
+            break
+        s += pair
+    ess = n / (1.0 + 2.0 * s)
+    return float(min(max(ess, 1.0), n))
+
+
+def average_stddev_split_freqs(
+    per_run_samples: list[list[Topology]], min_freq: float = 0.1
+) -> float | None:
+    """ASDSF between independent runs (splits above ``min_freq`` anywhere)."""
+    from trex_tpu.search.consensus import split_frequencies
+
+    if len(per_run_samples) < 2:
+        return None
+    freqs = [split_frequencies(s) for s in per_run_samples if s]
+    if len(freqs) < 2:
+        return None
+    splits = {s for f in freqs for s, v in f.items() if v >= min_freq}
+    if not splits:
+        return 0.0
+    sds = [
+        float(np.std([f.get(s, 0.0) for f in freqs])) for s in splits
+    ]
+    return float(np.mean(sds))
+
+
+def mcmc_sample(
+    key: jax.Array,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    *,
+    n_generations: int = 10_000,
+    n_runs: int = 2,
+    n_chains: int = 4,
+    heat: float = 0.1,
+    sample_every: int = 20,
+    burnin_frac: float = 0.25,
+    branch_moves_per_gen: int = 1,
+    topo_moves: bool = True,
+    topo_proposal: str = "informed",
+    brlen_prior_mean: float = 0.1,
+    tuning: float = 1.4,
+    start: Topology | None = None,
+    start_lengths: np.ndarray | None = None,
+    site_weights: jax.Array | None = None,
+    sequences_are_masks: bool = False,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    gamma_shape: float | None = None,
+    n_categories: int = 4,
+    leaf_names: list[str] | None = None,
+    prior_only: bool = False,
+    progress_every: int = 0,
+) -> McmcResult:
+    """Sample the Bayesian tree posterior with coupled MCMC chains.
+
+    One *generation* = ``branch_moves_per_gen`` single-branch multiplier
+    moves (a jitted on-device scan over the whole chain batch) followed by
+    one NNI topology Metropolis round (host-proposed, device-scored as a
+    single batched likelihood call) and one MC^3 swap proposal per run.
+
+    Args:
+        leaf_sequences: (n_leaves, L) int states (or bitmasks with
+            ``sequences_are_masks=True``). Compress to site patterns first
+            and pass ``site_weights`` for long alignments.
+        n_runs / n_chains: independent runs (for ASDSF) x coupled chains
+            per run (chain 0 cold, k heated by ``1/(1 + heat*k)``).
+        topo_proposal: "informed" (default) draws the NNI neighbor
+            proportionally to ``posterior^(beta/2)`` over the WHOLE
+            neighborhood — a locally-balanced proposal (Zanella 2020,
+            J. Am. Stat. Assoc.) whose Hastings factor is the ratio of
+            neighborhood normalizers; both the proposal weights and the
+            reverse normalizer are one batched likelihood call over all
+            chains x neighbors, which is exactly the shape the batched
+            scorers are fastest at. "nni" draws a neighbor uniformly
+            (symmetric, 1 eval/chain/generation) — cheaper per generation
+            but mixes far slower on peaked posteriors.
+        rates / freqs / gamma_shape: optional fixed substitution model
+            (empirical-Bayes: fit once with ``optimize_model``); default JC69.
+        prior_only: target the prior alone (validation: the sampler must
+            recover Exponential branch lengths / uniform topologies).
+        start: optional starting topology (defaults to random per chain).
+
+    Returns:
+        ``McmcResult`` — pooled post-burn-in cold-chain samples, split
+        posterior probabilities, consensus tree, diagnostics.
+    """
+    from trex_tpu.io import nni_neighbors_host, sample_topologies
+    from trex_tpu.search.consensus import majority_rule_consensus, split_frequencies
+
+    n_leaves = int(leaf_sequences.shape[0])
+    n_anc = n_leaves - 1
+    n_all = 2 * n_leaves - 1
+    n_total = n_runs * n_chains
+    prior_rate = 1.0 / brlen_prior_mean
+
+    seeds = np.asarray(jax.random.key_data(key)).ravel()
+    rng = np.random.default_rng(int(seeds[-1]))
+
+    # --- initial state -----------------------------------------------------
+    if start is not None:
+        children_host = np.broadcast_to(
+            np.asarray(start.children)[None], (n_total, n_anc, 2)
+        ).copy()
+    else:
+        starts = sample_topologies(int(rng.integers(2**31)), n_leaves, n_total)
+        children_host = np.asarray(starts.children).copy()
+    # Host-side Topology views carry NUMPY arrays: the host move/clade
+    # machinery reads them every generation and must not bounce off device.
+    zero_parents = np.zeros((n_all,), dtype=np.int32)
+    topos_host = [
+        Topology(children=children_host[c], parents=zero_parents)
+        for c in range(n_total)
+    ]
+    if start_lengths is not None:
+        lengths_host = np.broadcast_to(
+            np.asarray(start_lengths, dtype=np.float32)[None], (n_total, n_all)
+        ).copy()
+    else:
+        lengths_host = rng.exponential(
+            brlen_prior_mean, size=(n_total, n_all)
+        ).astype(np.float32)
+    lengths_host[:, -1] = 0.0  # root entry is unused by the likelihood
+
+    if prior_only:
+        leaf_sequences = jnp.zeros((n_leaves, 1), dtype=jnp.int32)
+        site_weights = jnp.zeros((1,), dtype=jnp.float32)
+
+    batched_lnl, branch_sweep = _make_device_kernels(
+        jnp.asarray(leaf_sequences), n_states, n_all,
+        None if site_weights is None else jnp.asarray(site_weights),
+        sequences_are_masks, rates, freqs, prior_rate,
+        gamma_shape, n_categories,
+    )
+
+    beta_host = np.array(
+        [1.0 / (1.0 + heat * k) for _ in range(n_runs) for k in range(n_chains)],
+        dtype=np.float32,
+    )
+    beta = jnp.asarray(beta_host)
+
+    children_dev = jnp.asarray(children_host)
+    lengths_dev = jnp.asarray(lengths_host)
+    lnl = batched_lnl(children_dev, lengths_dev)
+
+    n_burnin = int(burnin_frac * n_generations)
+    cold_rows = [r * n_chains for r in range(n_runs)]
+
+    samples_children: list[np.ndarray] = []
+    samples_lengths: list[np.ndarray] = []
+    samples_lnl: list[float] = []
+    samples_run: list[int] = []
+    acc = {"branch": 0, "branch_n": 0, "topology": 0, "topology_n": 0,
+           "swap": 0, "swap_n": 0}
+
+    key_dev = key
+    for gen in range(1, n_generations + 1):
+        # --- branch-length sweep (device) ----------------------------------
+        if branch_moves_per_gen > 0:
+            key_dev, sub = jax.random.split(key_dev)
+            lengths_dev, lnl, accepted = branch_sweep(
+                children_dev, lengths_dev, lnl, sub, beta,
+                branch_moves_per_gen, tuning,
+            )
+            acc["branch"] += int(accepted)
+            acc["branch_n"] += branch_moves_per_gen * n_total
+
+        # --- NNI topology round (host proposal, device scoring) ------------
+        if topo_moves and n_leaves >= 4:
+            lengths_host = np.asarray(lengths_dev)
+            if topo_proposal == "informed":
+                n_nbr = 2 * (n_leaves - 2)  # constant for every topology
+
+                def neighborhood(topos, lens):
+                    """Stacked NNI neighborhoods + carried lengths + lnLs."""
+                    ch = np.empty((n_total, n_nbr, n_anc, 2), np.int32)
+                    ln = np.empty((n_total, n_nbr, n_all), np.float32)
+                    for c in range(n_total):
+                        nbr_c, _ = nni_neighbors_host(topos[c])
+                        ch[c] = nbr_c
+                        for j in range(n_nbr):
+                            ln[c, j] = carry_lengths_nni(
+                                topos[c], lens[c],
+                                Topology(
+                                    children=nbr_c[j], parents=zero_parents
+                                ),
+                            )
+                    flat_lnl = batched_lnl(
+                        jnp.asarray(ch.reshape(-1, n_anc, 2)),
+                        jnp.asarray(ln.reshape(-1, n_all)),
+                    )
+                    return ch, ln, np.asarray(flat_lnl).reshape(
+                        n_total, n_nbr
+                    )
+
+                # Forward: draw y ~ exp(beta/2 lnl) over N(x) (the branch
+                # prior is invariant under the carry, so it cancels).
+                ch_x, ln_x, lnl_x_nbr = neighborhood(topos_host, lengths_host)
+                logw_x = 0.5 * beta_host[:, None] * lnl_x_nbr
+                z_x = _logsumexp_rows(logw_x)
+                probs = np.exp(logw_x - z_x[:, None])
+                probs /= probs.sum(axis=1, keepdims=True)
+                picks = np.array(
+                    [rng.choice(n_nbr, p=probs[c]) for c in range(n_total)]
+                )
+                rows = np.arange(n_total)
+                prop_children = ch_x[rows, picks]
+                prop_lengths = ln_x[rows, picks]
+                prop_lnl_host = lnl_x_nbr[rows, picks]
+                prop_topos = [
+                    Topology(children=prop_children[c], parents=zero_parents)
+                    for c in range(n_total)
+                ]
+                # Reverse normalizer over N(y) (x is in it by NNI symmetry
+                # with exactly the current lengths: the carry is involutive).
+                _, _, lnl_y_nbr = neighborhood(prop_topos, prop_lengths)
+                z_y = _logsumexp_rows(0.5 * beta_host[:, None] * lnl_y_nbr)
+                log_alpha = (
+                    0.5 * beta_host * (prop_lnl_host - np.asarray(lnl))
+                    + z_x - z_y
+                )
+                prop_lnl = jnp.asarray(prop_lnl_host)
+                prop_children_dev = jnp.asarray(prop_children)
+                prop_lengths_dev = jnp.asarray(prop_lengths)
+            else:  # plain uniform NNI (symmetric)
+                prop_children = np.empty_like(children_host)
+                prop_lengths = np.empty_like(lengths_host)
+                prop_topos = []
+                for c in range(n_total):
+                    nbr_c, _ = nni_neighbors_host(topos_host[c])
+                    j = int(rng.integers(nbr_c.shape[0]))
+                    new_topo = Topology(children=nbr_c[j], parents=zero_parents)
+                    prop_children[c] = nbr_c[j]
+                    prop_lengths[c] = carry_lengths_nni(
+                        topos_host[c], lengths_host[c], new_topo
+                    )
+                    prop_topos.append(new_topo)
+                prop_children_dev = jnp.asarray(prop_children)
+                prop_lengths_dev = jnp.asarray(prop_lengths)
+                prop_lnl = batched_lnl(prop_children_dev, prop_lengths_dev)
+                # Same length multiset -> prior unchanged; symmetric proposal.
+                log_alpha = beta_host * (np.asarray(prop_lnl) - np.asarray(lnl))
+            take = np.log(rng.uniform(size=n_total)) < log_alpha
+            acc["topology"] += int(take.sum())
+            acc["topology_n"] += n_total
+            if take.any():
+                take_dev = jnp.asarray(take)
+                children_dev = jnp.where(
+                    take_dev[:, None, None], prop_children_dev, children_dev
+                )
+                lengths_dev = jnp.where(
+                    take_dev[:, None], prop_lengths_dev, lengths_dev
+                )
+                lnl = jnp.where(take_dev, prop_lnl, lnl)
+                for c in range(n_total):
+                    if take[c]:
+                        children_host[c] = prop_children[c]
+                        topos_host[c] = prop_topos[c]
+
+        # --- MC^3 swap proposal (host; scalar bookkeeping) ------------------
+        if n_chains > 1:
+            lnl_host = np.array(lnl)  # mutable copies (np.asarray of a
+            lengths_host = np.array(lengths_dev)  # device array is read-only)
+            logprior_host = np.asarray(
+                _exp_logprior(jnp.asarray(lengths_host), prior_rate)
+            )
+            swapped = False
+            for r in range(n_runs):
+                k = int(rng.integers(n_chains - 1))
+                i, j = r * n_chains + k, r * n_chains + k + 1
+                post_i = lnl_host[i] + logprior_host[i]
+                post_j = lnl_host[j] + logprior_host[j]
+                log_alpha = (beta_host[i] - beta_host[j]) * (post_j - post_i)
+                acc["swap_n"] += 1
+                if np.log(rng.uniform()) < log_alpha:
+                    acc["swap"] += 1
+                    swapped = True
+                    children_host[[i, j]] = children_host[[j, i]]
+                    lengths_host[[i, j]] = lengths_host[[j, i]]
+                    lnl_host[[i, j]] = lnl_host[[j, i]]
+                    topos_host[i], topos_host[j] = topos_host[j], topos_host[i]
+            if swapped:
+                children_dev = jnp.asarray(children_host)
+                lengths_dev = jnp.asarray(lengths_host)
+                lnl = jnp.asarray(lnl_host)
+
+        # --- sampling -------------------------------------------------------
+        if gen > n_burnin and gen % sample_every == 0:
+            lnl_host = np.asarray(lnl)
+            lengths_host = np.asarray(lengths_dev)
+            for r, row in enumerate(cold_rows):
+                samples_children.append(children_host[row].copy())
+                samples_lengths.append(lengths_host[row].copy())
+                samples_lnl.append(float(lnl_host[row]))
+                samples_run.append(r)
+        if progress_every and gen % progress_every == 0:
+            lnl_host = np.asarray(lnl)
+            cold = " ".join(f"{lnl_host[r]:.2f}" for r in cold_rows)
+            print(f"[mcmc] gen {gen}/{n_generations} cold lnL: {cold}")
+
+    # --- summaries ----------------------------------------------------------
+    # Summarize on a CANONICAL ROOTING (re-root every sample on leaf 0):
+    # under a reversible model the data cannot identify the root, so chains
+    # wander over rootings and raw rooted-clade frequencies fluctuate even
+    # at a fixed unrooted topology. Rooting on leaf 0 makes clades correspond
+    # 1:1 to unrooted splits — the quantity MrBayes-style summaries (split
+    # posteriors, consensus, ASDSF) are defined on.
+    from trex_tpu.io import reroot_on_outgroup
+
+    sample_topos = [
+        reroot_on_outgroup(
+            Topology(children=c, parents=zero_parents), [0]
+        )[0]
+        for c in samples_children
+    ]
+    per_run = [
+        [t for t, r in zip(sample_topos, samples_run) if r == rr]
+        for rr in range(n_runs)
+    ]
+    split_post = split_frequencies(sample_topos) if sample_topos else {}
+    consensus = (
+        majority_rule_consensus(sample_topos, leaf_names)[0]
+        if sample_topos
+        else ""
+    )
+    per_run_lnl = [
+        np.array([v for v, r in zip(samples_lnl, samples_run) if r == rr])
+        for rr in range(n_runs)
+    ]
+    ess = float(
+        sum(effective_sample_size(t) for t in per_run_lnl if t.size > 0)
+    )
+    mean_lengths = (
+        np.mean(np.stack(samples_lengths), axis=0)
+        if samples_lengths
+        else np.zeros(n_all, np.float32)
+    )
+    return McmcResult(
+        sample_children=(
+            np.stack(samples_children)
+            if samples_children
+            else np.zeros((0, n_anc, 2), np.int32)
+        ),
+        sample_lengths=(
+            np.stack(samples_lengths)
+            if samples_lengths
+            else np.zeros((0, n_all), np.float32)
+        ),
+        sample_lnl=np.asarray(samples_lnl, dtype=np.float64),
+        sample_run=np.asarray(samples_run, dtype=np.int32),
+        split_posterior=split_post,
+        consensus_newick=consensus,
+        acceptance={
+            "branch": acc["branch"] / max(acc["branch_n"], 1),
+            "topology": acc["topology"] / max(acc["topology_n"], 1),
+            "swap": acc["swap"] / max(acc["swap_n"], 1),
+        },
+        asdsf=average_stddev_split_freqs(per_run),
+        ess_lnl=ess,
+        generations=n_generations,
+        mean_lengths=mean_lengths.astype(np.float32),
+    )
