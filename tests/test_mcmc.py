@@ -238,6 +238,32 @@ def test_carry_lengths_preserves_multiset_and_clades():
                 assert out[new.n_leaves + i] == pytest.approx(old_map[s])
 
 
+def test_batch_carry_matches_reference_carry():
+    """Hash-based vectorized carry == per-neighbor frozenset carry."""
+    from trex_tpu.io import nni_neighbors_host
+    from trex_tpu.search.mcmc import _carry_lengths_nni_batch
+
+    rng = np.random.default_rng(1)
+    for seed, n_leaves in ((0, 6), (1, 11), (2, 17)):
+        topo = _single(seed, n_leaves)
+        lengths = rng.exponential(0.1, size=topo.n_all).astype(np.float32)
+        lengths[-1] = 0.0
+        nbr_c, _ = nni_neighbors_host(topo)
+        salt = rng.integers(1, 2**62, size=n_leaves, dtype=np.uint64) * 2 + 1
+        got = _carry_lengths_nni_batch(
+            np.asarray(topo.children), lengths, nbr_c, n_leaves, salt
+        )
+        for j in range(nbr_c.shape[0]):
+            want = carry_lengths_nni(
+                topo, lengths,
+                Topology(
+                    children=nbr_c[j],
+                    parents=np.zeros(topo.n_all, np.int32),
+                ),
+            )
+            np.testing.assert_allclose(got[j], want, rtol=1e-6)
+
+
 def test_effective_sample_size_behaviour():
     rng = np.random.default_rng(0)
     iid = rng.normal(size=2000)

@@ -104,28 +104,87 @@ def _make_device_kernels(
     prior_rate: float,
     gamma_shape: float | None,
     n_categories: int,
+    force_lax: bool = False,
 ):
-    """Jitted (batched lnL, branch-sweep) kernels closed over the data."""
-    from trex_tpu.ops.likelihood import per_site_log_likelihood
+    """Jitted (batched lnL, branch-sweep) kernels closed over the data.
 
-    n_anc = n_all - (n_all + 1) // 2
+    On a TPU backend, plain JC / fixed-GTR scoring goes through the fused
+    Pallas pruning kernel (forward-only — exactly what Metropolis needs);
+    +Gamma models and CPU runs use the lax path. Fixed-GTR transitions come
+    from the precomputed eigensystem (one diag-exp matmul per branch), not
+    per-branch ``expm`` — the model is frozen during the MCMC, so the
+    AD-robustness reason for ``expm`` (``ops.likelihood`` docstring) does
+    not apply.
+    """
+    from trex_tpu.ops.likelihood import (
+        gtr_eigensystem,
+        gtr_transition,
+        per_site_log_likelihood,
+    )
 
-    def lnl_one(children, lengths):
-        topo = Topology(
-            children=children,
-            parents=jnp.zeros((n_all,), dtype=jnp.int32),  # shapes only
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and gamma_shape is None
+        and not force_lax
+    )
+    if rates is not None or freqs is not None:
+        q = n_states
+        eig_freqs = jnp.full((q,), 1.0 / q) if freqs is None else freqs
+        eig_rates = jnp.ones((q, q)) if rates is None else rates
+        eigvals, left, right = gtr_eigensystem(eig_rates, eig_freqs)
+    else:
+        eigvals = None
+
+    if use_pallas:
+        from trex_tpu.ops.likelihood_pallas import (
+            batched_log_likelihood_pallas,
         )
-        per_site = per_site_log_likelihood(
-            topo, lengths, leaf_sequences, n_states,
-            rates=rates, freqs=freqs,
-            gamma_shape=gamma_shape, n_categories=n_categories,
-            sequences_are_masks=sequences_are_masks,
-        )
-        if site_weights is not None:
-            per_site = per_site * site_weights
-        return jnp.sum(per_site)
 
-    batched_lnl = jax.jit(jax.vmap(lnl_one))
+        def batched_lnl_impl(children, lengths):
+            topo = Topology(
+                children=children,
+                parents=jnp.zeros(
+                    children.shape[:-2] + (n_all,), dtype=jnp.int32
+                ),
+            )
+            pmats = None
+            prior = None
+            if eigvals is not None:
+                pmats = jax.vmap(
+                    jax.vmap(
+                        lambda t: gtr_transition(t, eigvals, left, right)
+                    )
+                )(lengths)
+                prior = eig_freqs
+            return batched_log_likelihood_pallas(
+                topo, lengths, leaf_sequences, n_states,
+                transition_matrices=pmats, root_prior=prior,
+                site_weights=site_weights,
+                sequences_are_masks=sequences_are_masks,
+            )
+
+        batched_lnl = jax.jit(batched_lnl_impl)
+        batched_eval = batched_lnl_impl
+    else:
+        def lnl_one(children, lengths):
+            topo = Topology(
+                children=children,
+                parents=jnp.zeros((n_all,), dtype=jnp.int32),  # shapes only
+            )
+            per_site = per_site_log_likelihood(
+                topo, lengths, leaf_sequences, n_states,
+                rates=rates, freqs=freqs,
+                gamma_shape=gamma_shape, n_categories=n_categories,
+                sequences_are_masks=sequences_are_masks,
+            )
+            if site_weights is not None:
+                per_site = per_site * site_weights
+            return jnp.sum(per_site)
+
+        batched_lnl = jax.jit(jax.vmap(lnl_one))
+
+        def batched_eval(children, lengths):
+            return jax.vmap(lnl_one)(children, lengths)
 
     @partial(jax.jit, static_argnames=("steps",))
     def branch_sweep(children, lengths, lnl, key, beta, steps, tuning):
@@ -147,7 +206,7 @@ def _make_device_kernels(
             old = lengths[rows, node]
             new = old * factor
             prop = lengths.at[rows, node].set(new)
-            prop_lnl = jax.vmap(lnl_one)(children, prop)
+            prop_lnl = batched_eval(children, prop)
             prop_logprior = logprior - prior_rate * (new - old)
             log_alpha = (
                 beta * (prop_lnl - lnl + prop_logprior - logprior)
@@ -166,7 +225,6 @@ def _make_device_kernels(
         )
         return lengths, lnl, accepted
 
-    _ = n_anc  # documented shape only
     return batched_lnl, branch_sweep
 
 
@@ -204,6 +262,72 @@ def carry_lengths_nni(
     out = np.array(old_lengths, dtype=np.float32, copy=True)
     for i, s in enumerate(new_sets):
         out[n_leaves + i] = old_map.get(s, inherit.get(s, 0.0))
+    return out
+
+
+def _clade_hash_batch(
+    children_batch: np.ndarray, n_leaves: int, salt: np.ndarray
+) -> np.ndarray:
+    """(B, n_all) additive clade hashes: hash(node) = sum of its leaves'
+    salts (uint64 wraparound). Disjoint leaf sets -> distinct sums w.h.p."""
+    b, n_anc, _ = children_batch.shape
+    n_all = n_leaves + n_anc
+    h = np.zeros((b, n_all), np.uint64)
+    h[:, :n_leaves] = salt[None, :]
+    rows = np.arange(b)
+    for a in range(n_anc):
+        h[:, n_leaves + a] = (
+            h[rows, children_batch[:, a, 0]] + h[rows, children_batch[:, a, 1]]
+        )
+    return h
+
+
+def _carry_lengths_nni_batch(
+    old_children: np.ndarray,
+    old_lengths: np.ndarray,
+    nbr_children: np.ndarray,
+    n_leaves: int,
+    salt: np.ndarray,
+) -> np.ndarray:
+    """Vectorized ``carry_lengths_nni`` over a whole NNI neighborhood.
+
+    Same semantics (clade-identity carry, single changed clade inherits the
+    single leftover length) but via additive clade hashes + searchsorted —
+    O(B * n) numpy instead of O(B * n^2) Python frozenset work. The
+    per-neighbor hot path of the informed proposal.
+    """
+    n_anc = n_leaves - 1
+    n_all = 2 * n_leaves - 1
+    b = nbr_children.shape[0]
+    old_h = _clade_hash_batch(old_children[None], n_leaves, salt)[0]
+    new_h = _clade_hash_batch(nbr_children, n_leaves, salt)
+    anc_old_h = old_h[n_leaves:]
+    order = np.argsort(anc_old_h, kind="stable")
+    sorted_h = anc_old_h[order]
+    anc_len_sorted = old_lengths[n_leaves:][order]
+    idx = np.minimum(
+        np.searchsorted(sorted_h, new_h[:, n_leaves:]), n_anc - 1
+    )
+    match = sorted_h[idx] == new_h[:, n_leaves:]
+    out = np.broadcast_to(
+        old_lengths.astype(np.float32), (b, n_all)
+    ).copy()
+    out[:, n_leaves:] = np.where(match, anc_len_sorted[idx], 0.0)
+    miss_rows, miss_cols = np.where(~match)
+    if miss_rows.size:
+        # NNI changes exactly one clade; the leftover old hash is the total
+        # minus the matched row sum (exact under uint64 wraparound).
+        assert miss_rows.size == b and np.array_equal(
+            miss_rows, np.arange(b)
+        ), "NNI neighbors must each change exactly one clade"
+        total = anc_old_h.sum(dtype=np.uint64)
+        matched = np.where(match, sorted_h[idx], np.uint64(0)).sum(
+            axis=1, dtype=np.uint64
+        )
+        pos = np.minimum(
+            np.searchsorted(sorted_h, total - matched), n_anc - 1
+        )
+        out[miss_rows, n_leaves + miss_cols] = anc_len_sorted[pos]
     return out
 
 
@@ -325,6 +449,7 @@ def mcmc_sample(
 
     seeds = np.asarray(jax.random.key_data(key)).ravel()
     rng = np.random.default_rng(int(seeds[-1]))
+    clade_salt = rng.integers(1, 2**62, size=n_leaves, dtype=np.uint64) * 2 + 1
 
     # --- initial state -----------------------------------------------------
     if start is not None:
@@ -334,13 +459,14 @@ def mcmc_sample(
     else:
         starts = sample_topologies(int(rng.integers(2**31)), n_leaves, n_total)
         children_host = np.asarray(starts.children).copy()
-    # Host-side Topology views carry NUMPY arrays: the host move/clade
-    # machinery reads them every generation and must not bounce off device.
+    # ``children_host`` is the single source of truth for chain topologies;
+    # Topology views over its rows are built on the fly for the host move
+    # machinery (which reads children only). No second copy may exist —
+    # aliased views made row swaps self-cancelling in an earlier draft.
     zero_parents = np.zeros((n_all,), dtype=np.int32)
-    topos_host = [
-        Topology(children=children_host[c], parents=zero_parents)
-        for c in range(n_total)
-    ]
+
+    def topo_view(row: np.ndarray) -> Topology:
+        return Topology(children=row, parents=zero_parents)
     if start_lengths is not None:
         lengths_host = np.broadcast_to(
             np.asarray(start_lengths, dtype=np.float32)[None], (n_total, n_all)
@@ -359,7 +485,7 @@ def mcmc_sample(
         jnp.asarray(leaf_sequences), n_states, n_all,
         None if site_weights is None else jnp.asarray(site_weights),
         sequences_are_masks, rates, freqs, prior_rate,
-        gamma_shape, n_categories,
+        gamma_shape, n_categories, force_lax=prior_only,
     )
 
     beta_host = np.array(
@@ -368,9 +494,20 @@ def mcmc_sample(
     )
     beta = jnp.asarray(beta_host)
 
-    children_dev = jnp.asarray(children_host)
-    lengths_dev = jnp.asarray(lengths_host)
-    lnl = batched_lnl(children_dev, lengths_dev)
+    # The HOST owns the chain state (children/lengths/lnl mirrors); the
+    # device only evaluates batched likelihoods. Each generation costs 2-3
+    # blocking device round trips total (batched jax.device_get), which is
+    # what bounds wall speed through a remote-tunnel TPU (~20 ms RTT).
+    lnl_host = np.array(
+        jax.device_get(
+            batched_lnl(jnp.asarray(children_host), jnp.asarray(lengths_host))
+        )
+    )
+
+    def host_logprior(lens: np.ndarray) -> np.ndarray:
+        return np.log(prior_rate) * (n_all - 1) - prior_rate * lens[
+            :, :-1
+        ].sum(axis=1)
 
     n_burnin = int(burnin_frac * n_generations)
     cold_rows = [r * n_chains for r in range(n_runs)]
@@ -382,49 +519,48 @@ def mcmc_sample(
     acc = {"branch": 0, "branch_n": 0, "topology": 0, "topology_n": 0,
            "swap": 0, "swap_n": 0}
 
+    n_nbr = 2 * (n_leaves - 2)  # constant for every topology
+
+    def neighborhood(children, lens):
+        """Stacked NNI neighborhoods + carried lengths + lnLs (1 sync)."""
+        ch = np.empty((n_total, n_nbr, n_anc, 2), np.int32)
+        ln = np.empty((n_total, n_nbr, n_all), np.float32)
+        for c in range(n_total):
+            nbr_c, _ = nni_neighbors_host(topo_view(children[c]))
+            ch[c] = nbr_c
+            ln[c] = _carry_lengths_nni_batch(
+                children[c], lens[c], nbr_c, n_leaves, clade_salt,
+            )
+        flat_lnl = batched_lnl(
+            jnp.asarray(ch.reshape(-1, n_anc, 2)),
+            jnp.asarray(ln.reshape(-1, n_all)),
+        )
+        return ch, ln, np.asarray(
+            jax.device_get(flat_lnl)
+        ).reshape(n_total, n_nbr)
+
     key_dev = key
     for gen in range(1, n_generations + 1):
-        # --- branch-length sweep (device) ----------------------------------
+        # --- branch-length sweep (device; 1 sync) ---------------------------
         if branch_moves_per_gen > 0:
             key_dev, sub = jax.random.split(key_dev)
-            lengths_dev, lnl, accepted = branch_sweep(
-                children_dev, lengths_dev, lnl, sub, beta,
+            out = branch_sweep(
+                jnp.asarray(children_host), jnp.asarray(lengths_host),
+                jnp.asarray(lnl_host), sub, beta,
                 branch_moves_per_gen, tuning,
             )
+            new_lengths, new_lnl, accepted = jax.device_get(out)
+            lengths_host = np.array(new_lengths)
+            lnl_host = np.array(new_lnl)
             acc["branch"] += int(accepted)
             acc["branch_n"] += branch_moves_per_gen * n_total
 
         # --- NNI topology round (host proposal, device scoring) ------------
         if topo_moves and n_leaves >= 4:
-            lengths_host = np.asarray(lengths_dev)
             if topo_proposal == "informed":
-                n_nbr = 2 * (n_leaves - 2)  # constant for every topology
-
-                def neighborhood(topos, lens):
-                    """Stacked NNI neighborhoods + carried lengths + lnLs."""
-                    ch = np.empty((n_total, n_nbr, n_anc, 2), np.int32)
-                    ln = np.empty((n_total, n_nbr, n_all), np.float32)
-                    for c in range(n_total):
-                        nbr_c, _ = nni_neighbors_host(topos[c])
-                        ch[c] = nbr_c
-                        for j in range(n_nbr):
-                            ln[c, j] = carry_lengths_nni(
-                                topos[c], lens[c],
-                                Topology(
-                                    children=nbr_c[j], parents=zero_parents
-                                ),
-                            )
-                    flat_lnl = batched_lnl(
-                        jnp.asarray(ch.reshape(-1, n_anc, 2)),
-                        jnp.asarray(ln.reshape(-1, n_all)),
-                    )
-                    return ch, ln, np.asarray(flat_lnl).reshape(
-                        n_total, n_nbr
-                    )
-
                 # Forward: draw y ~ exp(beta/2 lnl) over N(x) (the branch
                 # prior is invariant under the carry, so it cancels).
-                ch_x, ln_x, lnl_x_nbr = neighborhood(topos_host, lengths_host)
+                ch_x, ln_x, lnl_x_nbr = neighborhood(children_host, lengths_host)
                 logw_x = 0.5 * beta_host[:, None] * lnl_x_nbr
                 z_x = _logsumexp_rows(logw_x)
                 probs = np.exp(logw_x - z_x[:, None])
@@ -435,65 +571,46 @@ def mcmc_sample(
                 rows = np.arange(n_total)
                 prop_children = ch_x[rows, picks]
                 prop_lengths = ln_x[rows, picks]
-                prop_lnl_host = lnl_x_nbr[rows, picks]
-                prop_topos = [
-                    Topology(children=prop_children[c], parents=zero_parents)
-                    for c in range(n_total)
-                ]
+                prop_lnl = lnl_x_nbr[rows, picks]
                 # Reverse normalizer over N(y) (x is in it by NNI symmetry
                 # with exactly the current lengths: the carry is involutive).
-                _, _, lnl_y_nbr = neighborhood(prop_topos, prop_lengths)
+                _, _, lnl_y_nbr = neighborhood(prop_children, prop_lengths)
                 z_y = _logsumexp_rows(0.5 * beta_host[:, None] * lnl_y_nbr)
                 log_alpha = (
-                    0.5 * beta_host * (prop_lnl_host - np.asarray(lnl))
-                    + z_x - z_y
+                    0.5 * beta_host * (prop_lnl - lnl_host) + z_x - z_y
                 )
-                prop_lnl = jnp.asarray(prop_lnl_host)
-                prop_children_dev = jnp.asarray(prop_children)
-                prop_lengths_dev = jnp.asarray(prop_lengths)
-            else:  # plain uniform NNI (symmetric)
+            else:  # plain uniform NNI (symmetric; 1 sync)
                 prop_children = np.empty_like(children_host)
                 prop_lengths = np.empty_like(lengths_host)
-                prop_topos = []
                 for c in range(n_total):
-                    nbr_c, _ = nni_neighbors_host(topos_host[c])
+                    nbr_c, _ = nni_neighbors_host(topo_view(children_host[c]))
                     j = int(rng.integers(nbr_c.shape[0]))
-                    new_topo = Topology(children=nbr_c[j], parents=zero_parents)
                     prop_children[c] = nbr_c[j]
                     prop_lengths[c] = carry_lengths_nni(
-                        topos_host[c], lengths_host[c], new_topo
+                        topo_view(children_host[c]), lengths_host[c],
+                        topo_view(nbr_c[j]),
                     )
-                    prop_topos.append(new_topo)
-                prop_children_dev = jnp.asarray(prop_children)
-                prop_lengths_dev = jnp.asarray(prop_lengths)
-                prop_lnl = batched_lnl(prop_children_dev, prop_lengths_dev)
+                prop_lnl = np.asarray(
+                    jax.device_get(
+                        batched_lnl(
+                            jnp.asarray(prop_children),
+                            jnp.asarray(prop_lengths),
+                        )
+                    )
+                )
                 # Same length multiset -> prior unchanged; symmetric proposal.
-                log_alpha = beta_host * (np.asarray(prop_lnl) - np.asarray(lnl))
+                log_alpha = beta_host * (prop_lnl - lnl_host)
             take = np.log(rng.uniform(size=n_total)) < log_alpha
             acc["topology"] += int(take.sum())
             acc["topology_n"] += n_total
-            if take.any():
-                take_dev = jnp.asarray(take)
-                children_dev = jnp.where(
-                    take_dev[:, None, None], prop_children_dev, children_dev
-                )
-                lengths_dev = jnp.where(
-                    take_dev[:, None], prop_lengths_dev, lengths_dev
-                )
-                lnl = jnp.where(take_dev, prop_lnl, lnl)
-                for c in range(n_total):
-                    if take[c]:
-                        children_host[c] = prop_children[c]
-                        topos_host[c] = prop_topos[c]
+            for c in np.where(take)[0]:
+                children_host[c] = prop_children[c]
+                lengths_host[c] = prop_lengths[c]
+                lnl_host[c] = prop_lnl[c]
 
-        # --- MC^3 swap proposal (host; scalar bookkeeping) ------------------
+        # --- MC^3 swap proposal (host-only bookkeeping) ---------------------
         if n_chains > 1:
-            lnl_host = np.array(lnl)  # mutable copies (np.asarray of a
-            lengths_host = np.array(lengths_dev)  # device array is read-only)
-            logprior_host = np.asarray(
-                _exp_logprior(jnp.asarray(lengths_host), prior_rate)
-            )
-            swapped = False
+            logprior_host = host_logprior(lengths_host)
             for r in range(n_runs):
                 k = int(rng.integers(n_chains - 1))
                 i, j = r * n_chains + k, r * n_chains + k + 1
@@ -503,27 +620,18 @@ def mcmc_sample(
                 acc["swap_n"] += 1
                 if np.log(rng.uniform()) < log_alpha:
                     acc["swap"] += 1
-                    swapped = True
                     children_host[[i, j]] = children_host[[j, i]]
                     lengths_host[[i, j]] = lengths_host[[j, i]]
                     lnl_host[[i, j]] = lnl_host[[j, i]]
-                    topos_host[i], topos_host[j] = topos_host[j], topos_host[i]
-            if swapped:
-                children_dev = jnp.asarray(children_host)
-                lengths_dev = jnp.asarray(lengths_host)
-                lnl = jnp.asarray(lnl_host)
 
-        # --- sampling -------------------------------------------------------
+        # --- sampling (host mirrors; no sync) -------------------------------
         if gen > n_burnin and gen % sample_every == 0:
-            lnl_host = np.asarray(lnl)
-            lengths_host = np.asarray(lengths_dev)
             for r, row in enumerate(cold_rows):
                 samples_children.append(children_host[row].copy())
                 samples_lengths.append(lengths_host[row].copy())
                 samples_lnl.append(float(lnl_host[row]))
                 samples_run.append(r)
         if progress_every and gen % progress_every == 0:
-            lnl_host = np.asarray(lnl)
             cold = " ".join(f"{lnl_host[r]:.2f}" for r in cold_rows)
             print(f"[mcmc] gen {gen}/{n_generations} cold lnL: {cold}")
 
