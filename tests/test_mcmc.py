@@ -274,3 +274,120 @@ def test_effective_sample_size_behaviour():
     for i in range(1, 2000):
         x[i] = 0.98 * x[i - 1] + rng.normal() * 0.02
     assert effective_sample_size(x) < ess_iid / 5
+
+
+def test_sampled_model_prior_recovers_dirichlet():
+    """Full-Bayes mode, prior only: simplices must match Dirichlet(1).
+
+    Dirichlet(1) marginals: freqs mean 1/4, sd sqrt(3/16/5) ~ 0.194;
+    rates (k=6) mean 1/6, sd ~ 0.141. Tolerances account for the random
+    walk's autocorrelation at proposal concentration 20."""
+    res = mcmc_sample(
+        jax.random.PRNGKey(0), jnp.zeros((5, 4), jnp.int32), 4,
+        n_generations=5000, n_runs=1, n_chains=1, sample_every=4,
+        burnin_frac=0.2, prior_only=True, sample_model=True,
+        model_tuning=20.0, branch_moves_per_gen=1,
+    )
+    f, r = res.sample_freqs, res.sample_rates
+    assert np.all(np.abs(f.mean(0) - 0.25) < 0.12)
+    assert np.all(np.abs(r.mean(0) - 1 / 6) < 0.09)
+    assert 0.10 < f.std(0).mean() < 0.28
+    assert 0.08 < r.std(0).mean() < 0.22
+    assert res.acceptance["model"] > 0.15
+
+
+def test_sampled_model_recovers_gtr():
+    """Full Bayes recovers HKY-like exchangeabilities + skewed freqs."""
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.search.mcmc import _matrix_to_pairs
+
+    truth = _single(7, 10)
+    rates = np.ones((4, 4), np.float32)
+    rates[0, 2] = rates[2, 0] = 4.0  # A<->G transitions
+    rates[1, 3] = rates[3, 1] = 4.0  # C<->T transitions
+    freqs = np.array([0.35, 0.15, 0.20, 0.30], np.float32)
+    aln = simulate_alignment(
+        jax.random.PRNGKey(1), truth, np.full(19, 0.15, np.float32),
+        n_sites=1500, rates=rates, freqs=freqs,
+    )
+    res = mcmc_sample(
+        jax.random.PRNGKey(2), jnp.asarray(aln.astype(np.int32)), 4,
+        n_generations=2500, n_runs=1, n_chains=1, sample_every=5,
+        burnin_frac=0.4, branch_moves_per_gen=4,
+        sample_model=True, model_tuning=300.0,
+        start=truth, topo_moves=False,
+    )
+    f = res.sample_freqs.mean(0)
+    r = res.sample_rates.mean(0)
+    np.testing.assert_allclose(f, freqs, atol=0.035)
+    true_pairs = _matrix_to_pairs(rates, 4)
+    np.testing.assert_allclose(r, true_pairs, atol=0.05)
+    # Transitions (pairs AG=idx1, CT=idx4) clearly above transversions.
+    transitions = r[[1, 4]].mean()
+    transversions = r[[0, 2, 3, 5]].mean()
+    assert transitions > 2.5 * transversions
+
+
+def test_pallas_prior_folding_matches_lax():
+    """Per-tree root priors folded into the root-child P == explicit prior.
+
+    The sampled-model Pallas path cannot pass per-tree root priors, so it
+    scales the root's first child transition rows by diag(freqs) and sums
+    with a ones prior. Verified in interpret mode against the lax pruning
+    with explicit transition matrices + true prior."""
+    from trex_tpu.ops.likelihood import (
+        _per_site_log_likelihood,
+        gtr_eigensystem,
+        gtr_transition,
+    )
+    from trex_tpu.ops.likelihood_pallas import batched_log_likelihood_pallas
+    from trex_tpu.search.mcmc import _pairs_to_matrix
+
+    rng = np.random.default_rng(0)
+    n_leaves, q, length, batch = 7, 4, 96, 3
+    topos = sample_topologies(5, n_leaves, batch)
+    children = jnp.asarray(np.asarray(topos.children))
+    n_all = 2 * n_leaves - 1
+    lengths = jnp.asarray(
+        rng.exponential(0.1, size=(batch, n_all)).astype(np.float32)
+    )
+    leaves = jnp.asarray(rng.integers(0, q, size=(n_leaves, length)))
+    rates_v = jnp.asarray(
+        rng.dirichlet(np.ones(q * (q - 1) // 2), size=batch).astype(np.float32)
+    )
+    freqs_v = jnp.asarray(rng.dirichlet(np.ones(q), size=batch).astype(np.float32))
+
+    def pmats_of(lens_row, rv, fr):
+        eigvals, left, right = gtr_eigensystem(_pairs_to_matrix(rv, q), fr)
+        return jax.vmap(lambda t: gtr_transition(t, eigvals, left, right))(
+            lens_row
+        )
+
+    pmats = jax.vmap(pmats_of)(lengths, rates_v, freqs_v)
+    want = np.array([
+        float(
+            jnp.sum(
+                _per_site_log_likelihood(
+                    Topology(
+                        children=children[b],
+                        parents=jnp.zeros((n_all,), jnp.int32),
+                    ),
+                    lengths[b], leaves, q,
+                    transition_matrices=pmats[b], root_prior=freqs_v[b],
+                )
+            )
+        )
+        for b in range(batch)
+    ])
+    c1 = children[:, -1, 0]
+    folded = pmats.at[jnp.arange(batch), c1].multiply(freqs_v[:, :, None])
+    got = batched_log_likelihood_pallas(
+        Topology(
+            children=children, parents=jnp.zeros((batch, n_all), jnp.int32)
+        ),
+        lengths, leaves, q,
+        transition_matrices=folded,
+        root_prior=jnp.ones((q,), jnp.float32),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5)

@@ -1766,6 +1766,10 @@ def cmd_mcmc(args) -> None:
     }
     rates = freqs = None
     gamma_shape = None
+    if args.full_bayes and args.model == "jc":
+        # Full Bayes samples a GTR parameterization; ML-fit a seed first.
+        args.model = "gtr"
+        out["model"] = "gtr (full Bayes)"
     if args.model != "jc":
         if "+i" in args.model or "+r" in args.model:
             raise SystemExit(
@@ -1790,7 +1794,11 @@ def cmd_mcmc(args) -> None:
         if "gamma_shape" in params:
             gamma_shape = float(params["gamma_shape"])
             out["gamma_shape"] = round(gamma_shape, 4)
-        out["model_fit"] = "ML on NJ start tree, fixed during MCMC"
+        out["model_fit"] = (
+            "ML on NJ start tree, chain seed (sampled during MCMC)"
+            if args.full_bayes
+            else "ML on NJ start tree, fixed during MCMC"
+        )
 
     res = mcmc_sample(
         jax.random.PRNGKey(args.seed), jnp.asarray(patterns_np), n_states,
@@ -1802,8 +1810,16 @@ def cmd_mcmc(args) -> None:
         brlen_prior_mean=args.brlen_prior_mean,
         site_weights=weights, sequences_are_masks=True,
         rates=rates, freqs=freqs, gamma_shape=gamma_shape,
+        sample_model=args.full_bayes,
         leaf_names=names, progress_every=args.progress_every,
     )
+    if args.full_bayes and res.sample_freqs is not None:
+        out["posterior_freqs"] = [
+            round(float(x), 4) for x in res.sample_freqs.mean(0)
+        ]
+        out["posterior_rates"] = [
+            round(float(x), 4) for x in res.sample_rates.mean(0)
+        ]
     # Samples are canonically rooted on leaf 0, so clades of size
     # n_taxa - 1 are the always-present root split — trivial, skip them.
     split_names = sorted(
@@ -2184,6 +2200,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="branch-length moves per generation")
     p.add_argument("--proposal", choices=["informed", "nni"],
                    default="informed")
+    p.add_argument("--full-bayes", action="store_true",
+                   help="sample GTR exchangeabilities + frequencies in the "
+                   "chain (flat Dirichlet priors) instead of fixing them "
+                   "at the ML fit")
     p.add_argument("--brlen-prior-mean", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-tree", default=None,

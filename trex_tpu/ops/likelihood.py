@@ -357,14 +357,28 @@ def _per_site_log_likelihood(
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
     sequences_are_masks: bool = False,
+    transition_matrices: jax.Array | None = None,
+    root_prior: jax.Array | None = None,
 ) -> jax.Array:
-    """(L,) per-site log-likelihoods (same recursion as tree_log_likelihood)."""
+    """(L,) per-site log-likelihoods (same recursion as tree_log_likelihood).
+
+    ``transition_matrices`` ((n_all, Q, Q), one P per branch) overrides the
+    model arguments entirely (then ``root_prior`` must be given) — the path
+    for callers that precompute transitions, e.g. per-chain sampled-model
+    MCMC where the eigensystem is built once per proposal.
+    """
     n_leaves = topology.n_leaves
     n_all = topology.n_all
     length = leaf_sequences.shape[-1]
     q = n_states
 
-    if rates is not None or freqs is not None:
+    pmats_all = None
+    if transition_matrices is not None:
+        if root_prior is None:
+            raise ValueError("transition_matrices requires root_prior")
+        pmats_all = transition_matrices
+        transition = None
+    elif rates is not None or freqs is not None:
         if freqs is None:
             freqs = jnp.full((q,), 1.0 / q)
         if rates is None:
@@ -400,7 +414,10 @@ def _per_site_log_likelihood(
         partials, logscale = carry
         anc_offset, child_pair = inputs
         child_partials = partials[child_pair]
-        child_mats = jax.vmap(transition)(branch_lengths[child_pair])
+        if pmats_all is not None:
+            child_mats = pmats_all[child_pair]
+        else:
+            child_mats = jax.vmap(transition)(branch_lengths[child_pair])
         messages = jnp.einsum(
             "cij,cjl->cil", child_mats, child_partials,
             preferred_element_type=jnp.float32,

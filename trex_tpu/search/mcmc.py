@@ -79,6 +79,11 @@ class McmcResult:
     """(n_all,) pooled mean branch length per canonical node index. Node
     identity mixes across topologies; for per-clade summaries aggregate
     ``sample_lengths`` over ``sample_children`` clades instead."""
+    sample_rates: np.ndarray | None = None
+    """(n_samples, Q(Q-1)/2) sampled exchangeability simplices (upper
+    triangle, row-major) in sampled-model mode; None otherwise."""
+    sample_freqs: np.ndarray | None = None
+    """(n_samples, Q) sampled stationary-frequency simplices, or None."""
 
 
 def _logsumexp_rows(logw: np.ndarray) -> np.ndarray:
@@ -90,6 +95,29 @@ def _exp_logprior(lengths: jax.Array, rate: float) -> jax.Array:
     """log p(branch lengths) under iid Exponential(rate); root entry excluded."""
     return jnp.log(rate) * (lengths.shape[-1] - 1) - rate * jnp.sum(
         lengths[..., :-1], axis=-1
+    )
+
+
+def _pairs_to_matrix(vec: jax.Array, q: int) -> jax.Array:
+    """(Q(Q-1)/2,) upper-triangle exchangeabilities -> (Q, Q) symmetric."""
+    iu = jnp.triu_indices(q, 1)
+    m = jnp.zeros((q, q), vec.dtype).at[iu].set(vec)
+    return m + m.T
+
+
+def _matrix_to_pairs(m: np.ndarray, q: int) -> np.ndarray:
+    iu = np.triu_indices(q, 1)
+    vec = np.asarray(m, dtype=np.float64)[iu]
+    return (vec / vec.sum()).astype(np.float32)
+
+
+def _dirichlet_logpdf(x: jax.Array, alpha: jax.Array) -> jax.Array:
+    from jax.scipy.special import gammaln
+
+    return (
+        gammaln(jnp.sum(alpha))
+        - jnp.sum(gammaln(alpha))
+        + jnp.sum((alpha - 1.0) * jnp.log(x))
     )
 
 
@@ -105,89 +133,170 @@ def _make_device_kernels(
     gamma_shape: float | None,
     n_categories: int,
     force_lax: bool = False,
+    sample_model: bool = False,
 ):
-    """Jitted (batched lnL, branch-sweep) kernels closed over the data.
+    """Jitted (batched lnL, branch sweep, model sweep) device kernels.
 
-    On a TPU backend, plain JC / fixed-GTR scoring goes through the fused
-    Pallas pruning kernel (forward-only — exactly what Metropolis needs);
-    +Gamma models and CPU runs use the lax path. Fixed-GTR transitions come
-    from the precomputed eigensystem (one diag-exp matmul per branch), not
-    per-branch ``expm`` — the model is frozen during the MCMC, so the
-    AD-robustness reason for ``expm`` (``ops.likelihood`` docstring) does
-    not apply.
+    On a TPU backend, scoring goes through the fused Pallas pruning kernel
+    (forward-only — exactly what Metropolis needs); +Gamma models and CPU
+    runs use the lax path. GTR transitions come from the eigensystem (one
+    diag-exp matmul per branch), not per-branch ``expm`` — model parameters
+    are constants within any one evaluation here, so the AD-robustness
+    reason for ``expm`` (``ops.likelihood`` docstring) does not apply.
+
+    With ``sample_model`` every lnL signature gains per-chain
+    ``(rates_vec (C, Q(Q-1)/2 simplex), freqs (C, Q) simplex)`` and a
+    ``model_sweep`` kernel performs one Dirichlet-centered Metropolis move
+    on each simplex per call (flat Dirichlet(1) priors, so only the
+    proposal densities enter the Hastings ratio). Per-tree root priors ride
+    the Pallas kernel by folding diag(freqs) into the root's first child
+    transition matrix (sum_s pi_s A_s B_s == sum_s (diag(pi) A)_s B_s).
     """
     from trex_tpu.ops.likelihood import (
+        _per_site_log_likelihood,
+        discrete_gamma_rates,
         gtr_eigensystem,
         gtr_transition,
         per_site_log_likelihood,
     )
 
+    q = n_states
     use_pallas = (
         jax.default_backend() == "tpu"
         and gamma_shape is None
         and not force_lax
     )
-    if rates is not None or freqs is not None:
-        q = n_states
-        eig_freqs = jnp.full((q,), 1.0 / q) if freqs is None else freqs
-        eig_rates = jnp.ones((q, q)) if rates is None else rates
-        eigvals, left, right = gtr_eigensystem(eig_rates, eig_freqs)
-    else:
-        eigvals = None
 
-    if use_pallas:
-        from trex_tpu.ops.likelihood_pallas import (
-            batched_log_likelihood_pallas,
-        )
-
-        def batched_lnl_impl(children, lengths):
-            topo = Topology(
-                children=children,
-                parents=jnp.zeros(
-                    children.shape[:-2] + (n_all,), dtype=jnp.int32
-                ),
+    if sample_model:
+        def pmats_of(lengths_row, rates_vec, freqs_row):
+            eigvals, left, right = gtr_eigensystem(
+                _pairs_to_matrix(rates_vec, q), freqs_row
             )
-            pmats = None
-            prior = None
-            if eigvals is not None:
-                pmats = jax.vmap(
-                    jax.vmap(
-                        lambda t: gtr_transition(t, eigvals, left, right)
+            return jax.vmap(
+                lambda t: gtr_transition(t, eigvals, left, right)
+            )(lengths_row)
+
+        if use_pallas:
+            from trex_tpu.ops.likelihood_pallas import (
+                batched_log_likelihood_pallas,
+            )
+
+            def batched_eval(children, lengths, rates_v, freqs_v):
+                batch = children.shape[0]
+                topo = Topology(
+                    children=children,
+                    parents=jnp.zeros((batch, n_all), dtype=jnp.int32),
+                )
+                pmats = jax.vmap(pmats_of)(lengths, rates_v, freqs_v)
+                # Fold the per-tree root prior into the root's first child
+                # P (scale its rows); kernel then sums with a ones prior.
+                c1 = children[:, -1, 0]
+                pmats = pmats.at[jnp.arange(batch), c1].multiply(
+                    freqs_v[:, :, None]
+                )
+                return batched_log_likelihood_pallas(
+                    topo, lengths, leaf_sequences, n_states,
+                    transition_matrices=pmats,
+                    root_prior=jnp.ones((q,), jnp.float32),
+                    site_weights=site_weights,
+                    sequences_are_masks=sequences_are_masks,
+                )
+        else:
+            def lnl_one(children, lengths, rates_vec, freqs_row):
+                topo = Topology(
+                    children=children,
+                    parents=jnp.zeros((n_all,), dtype=jnp.int32),
+                )
+
+                def per_site_at(scale):
+                    return _per_site_log_likelihood(
+                        topo, lengths, leaf_sequences, n_states,
+                        sequences_are_masks=sequences_are_masks,
+                        transition_matrices=pmats_of(
+                            lengths * scale, rates_vec, freqs_row
+                        ),
+                        root_prior=freqs_row,
                     )
-                )(lengths)
-                prior = eig_freqs
-            return batched_log_likelihood_pallas(
-                topo, lengths, leaf_sequences, n_states,
-                transition_matrices=pmats, root_prior=prior,
-                site_weights=site_weights,
-                sequences_are_masks=sequences_are_masks,
-            )
 
-        batched_lnl = jax.jit(batched_lnl_impl)
-        batched_eval = batched_lnl_impl
+                if gamma_shape is None:
+                    per_site = per_site_at(1.0)
+                else:
+                    cat = discrete_gamma_rates(gamma_shape, n_categories)
+                    per_site = jax.nn.logsumexp(
+                        jax.vmap(per_site_at)(cat), axis=0
+                    ) - jnp.log(n_categories)
+                if site_weights is not None:
+                    per_site = per_site * site_weights
+                return jnp.sum(per_site)
+
+            def batched_eval(children, lengths, rates_v, freqs_v):
+                return jax.vmap(lnl_one)(children, lengths, rates_v, freqs_v)
+
+        batched_lnl = jax.jit(batched_eval)
     else:
-        def lnl_one(children, lengths):
-            topo = Topology(
-                children=children,
-                parents=jnp.zeros((n_all,), dtype=jnp.int32),  # shapes only
-            )
-            per_site = per_site_log_likelihood(
-                topo, lengths, leaf_sequences, n_states,
-                rates=rates, freqs=freqs,
-                gamma_shape=gamma_shape, n_categories=n_categories,
-                sequences_are_masks=sequences_are_masks,
-            )
-            if site_weights is not None:
-                per_site = per_site * site_weights
-            return jnp.sum(per_site)
+        if rates is not None or freqs is not None:
+            eig_freqs = jnp.full((q,), 1.0 / q) if freqs is None else freqs
+            eig_rates = jnp.ones((q, q)) if rates is None else rates
+            eigvals, left, right = gtr_eigensystem(eig_rates, eig_freqs)
+        else:
+            eigvals = None
 
-        batched_lnl = jax.jit(jax.vmap(lnl_one))
+        if use_pallas:
+            from trex_tpu.ops.likelihood_pallas import (
+                batched_log_likelihood_pallas,
+            )
 
-        def batched_eval(children, lengths):
-            return jax.vmap(lnl_one)(children, lengths)
+            def batched_eval_fixed(children, lengths):
+                topo = Topology(
+                    children=children,
+                    parents=jnp.zeros(
+                        children.shape[:-2] + (n_all,), dtype=jnp.int32
+                    ),
+                )
+                pmats = None
+                prior = None
+                if eigvals is not None:
+                    pmats = jax.vmap(
+                        jax.vmap(
+                            lambda t: gtr_transition(t, eigvals, left, right)
+                        )
+                    )(lengths)
+                    prior = eig_freqs
+                return batched_log_likelihood_pallas(
+                    topo, lengths, leaf_sequences, n_states,
+                    transition_matrices=pmats, root_prior=prior,
+                    site_weights=site_weights,
+                    sequences_are_masks=sequences_are_masks,
+                )
+        else:
+            def lnl_one_fixed(children, lengths):
+                topo = Topology(
+                    children=children,
+                    parents=jnp.zeros((n_all,), dtype=jnp.int32),
+                )
+                per_site = per_site_log_likelihood(
+                    topo, lengths, leaf_sequences, n_states,
+                    rates=rates, freqs=freqs,
+                    gamma_shape=gamma_shape, n_categories=n_categories,
+                    sequences_are_masks=sequences_are_masks,
+                )
+                if site_weights is not None:
+                    per_site = per_site * site_weights
+                return jnp.sum(per_site)
+
+            def batched_eval_fixed(children, lengths):
+                return jax.vmap(lnl_one_fixed)(children, lengths)
+
+        def batched_eval(children, lengths, rates_v=None, freqs_v=None):
+            return batched_eval_fixed(children, lengths)
+
+        batched_lnl = jax.jit(batched_eval_fixed)
 
     @partial(jax.jit, static_argnames=("steps",))
-    def branch_sweep(children, lengths, lnl, key, beta, steps, tuning):
+    def branch_sweep(
+        children, lengths, lnl, key, beta, steps, tuning,
+        rates_v=None, freqs_v=None,
+    ):
         """``steps`` single-branch multiplier moves on every chain, on device.
 
         Targets ``(likelihood * prior)^beta``; the multiplier proposal
@@ -206,7 +315,7 @@ def _make_device_kernels(
             old = lengths[rows, node]
             new = old * factor
             prop = lengths.at[rows, node].set(new)
-            prop_lnl = batched_eval(children, prop)
+            prop_lnl = batched_eval(children, prop, rates_v, freqs_v)
             prop_logprior = logprior - prior_rate * (new - old)
             log_alpha = (
                 beta * (prop_lnl - lnl + prop_logprior - logprior)
@@ -225,7 +334,58 @@ def _make_device_kernels(
         )
         return lengths, lnl, accepted
 
-    return batched_lnl, branch_sweep
+    model_sweep = None
+    if sample_model:
+        @jax.jit
+        def model_sweep(
+            children, lengths, lnl, rates_v, freqs_v, key, beta,
+            concentration,
+        ):
+            """One Dirichlet-centered Metropolis move per simplex per chain.
+
+            Flat Dirichlet(1) priors on both simplices, so only the
+            proposal densities enter the ratio. Components below 1e-5 are
+            auto-rejected (a truncated prior: keeps the eigensystem away
+            from degenerate corners while preserving detailed balance).
+            """
+            n_chains = lengths.shape[0]
+            accepted = jnp.zeros((2,), jnp.int32)
+
+            def simplex_move(x, other_eval, k):
+                k_prop, k_acc = jax.random.split(k)
+                prop = jax.random.dirichlet(k_prop, concentration * x)
+                lq_fwd = jax.vmap(_dirichlet_logpdf)(prop, concentration * x)
+                lq_rev = jax.vmap(_dirichlet_logpdf)(x, concentration * prop)
+                prop_lnl = other_eval(prop)
+                inside = jnp.min(prop, axis=-1) >= 1e-5
+                log_alpha = beta * (prop_lnl - lnl) + lq_rev - lq_fwd
+                take = inside & (
+                    jnp.log(jax.random.uniform(k_acc, (n_chains,)))
+                    < log_alpha
+                )
+                return take, prop, prop_lnl
+
+            k_r, k_f = jax.random.split(key)
+            take, prop, prop_lnl = simplex_move(
+                rates_v,
+                lambda rv: batched_eval(children, lengths, rv, freqs_v),
+                k_r,
+            )
+            rates_v = jnp.where(take[:, None], prop, rates_v)
+            lnl = jnp.where(take, prop_lnl, lnl)
+            accepted = accepted.at[0].add(take.sum())
+
+            take, prop, prop_lnl = simplex_move(
+                freqs_v,
+                lambda fv: batched_eval(children, lengths, rates_v, fv),
+                k_f,
+            )
+            freqs_v = jnp.where(take[:, None], prop, freqs_v)
+            lnl = jnp.where(take, prop_lnl, lnl)
+            accepted = accepted.at[1].add(take.sum())
+            return lnl, rates_v, freqs_v, accepted
+
+    return batched_lnl, branch_sweep, model_sweep
 
 
 def carry_lengths_nni(
@@ -401,6 +561,8 @@ def mcmc_sample(
     freqs: jax.Array | None = None,
     gamma_shape: float | None = None,
     n_categories: int = 4,
+    sample_model: bool = False,
+    model_tuning: float = 500.0,
     leaf_names: list[str] | None = None,
     prior_only: bool = False,
     progress_every: int = 0,
@@ -430,6 +592,12 @@ def mcmc_sample(
             but mixes far slower on peaked posteriors.
         rates / freqs / gamma_shape: optional fixed substitution model
             (empirical-Bayes: fit once with ``optimize_model``); default JC69.
+        sample_model: FULL Bayes over the GTR model — per-chain
+            exchangeability and stationary-frequency simplices with flat
+            Dirichlet(1) priors, one Dirichlet-centered Metropolis move on
+            each per generation (on device). ``rates``/``freqs`` then only
+            seed the chains (uniform when absent); ``gamma_shape`` stays
+            fixed if given.
         prior_only: target the prior alone (validation: the sampler must
             recover Exponential branch lengths / uniform topologies).
         start: optional starting topology (defaults to random per chain).
@@ -481,12 +649,42 @@ def mcmc_sample(
         leaf_sequences = jnp.zeros((n_leaves, 1), dtype=jnp.int32)
         site_weights = jnp.zeros((1,), dtype=jnp.float32)
 
-    batched_lnl, branch_sweep = _make_device_kernels(
+    batched_lnl, branch_sweep, model_sweep = _make_device_kernels(
         jnp.asarray(leaf_sequences), n_states, n_all,
         None if site_weights is None else jnp.asarray(site_weights),
         sequences_are_masks, rates, freqs, prior_rate,
         gamma_shape, n_categories, force_lax=prior_only,
+        sample_model=sample_model,
     )
+
+    # Per-chain model state (sampled-model mode): exchangeability and
+    # frequency simplices, seeded from the given model or uniform.
+    n_pairs = n_states * (n_states - 1) // 2
+    if sample_model:
+        if rates is not None:
+            rates0 = _matrix_to_pairs(np.asarray(rates), n_states)
+        else:
+            rates0 = np.full((n_pairs,), 1.0 / n_pairs, np.float32)
+        if freqs is not None:
+            f0 = np.asarray(freqs, np.float64)
+            freqs0 = (f0 / f0.sum()).astype(np.float32)
+        else:
+            freqs0 = np.full((n_states,), 1.0 / n_states, np.float32)
+        rates_host = np.broadcast_to(rates0, (n_total, n_pairs)).copy()
+        freqs_host = np.broadcast_to(freqs0, (n_total, n_states)).copy()
+    else:
+        rates_host = freqs_host = None
+
+    def model_args(reps: int = 1):
+        """(rates, freqs) device args, per chain, optionally repeated."""
+        if not sample_model:
+            return ()
+        if reps == 1:
+            return (jnp.asarray(rates_host), jnp.asarray(freqs_host))
+        return (
+            jnp.asarray(np.repeat(rates_host, reps, axis=0)),
+            jnp.asarray(np.repeat(freqs_host, reps, axis=0)),
+        )
 
     beta_host = np.array(
         [1.0 / (1.0 + heat * k) for _ in range(n_runs) for k in range(n_chains)],
@@ -500,7 +698,10 @@ def mcmc_sample(
     # what bounds wall speed through a remote-tunnel TPU (~20 ms RTT).
     lnl_host = np.array(
         jax.device_get(
-            batched_lnl(jnp.asarray(children_host), jnp.asarray(lengths_host))
+            batched_lnl(
+                jnp.asarray(children_host), jnp.asarray(lengths_host),
+                *model_args(),
+            )
         )
     )
 
@@ -516,8 +717,10 @@ def mcmc_sample(
     samples_lengths: list[np.ndarray] = []
     samples_lnl: list[float] = []
     samples_run: list[int] = []
+    samples_rates: list[np.ndarray] = []
+    samples_freqs: list[np.ndarray] = []
     acc = {"branch": 0, "branch_n": 0, "topology": 0, "topology_n": 0,
-           "swap": 0, "swap_n": 0}
+           "swap": 0, "swap_n": 0, "model": 0, "model_n": 0}
 
     n_nbr = 2 * (n_leaves - 2)  # constant for every topology
 
@@ -534,6 +737,7 @@ def mcmc_sample(
         flat_lnl = batched_lnl(
             jnp.asarray(ch.reshape(-1, n_anc, 2)),
             jnp.asarray(ln.reshape(-1, n_all)),
+            *model_args(reps=n_nbr),
         )
         return ch, ln, np.asarray(
             jax.device_get(flat_lnl)
@@ -547,13 +751,28 @@ def mcmc_sample(
             out = branch_sweep(
                 jnp.asarray(children_host), jnp.asarray(lengths_host),
                 jnp.asarray(lnl_host), sub, beta,
-                branch_moves_per_gen, tuning,
+                branch_moves_per_gen, tuning, *model_args(),
             )
             new_lengths, new_lnl, accepted = jax.device_get(out)
             lengths_host = np.array(new_lengths)
             lnl_host = np.array(new_lnl)
             acc["branch"] += int(accepted)
             acc["branch_n"] += branch_moves_per_gen * n_total
+
+        # --- model-parameter sweep (device; 1 sync; sampled-model mode) ----
+        if sample_model:
+            key_dev, sub = jax.random.split(key_dev)
+            out = model_sweep(
+                jnp.asarray(children_host), jnp.asarray(lengths_host),
+                jnp.asarray(lnl_host), *model_args(), sub, beta,
+                jnp.float32(model_tuning),
+            )
+            new_lnl, new_rates, new_freqs, accepted = jax.device_get(out)
+            lnl_host = np.array(new_lnl)
+            rates_host = np.array(new_rates)
+            freqs_host = np.array(new_freqs)
+            acc["model"] += int(accepted.sum())
+            acc["model_n"] += 2 * n_total
 
         # --- NNI topology round (host proposal, device scoring) ------------
         if topo_moves and n_leaves >= 4:
@@ -595,6 +814,7 @@ def mcmc_sample(
                         batched_lnl(
                             jnp.asarray(prop_children),
                             jnp.asarray(prop_lengths),
+                            *model_args(),
                         )
                     )
                 )
@@ -623,6 +843,9 @@ def mcmc_sample(
                     children_host[[i, j]] = children_host[[j, i]]
                     lengths_host[[i, j]] = lengths_host[[j, i]]
                     lnl_host[[i, j]] = lnl_host[[j, i]]
+                    if sample_model:
+                        rates_host[[i, j]] = rates_host[[j, i]]
+                        freqs_host[[i, j]] = freqs_host[[j, i]]
 
         # --- sampling (host mirrors; no sync) -------------------------------
         if gen > n_burnin and gen % sample_every == 0:
@@ -631,6 +854,9 @@ def mcmc_sample(
                 samples_lengths.append(lengths_host[row].copy())
                 samples_lnl.append(float(lnl_host[row]))
                 samples_run.append(r)
+                if sample_model:
+                    samples_rates.append(rates_host[row].copy())
+                    samples_freqs.append(freqs_host[row].copy())
         if progress_every and gen % progress_every == 0:
             cold = " ".join(f"{lnl_host[r]:.2f}" for r in cold_rows)
             print(f"[mcmc] gen {gen}/{n_generations} cold lnL: {cold}")
@@ -691,9 +917,12 @@ def mcmc_sample(
             "branch": acc["branch"] / max(acc["branch_n"], 1),
             "topology": acc["topology"] / max(acc["topology_n"], 1),
             "swap": acc["swap"] / max(acc["swap_n"], 1),
+            "model": acc["model"] / max(acc["model_n"], 1),
         },
         asdsf=average_stddev_split_freqs(per_run),
         ess_lnl=ess,
         generations=n_generations,
         mean_lengths=mean_lengths.astype(np.float32),
+        sample_rates=np.stack(samples_rates) if samples_rates else None,
+        sample_freqs=np.stack(samples_freqs) if samples_freqs else None,
     )
