@@ -1862,6 +1862,69 @@ def cmd_mcmc(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_concord(args) -> None:
+    """Gene/site concordance factors on a reference tree's branches."""
+    import numpy as np
+
+    from trex_tpu.io import load_newick, renumber_leaves, save_newick
+    from trex_tpu.search.concordance import concordance_factors
+
+    with open(args.tree) as fh:
+        ref, _, names = load_newick(fh.read())
+    order = {n: i for i, n in enumerate(names)}
+
+    gene_trees = None
+    if args.gene_trees:
+        with open(args.gene_trees) as fh:
+            text = fh.read()
+        gene_trees = []
+        for chunk in (c.strip() + ";" for c in text.split(";") if c.strip()):
+            topo, _, gnames = load_newick(chunk)
+            if sorted(gnames) != sorted(names):
+                raise SystemExit("gene trees must cover the same taxa")
+            gene_trees.append(renumber_leaves(topo, [order[n] for n in gnames]))
+
+    masks = None
+    if args.fasta:
+        anames, masks, _ = _load_alignment(args.fasta, args.alphabet)
+        if sorted(anames) != sorted(names):
+            raise SystemExit("alignment and tree taxa differ")
+        idx = [anames.index(n) for n in names]
+        masks = masks[idx]
+    if gene_trees is None and masks is None:
+        raise SystemExit("need --gene-trees (gCF) and/or --fasta (sCF)")
+
+    res = concordance_factors(
+        ref, gene_trees=gene_trees, leaf_sequences=masks,
+        n_quartets=args.quartets, seed=args.seed,
+        sequences_are_masks=masks is not None,
+    )
+
+    def fmt(x):
+        return None if x is None or np.isnan(x) else round(float(x) * 100, 1)
+
+    n_anc = ref.n_leaves - 1
+    labels = []
+    per_branch = []
+    for a in range(n_anc):
+        g = fmt(res.gcf[a]) if res.gcf is not None else None
+        s = fmt(res.scf[a]) if res.scf is not None else None
+        per_branch.append({"ancestor": a, "gcf": g, "scf": s})
+        parts = [str(v) for v in (g, s) if v is not None]
+        labels.append("/".join(parts) if parts else "")
+    out = {
+        "n_taxa": len(names),
+        "n_gene_trees": len(gene_trees) if gene_trees else 0,
+        "quartets": args.quartets if masks is not None else 0,
+        "branches": per_branch,
+        "tree": save_newick(ref, names, support=labels),
+    }
+    if args.output_tree:
+        with open(args.output_tree, "w") as fh:
+            fh.write(out["tree"] + "\n")
+    print(json.dumps(out))
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="trex_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -2178,6 +2241,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "(CONSEL/puzzle site-lnL format) for external "
                         "AU-test tools")
     p.set_defaults(fn=cmd_topotest)
+
+    p = sub.add_parser(
+        "concord",
+        help="gene/site concordance factors on a reference tree",
+    )
+    p.add_argument("--tree", required=True, help="reference newick file")
+    p.add_argument("--gene-trees", default=None,
+                   help="newick file of per-locus trees (gCF)")
+    p.add_argument("--fasta", default=None, help="alignment for sCF")
+    p.add_argument("--alphabet", choices=["dna", "protein"], default="dna")
+    p.add_argument("--quartets", type=int, default=100,
+                   help="random quartets per branch for sCF")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output-tree", default=None,
+                   help="write the gCF/sCF-labelled newick here")
+    p.set_defaults(fn=cmd_concord)
 
     p = sub.add_parser(
         "mcmc",

@@ -136,8 +136,10 @@ def save_newick(
     ``support``: (n_ancestors,) values indexed like ``topology.children``
     (e.g. from ``search.bootstrap.split_support``), written as internal
     node labels in the standard ``(a,b)0.95:length`` position (the root
-    label is omitted). Labels with newick metacharacters are single-quoted,
-    so any name round-trips through ``load_newick`` exactly.
+    label is omitted). Entries may be numbers (formatted ``%.4g``) or
+    ready-made strings (e.g. ``"80/63.4"`` concordance labels). Labels
+    with newick metacharacters are single-quoted, so any name round-trips
+    through ``load_newick`` exactly.
     """
     children = np.asarray(topology.children)
     leaf_names = _quote_names(leaf_names)
@@ -148,7 +150,14 @@ def save_newick(
             None
             if branch_lengths is None
             else np.asarray(branch_lengths, dtype=np.float64),
-            None if support is None else np.asarray(support, dtype=np.float64),
+            # Keep string labels as-is; coerce numerics to float.
+            support
+            if support is not None
+            and any(isinstance(v, str) for v in support)
+            else (
+                None if support is None
+                else np.asarray(support, dtype=np.float64)
+            ),
         )
     if native.available():
         return native.write_newick(children, leaf_names)
@@ -170,14 +179,22 @@ def _write_newick_annotated(
         if blens is not None:
             left += f":{blens[c0]:.8g}"
             right += f":{blens[c1]:.8g}"
-        label = "" if support is None else f"{support[a]:.4g}"
+        label = "" if support is None else _format_label(support[a])
         repr_[n_leaves + a] = f"({left},{right}){label}"
     # Strip the root's label (it annotates no split).
     out = repr_[2 * n_leaves - 2]
     if support is not None:
-        root_label = f"{support[n_leaves - 2]:.4g}"
-        out = out[: len(out) - len(root_label)]
+        root_label = _format_label(support[n_leaves - 2])
+        if root_label:
+            out = out[: len(out) - len(root_label)]
     return out + ";"
+
+
+def _format_label(value) -> str:
+    """Internal-node label: strings pass through, numbers get ``%.4g``."""
+    if isinstance(value, str):
+        return value
+    return f"{value:.4g}"
 
 
 def _split_fasta(text: str) -> tuple[list[str], np.ndarray]:

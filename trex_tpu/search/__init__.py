@@ -42,6 +42,12 @@ from trex_tpu.search.nj import neighbor_joining, nj_bootstrap, nj_start_tree, up
 from trex_tpu.search.stepwise import stepwise_addition, stepwise_addition_multi
 from trex_tpu.search.ml import ml_hill_climb, ml_iterated_search
 from trex_tpu.search.mcmc import McmcResult, mcmc_sample
+from trex_tpu.search.concordance import (
+    ConcordanceResult,
+    concordance_factors,
+    gene_concordance,
+    site_concordance,
+)
 from trex_tpu.search.runner import RunnerConfig, run_search
 from trex_tpu.search.joint import (
     JointConfig,
@@ -100,6 +106,10 @@ __all__ = [
     "ml_iterated_search",
     "McmcResult",
     "mcmc_sample",
+    "ConcordanceResult",
+    "concordance_factors",
+    "gene_concordance",
+    "site_concordance",
     "RunnerConfig",
     "run_search",
 ]
