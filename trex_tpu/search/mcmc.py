@@ -917,7 +917,11 @@ def mcmc_sample(
             "branch": acc["branch"] / max(acc["branch_n"], 1),
             "topology": acc["topology"] / max(acc["topology_n"], 1),
             "swap": acc["swap"] / max(acc["swap_n"], 1),
-            "model": acc["model"] / max(acc["model_n"], 1),
+            **(
+                {"model": acc["model"] / max(acc["model_n"], 1)}
+                if sample_model
+                else {}
+            ),
         },
         asdsf=average_stddev_split_freqs(per_run),
         ess_lnl=ess,
