@@ -1,0 +1,174 @@
+"""Clock fitting + Bayesian dating validation.
+
+Oracles: exact ML clock recovery on ultrametric data, the LRT's
+clock/non-clock separation, 2-taxon quadrature for the root-age
+posterior, the EXACT 3-taxon prior (root ~ Gamma(2, m), interior/root ~
+Uniform), and simulated-age recovery.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trex_tpu.io import sample_topologies
+from trex_tpu.ops.clock import (
+    ages_to_lengths,
+    clock_lrt,
+    increments_to_ages,
+    optimize_clock,
+)
+from trex_tpu.search.dating import mcmc_date
+from trex_tpu.topology import Topology
+
+
+def _single(seed, n_leaves):
+    return jax.tree_util.tree_map(
+        lambda x: x[0], sample_topologies(seed, n_leaves, 1)
+    )
+
+
+def _ultrametric(seed, n_leaves, lo=0.02, hi=0.12):
+    topo = _single(seed, n_leaves)
+    rng = np.random.default_rng(seed)
+    inc = jnp.asarray(
+        rng.uniform(lo, hi, size=n_leaves - 1).astype(np.float32)
+    )
+    ages = increments_to_ages(topo, inc)
+    return topo, ages
+
+
+def test_ages_lengths_roundtrip_and_validity():
+    topo, ages = _ultrametric(3, 10)
+    lengths = np.asarray(ages_to_lengths(topo, ages))
+    assert lengths[-1] == 0.0
+    assert np.all(lengths[:-1] > 0)
+    # Root-to-leaf path sums all equal the root age (ultrametricity).
+    parents = np.asarray(topo.parents)
+    for leaf in range(10):
+        total, node = 0.0, leaf
+        while node != topo.n_all - 1:
+            total += lengths[node]
+            node = int(parents[node])
+        assert abs(total - float(ages[-1])) < 1e-5
+
+
+def test_optimize_clock_recovers_simulated_ages():
+    from trex_tpu.models.simulate import simulate_alignment
+
+    topo, ages_true = _ultrametric(3, 10)
+    aln = simulate_alignment(
+        jax.random.PRNGKey(0), topo,
+        np.asarray(ages_to_lengths(topo, ages_true)), n_sites=3000,
+    )
+    ages_fit, _ = optimize_clock(topo, jnp.asarray(aln.astype(np.int32)), 4)
+    assert float(jnp.max(jnp.abs(ages_fit - ages_true))) < 0.03
+
+
+def test_clock_lrt_separates_clock_from_nonclock():
+    from trex_tpu.models.simulate import simulate_alignment
+
+    topo, ages_true = _ultrametric(3, 10)
+    clock_aln = simulate_alignment(
+        jax.random.PRNGKey(0), topo,
+        np.asarray(ages_to_lengths(topo, ages_true)), n_sites=3000,
+    )
+    res = clock_lrt(
+        topo, jnp.asarray(clock_aln.astype(np.int32)), 4,
+        n_iterations=1000,
+    )
+    assert res["df"] == 8
+    assert res["p_value"] > 0.005  # clock data: not (strongly) rejected
+
+    rng = np.random.default_rng(1)
+    bad = rng.exponential(0.08, size=19).astype(np.float32)
+    bad[-1] = 0.0
+    bad_aln = simulate_alignment(
+        jax.random.PRNGKey(1), topo, bad, n_sites=3000
+    )
+    res_bad = clock_lrt(
+        topo, jnp.asarray(bad_aln.astype(np.int32)), 4, n_iterations=1000
+    )
+    assert res_bad["p_value"] < 1e-8
+    assert res_bad["statistic"] > 10 * max(res["statistic"], 1.0)
+
+
+def test_two_taxon_root_age_matches_quadrature():
+    from trex_tpu.ops.likelihood import tree_log_likelihood
+
+    rng = np.random.default_rng(0)
+    length = 400
+    a = rng.integers(0, 4, length)
+    b = np.where(
+        rng.uniform(size=length) < 0.2,
+        (a + rng.integers(1, 4, length)) % 4, a,
+    )
+    leaves = jnp.asarray(np.stack([a, b]).astype(np.int32))
+    topo = Topology(
+        children=jnp.asarray([[0, 1]], jnp.int32),
+        parents=jnp.asarray([2, 2, 2], jnp.int32),
+    )
+    grid = jnp.linspace(1e-4, 1.0, 2000)
+    lnl = np.asarray(
+        jax.jit(
+            jax.vmap(
+                lambda r: tree_log_likelihood(
+                    topo, jnp.stack([r, r, 0 * r]), leaves, 4
+                )
+            )
+        )(grid)
+    )
+    g = np.asarray(grid)
+    logpost = lnl - g / 0.3
+    w = np.exp(logpost - logpost.max())
+    w /= w.sum()
+    mean_exact = float((w * g).sum())
+    sd_exact = float(np.sqrt((w * (g - mean_exact) ** 2).sum()))
+
+    res = mcmc_date(
+        jax.random.PRNGKey(1), topo, leaves, 4,
+        n_generations=6000, n_chains=2, root_age_prior_mean=0.3,
+    )
+    r = res.sample_ages[:, -1]
+    assert abs(r.mean() - mean_exact) < 0.004
+    assert abs(r.std() - sd_exact) < 0.004
+    assert res.ess_root_age > 200
+
+
+def test_three_taxon_prior_is_exact():
+    """Prior-only: root ~ Gamma(2, m) EXACTLY; interior/root ~ Uniform."""
+    topo = _single(0, 3)
+    res = mcmc_date(
+        jax.random.PRNGKey(2), topo, jnp.zeros((3, 4), jnp.int32), 4,
+        n_generations=30000, n_chains=2, prior_only=True,
+        root_age_prior_mean=0.3, sample_every=6,
+    )
+    root = res.sample_ages[:, -1]
+    assert abs(root.mean() - 0.6) < 0.06  # Gamma(2, 0.3) mean
+    assert abs(root.std() - 0.424) < 0.06  # and sd m*sqrt(2)
+    ratio = res.sample_ages[:, 3] / root
+    assert abs(ratio.mean() - 0.5) < 0.03
+    for p in (0.25, 0.5, 0.75):
+        assert abs((ratio < p).mean() - p) < 0.04
+
+
+def test_dating_recovers_simulated_ages():
+    from trex_tpu.models.simulate import simulate_alignment
+
+    topo, ages_true = _ultrametric(5, 8)
+    aln = simulate_alignment(
+        jax.random.PRNGKey(3), topo,
+        np.asarray(ages_to_lengths(topo, ages_true)), n_sites=2000,
+    )
+    res = mcmc_date(
+        jax.random.PRNGKey(4), topo, jnp.asarray(aln.astype(np.int32)), 4,
+        n_generations=4000, n_chains=2,
+    )
+    true = np.asarray(ages_true)
+    # Every true age inside its 95% interval, posterior mean close.
+    inside = (res.age_hpd[:, 0] <= true) & (true <= res.age_hpd[:, 1])
+    assert inside[8:].mean() >= 6 / 7  # allow one near-boundary miss
+    assert np.max(np.abs(res.mean_ages[8:] - true[8:])) < 0.05
+    # Output newick is ultrametric at the posterior mean root age.
+    assert res.newick.count(":") == 14

@@ -1862,6 +1862,87 @@ def cmd_mcmc(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_date(args) -> None:
+    """Strict-clock analysis of a fixed tree: LRT + Bayesian node ages."""
+    import numpy as np
+
+    from trex_tpu.alignment import compress_alignment
+    from trex_tpu.io import align_leaf_order, load_newick
+    from trex_tpu.ops.clock import clock_lrt
+    from trex_tpu.search.dating import mcmc_date
+
+    names, masks, n_states = _load_alignment(args.fasta, args.alphabet)
+    with open(args.tree) as fh:
+        topo, _, tree_names = load_newick(fh.read())
+    if sorted(tree_names) != sorted(names):
+        raise SystemExit("tree and alignment taxa differ")
+    topo = align_leaf_order(topo, tree_names, names)
+    patterns, weights = compress_alignment(masks)
+    patterns = jnp.asarray(np.asarray(patterns, dtype=np.int32))
+    weights = jnp.asarray(weights, jnp.float32)
+
+    rates = freqs = None
+    gamma_shape = None
+    if args.model != "jc":
+        from trex_tpu.ops.likelihood import optimize_model
+
+        params, _ = optimize_model(
+            topo, patterns, n_states, model=args.model,
+            sequences_are_masks=True, site_weights=weights,
+        )
+        if "rates" in params:
+            rates = jnp.asarray(params["rates"])
+            freqs = jnp.asarray(params["freqs"])
+        if "gamma_shape" in params:
+            gamma_shape = float(params["gamma_shape"])
+
+    lrt = clock_lrt(
+        topo, patterns, n_states, sequences_are_masks=True,
+        site_weights=weights, rates=rates, freqs=freqs,
+    )
+    res = mcmc_date(
+        jax.random.PRNGKey(args.seed), topo, patterns, n_states,
+        n_generations=args.generations, n_chains=args.chains,
+        root_age_prior_mean=args.root_prior_mean,
+        rates=rates, freqs=freqs, gamma_shape=gamma_shape,
+        site_weights=weights, sequences_are_masks=True,
+        leaf_names=names,
+    )
+    n_leaves = len(names)
+    out = {
+        "n_taxa": n_leaves,
+        "n_sites": int(masks.shape[1]),
+        "model": args.model,
+        "clock_lrt": {
+            "statistic": round(lrt["statistic"], 3),
+            "df": lrt["df"],
+            "p_value": lrt["p_value"],
+        },
+        "generations": args.generations,
+        "acceptance": {k: round(v, 4) for k, v in res.acceptance.items()},
+        "ess_root_age": round(res.ess_root_age, 1),
+        "root_age": {
+            "mean": round(float(res.mean_ages[-1]), 5),
+            "hpd95": [round(float(x), 5) for x in res.age_hpd[-1]],
+        },
+        "node_ages": [
+            {
+                "ancestor": a,
+                "mean": round(float(res.mean_ages[n_leaves + a]), 5),
+                "hpd95": [
+                    round(float(x), 5) for x in res.age_hpd[n_leaves + a]
+                ],
+            }
+            for a in range(n_leaves - 1)
+        ],
+        "tree": res.newick,
+    }
+    if args.output_tree:
+        with open(args.output_tree, "w") as fh:
+            fh.write(res.newick + "\n")
+    print(json.dumps(out))
+
+
 def cmd_concord(args) -> None:
     """Gene/site concordance factors on a reference tree's branches."""
     import numpy as np
@@ -2241,6 +2322,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "(CONSEL/puzzle site-lnL format) for external "
                         "AU-test tools")
     p.set_defaults(fn=cmd_topotest)
+
+    p = sub.add_parser(
+        "date",
+        help="strict-clock LRT + Bayesian node-age dating of a fixed tree",
+    )
+    p.add_argument("--fasta", required=True)
+    p.add_argument("--tree", required=True)
+    p.add_argument("--alphabet", choices=["dna", "protein"], default="dna")
+    p.add_argument("--model", default="jc",
+                   help="jc or a gtr-family string (+g ok); ML-fit, fixed")
+    p.add_argument("--generations", type=int, default=4000)
+    p.add_argument("--chains", type=int, default=2)
+    p.add_argument("--root-prior-mean", type=float, default=0.3,
+                   help="Exponential prior mean on the root age "
+                   "(expected substitutions per site)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output-tree", default=None,
+                   help="write the posterior-mean ultrametric newick here")
+    p.set_defaults(fn=cmd_date)
 
     p = sub.add_parser(
         "concord",

@@ -37,6 +37,12 @@ from trex_tpu.ops.likelihood_asr import (
     marginal_ancestral_posteriors,
     optimize_branch_lengths_newton,
 )
+from trex_tpu.ops.clock import (
+    ages_to_lengths,
+    clock_lrt,
+    increments_to_ages,
+    optimize_clock,
+)
 from trex_tpu.ops.likelihood_scan import likelihood_spr_scan
 from trex_tpu.ops.spr_scan import spr_scan, spr_scan_best
 from trex_tpu.ops.soft_dp import (
@@ -77,6 +83,10 @@ __all__ = [
     "optimize_model",
     "discrete_gamma_rates",
     "posterior_site_rates",
+    "ages_to_lengths",
+    "clock_lrt",
+    "increments_to_ages",
+    "optimize_clock",
     "tree_log_likelihood_gamma",
     "tree_log_likelihood_gamma_invariant",
     "joint_ancestral_reconstruction",

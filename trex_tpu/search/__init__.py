@@ -42,6 +42,7 @@ from trex_tpu.search.nj import neighbor_joining, nj_bootstrap, nj_start_tree, up
 from trex_tpu.search.stepwise import stepwise_addition, stepwise_addition_multi
 from trex_tpu.search.ml import ml_hill_climb, ml_iterated_search
 from trex_tpu.search.mcmc import McmcResult, mcmc_sample
+from trex_tpu.search.dating import DatingResult, mcmc_date
 from trex_tpu.search.concordance import (
     ConcordanceResult,
     concordance_factors,
@@ -106,6 +107,8 @@ __all__ = [
     "ml_iterated_search",
     "McmcResult",
     "mcmc_sample",
+    "DatingResult",
+    "mcmc_date",
     "ConcordanceResult",
     "concordance_factors",
     "gene_concordance",

@@ -1,0 +1,309 @@
+"""Bayesian node-age dating on a fixed topology (strict clock).
+
+Complements ``search.mcmc`` (which samples topologies): here the tree is
+fixed and the state is the vector of node AGES (ultrametric tree, leaves
+at age 0), the usual "date the inferred tree" workflow. Because no
+host-side move generation is needed, the ENTIRE sampler — all runs and
+chains, all generations — compiles to one jitted ``lax.scan`` over a
+vmapped chain batch: zero host/device round trips until the trace comes
+back. This is the TPU-ideal MCMC shape (contrast the topology sampler's
+2-3 syncs per generation).
+
+Model: strict clock with rate 1 — ages are in expected-substitutions
+units; rescale externally with a calibration. Priors: root age
+Exponential(1/root_age_prior_mean); interior ages uniform on the valid
+region given the root (joint density ∝ exp(-r/m) · 1{valid ordering}).
+For the 3-taxon case this implies root age ~ Gamma(2, m) exactly — used
+as a validation oracle, alongside 2-taxon quadrature and simulated-age
+recovery (tests/test_dating.py).
+
+Moves per generation (each a full vmapped pruning eval):
+- interior age slide: uniform between the node's children max and its
+  parent age (symmetric given the rest of the state);
+- root age multiplier (Hastings t'/t, exponential prior term).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trex_tpu.topology import Topology
+
+
+@dataclasses.dataclass
+class DatingResult:
+    sample_ages: np.ndarray
+    """(n_samples, n_all) posterior age samples (pooled cold chains)."""
+    sample_lnl: np.ndarray
+    """(n_samples,) data log-likelihoods."""
+    mean_ages: np.ndarray
+    """(n_all,) posterior mean age per node."""
+    age_hpd: np.ndarray
+    """(n_all, 2) central 95% posterior interval per node."""
+    ess_root_age: float
+    acceptance: dict[str, float]
+    newick: str
+    """Ultrametric tree with branch lengths from the posterior mean ages."""
+    generations: int
+
+
+def mcmc_date(
+    key: jax.Array,
+    topology: Topology,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    *,
+    n_generations: int = 4000,
+    n_chains: int = 2,
+    sample_every: int = 4,
+    burnin_frac: float = 0.25,
+    root_age_prior_mean: float = 0.3,
+    root_tuning: float = 0.6,
+    start_ages: np.ndarray | None = None,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    gamma_shape: float | None = None,
+    n_categories: int = 4,
+    site_weights: jax.Array | None = None,
+    sequences_are_masks: bool = False,
+    leaf_names: list[str] | None = None,
+    prior_only: bool = False,
+) -> DatingResult:
+    """Sample node ages of ``topology`` under a strict clock.
+
+    ``n_chains`` independent chains run vmapped; all are sampled (they are
+    not heated — age posteriors on a fixed topology rarely need coupling).
+    ``start_ages`` defaults to the ML clock fit (``ops.clock.optimize_clock``)
+    jittered per chain, which skips most burn-in.
+    """
+    from trex_tpu.ops.clock import ages_to_lengths, optimize_clock
+    from trex_tpu.ops.likelihood import (
+        _per_site_log_likelihood,
+        discrete_gamma_rates,
+        gtr_eigensystem,
+        gtr_transition,
+    )
+
+    n_leaves = topology.n_leaves
+    n_all = topology.n_all
+    n_anc = topology.n_ancestors
+    parents = jnp.asarray(np.asarray(topology.parents))
+    children = jnp.asarray(np.asarray(topology.children))
+    prior_rate = 1.0 / root_age_prior_mean
+
+    if prior_only:
+        leaf_sequences = jnp.zeros((n_leaves, 1), dtype=jnp.int32)
+        site_weights = jnp.zeros((1,), dtype=jnp.float32)
+        sequences_are_masks = False
+    leaf_sequences = jnp.asarray(leaf_sequences)
+    weights = None if site_weights is None else jnp.asarray(site_weights)
+
+    q = n_states
+    if rates is not None or freqs is not None:
+        eig_freqs = jnp.full((q,), 1.0 / q) if freqs is None else jnp.asarray(freqs)
+        eig_rates = jnp.ones((q, q)) if rates is None else jnp.asarray(rates)
+        eigvals, left, right = gtr_eigensystem(eig_rates, eig_freqs)
+        root_prior = eig_freqs
+    else:
+        eigvals = None
+        root_prior = None
+
+    def lnl_of_ages(ages):
+        lengths = ages_to_lengths(
+            Topology(children=children, parents=parents), ages
+        )
+
+        def per_site_at(scale):
+            if eigvals is not None:
+                pmats = jax.vmap(
+                    lambda t: gtr_transition(t, eigvals, left, right)
+                )(lengths * scale)
+                return _per_site_log_likelihood(
+                    Topology(children=children, parents=parents),
+                    lengths, leaf_sequences, n_states,
+                    sequences_are_masks=sequences_are_masks,
+                    transition_matrices=pmats, root_prior=root_prior,
+                )
+            return _per_site_log_likelihood(
+                Topology(children=children, parents=parents),
+                lengths * scale, leaf_sequences, n_states,
+                sequences_are_masks=sequences_are_masks,
+            )
+
+        if gamma_shape is None:
+            per_site = per_site_at(1.0)
+        else:
+            cat = discrete_gamma_rates(gamma_shape, n_categories)
+            per_site = jax.nn.logsumexp(
+                jax.vmap(per_site_at)(cat), axis=0
+            ) - jnp.log(n_categories)
+        if weights is not None:
+            per_site = per_site * weights
+        return jnp.sum(per_site)
+
+    batched_lnl = jax.vmap(lnl_of_ages)
+
+    # --- initial ages --------------------------------------------------------
+    seeds = np.asarray(jax.random.key_data(key)).ravel()
+    rng = np.random.default_rng(int(seeds[-1]))
+    if start_ages is None and not prior_only:
+        ml_ages, _ = optimize_clock(
+            topology, leaf_sequences, n_states,
+            sequences_are_masks=sequences_are_masks, site_weights=weights,
+            rates=rates, freqs=freqs,
+        )
+        start_ages = np.asarray(ml_ages)
+    elif start_ages is None:
+        from trex_tpu.ops.clock import increments_to_ages
+
+        start_ages = np.asarray(
+            increments_to_ages(
+                topology,
+                jnp.asarray(
+                    rng.uniform(0.02, 0.1, size=n_anc).astype(np.float32)
+                ),
+            )
+        )
+    ages0 = np.broadcast_to(
+        np.asarray(start_ages, np.float32)[None], (n_chains, n_all)
+    ).copy()
+    # Jitter interior proportionally (keeps ordering with high probability;
+    # invalid jitters are snapped back by the move bounds immediately).
+    ages0[:, n_leaves:] *= rng.uniform(
+        0.95, 1.05, size=(n_chains, n_anc)
+    ).astype(np.float32)
+    # Re-enforce validity: parent age strictly above children.
+    for c in range(n_chains):
+        for a in range(n_anc):
+            v = n_leaves + a
+            lo = max(
+                float(ages0[c, int(topology.children[a][0])]),
+                float(ages0[c, int(topology.children[a][1])]),
+            )
+            if ages0[c, v] <= lo:
+                ages0[c, v] = lo + 1e-4
+
+    # --- the whole sampler: one jitted scan ---------------------------------
+    anc_ids = jnp.arange(n_leaves, n_all - 1, dtype=jnp.int32)
+
+    n_burnin = int(burnin_frac * n_generations)
+
+    @jax.jit
+    def run(key, ages):
+        lnl = batched_lnl(ages)
+
+        def gen(carry, inputs):
+            ages, lnl, acc_slide, acc_root, log_tune = carry
+            step_idx, k = inputs
+            k_node, k_u, k_acc1, k_mult, k_acc2 = jax.random.split(k, 5)
+
+            # Interior slide (skipped entirely when there is no interior).
+            if n_anc > 1:
+                node = jax.random.choice(k_node, anc_ids, shape=(n_chains,))
+                rows = jnp.arange(n_chains)
+                kid_pair = children[node - n_leaves]
+                low = jnp.maximum(
+                    ages[rows, kid_pair[:, 0]], ages[rows, kid_pair[:, 1]]
+                )
+                high = ages[rows, parents[node]]
+                prop_age = low + (high - low) * jax.random.uniform(
+                    k_u, (n_chains,)
+                )
+                prop = ages.at[rows, node].set(prop_age)
+                prop_lnl = batched_lnl(prop)
+                take = (
+                    jnp.log(jax.random.uniform(k_acc1, (n_chains,)))
+                    < prop_lnl - lnl
+                )
+                ages = jnp.where(take[:, None], prop, ages)
+                lnl = jnp.where(take, prop_lnl, lnl)
+                acc_slide = acc_slide + take.sum()
+
+            # Root multiplier (per-chain step size, Robbins-Monro-adapted
+            # toward ~40% acceptance DURING BURN-IN ONLY — the kernel is
+            # frozen afterwards, so the retained samples target the exact
+            # posterior).
+            rows = jnp.arange(n_chains)
+            tune = jnp.exp(log_tune)
+            factor = jnp.exp(
+                tune * (jax.random.uniform(k_mult, (n_chains,)) - 0.5)
+            )
+            old_root = ages[:, -1]
+            new_root = old_root * factor
+            kid_pair = children[-1]
+            low = jnp.maximum(ages[rows, kid_pair[0]], ages[rows, kid_pair[1]])
+            prop = ages.at[:, -1].set(new_root)
+            prop_lnl = batched_lnl(prop)
+            log_alpha = (
+                prop_lnl - lnl
+                - prior_rate * (new_root - old_root)
+                + jnp.log(factor)
+            )
+            take = (new_root > low) & (
+                jnp.log(jax.random.uniform(k_acc2, (n_chains,))) < log_alpha
+            )
+            ages = jnp.where(take[:, None], prop, ages)
+            lnl = jnp.where(take, prop_lnl, lnl)
+            acc_root = acc_root + (step_idx >= n_burnin) * take.sum()
+            adapting = (step_idx < n_burnin).astype(jnp.float32)
+            log_tune = jnp.clip(
+                log_tune + adapting * 0.08 * (take.astype(jnp.float32) - 0.4),
+                jnp.log(1e-3), jnp.log(4.0),
+            )
+
+            return (ages, lnl, acc_slide, acc_root, log_tune), (ages, lnl)
+
+        keys = jax.random.split(key, n_generations)
+        log_tune0 = jnp.full((n_chains,), jnp.log(root_tuning))
+        (_, _, acc_slide, acc_root, _), (trace_ages, trace_lnl) = jax.lax.scan(
+            gen,
+            (ages, lnl, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+             log_tune0),
+            (jnp.arange(n_generations), keys),
+        )
+        return trace_ages, trace_lnl, acc_slide, acc_root
+
+    trace_ages, trace_lnl, acc_slide, acc_root = jax.device_get(
+        run(key, jnp.asarray(ages0))
+    )
+
+    # --- summaries -----------------------------------------------------------
+    keep = np.arange(n_burnin, n_generations, sample_every)
+    sample_ages = np.asarray(trace_ages)[keep].reshape(-1, n_all)
+    sample_lnl = np.asarray(trace_lnl)[keep].reshape(-1)
+    mean_ages = sample_ages.mean(axis=0)
+    lo = np.percentile(sample_ages, 2.5, axis=0)
+    hi = np.percentile(sample_ages, 97.5, axis=0)
+
+    from trex_tpu.io import save_newick
+    from trex_tpu.ops.clock import ages_to_lengths as a2l
+    from trex_tpu.search.mcmc import effective_sample_size
+
+    mean_lengths = np.asarray(
+        a2l(topology, jnp.asarray(mean_ages.astype(np.float32)))
+    )
+    newick = save_newick(
+        topology, leaf_names, branch_lengths=np.clip(mean_lengths, 0, None)
+    )
+    root_trace = np.asarray(trace_ages)[n_burnin:, 0, -1]
+    return DatingResult(
+        sample_ages=sample_ages,
+        sample_lnl=sample_lnl,
+        mean_ages=mean_ages,
+        age_hpd=np.stack([lo, hi], axis=1),
+        ess_root_age=effective_sample_size(root_trace),
+        acceptance={
+            "slide": float(acc_slide)
+            / max((n_generations * n_chains), 1),
+            # Root moves are counted post burn-in only (the step size
+            # adapts during burn-in).
+            "root": float(acc_root)
+            / max((n_generations - n_burnin) * n_chains, 1),
+        },
+        newick=newick,
+        generations=n_generations,
+    )
