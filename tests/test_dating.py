@@ -172,3 +172,51 @@ def test_dating_recovers_simulated_ages():
     assert np.max(np.abs(res.mean_ages[8:] - true[8:])) < 0.05
     # Output newick is ultrametric at the posterior mean root age.
     assert res.newick.count(":") == 14
+
+
+def test_relaxed_prior_recovers_lognormal_rates():
+    """Prior-only relaxed clock: log-rates ~ N(-sd^2/2, sd^2) exactly."""
+    topo = _single(0, 6)
+    sd = 0.4
+    res = mcmc_date(
+        jax.random.PRNGKey(1), topo, jnp.zeros((6, 4), jnp.int32), 4,
+        n_generations=20000, n_chains=2, prior_only=True,
+        clock="relaxed", relaxed_sd=sd, sample_every=8,
+    )
+    lr = np.log(res.sample_rates[:, :-1]).ravel()
+    assert abs(lr.mean() - (-0.5 * sd * sd)) < 0.03
+    assert abs(lr.std() - sd) < 0.03
+    assert res.acceptance["rate"] > 0.3
+
+
+def test_relaxed_clock_flags_fast_branch():
+    """One branch simulated 3x fast: its posterior rate leads the pack."""
+    from trex_tpu.models.simulate import simulate_alignment
+
+    topo, ages_true = _ultrametric(5, 8, lo=0.04, hi=0.1)
+    lengths = np.asarray(ages_to_lengths(topo, ages_true))
+    fast_node = 2
+    sim = lengths.copy()
+    sim[fast_node] *= 3.0
+    aln = simulate_alignment(
+        jax.random.PRNGKey(1), topo, sim.astype(np.float32), n_sites=2000
+    )
+    res = mcmc_date(
+        jax.random.PRNGKey(2), topo, jnp.asarray(aln.astype(np.int32)), 4,
+        n_generations=8000, n_chains=2, clock="relaxed", relaxed_sd=0.5,
+    )
+    mean_rates = res.sample_rates.mean(0)[:-1]
+    others = np.delete(mean_rates, fast_node)
+    assert mean_rates[fast_node] > others.max()
+    assert mean_rates[fast_node] > 1.5 * np.median(others)
+    # Strict-clock data: rates shrink to ~1 (no false signal).
+    aln0 = simulate_alignment(
+        jax.random.PRNGKey(3), topo, lengths.astype(np.float32),
+        n_sites=2000,
+    )
+    res0 = mcmc_date(
+        jax.random.PRNGKey(4), topo, jnp.asarray(aln0.astype(np.int32)), 4,
+        n_generations=6000, n_chains=2, clock="relaxed", relaxed_sd=0.5,
+    )
+    r0 = res0.sample_rates.mean(0)[:-1]
+    assert np.all(r0 > 0.45) and np.all(r0 < 2.2)

@@ -1904,6 +1904,7 @@ def cmd_date(args) -> None:
         jax.random.PRNGKey(args.seed), topo, patterns, n_states,
         n_generations=args.generations, n_chains=args.chains,
         root_age_prior_mean=args.root_prior_mean,
+        clock=args.clock, relaxed_sd=args.relaxed_sd,
         rates=rates, freqs=freqs, gamma_shape=gamma_shape,
         site_weights=weights, sequences_are_masks=True,
         leaf_names=names,
@@ -1913,6 +1914,7 @@ def cmd_date(args) -> None:
         "n_taxa": n_leaves,
         "n_sites": int(masks.shape[1]),
         "model": args.model,
+        "clock": args.clock,
         "clock_lrt": {
             "statistic": round(lrt["statistic"], 3),
             "df": lrt["df"],
@@ -1937,6 +1939,10 @@ def cmd_date(args) -> None:
         ],
         "tree": res.newick,
     }
+    if res.sample_rates is not None:
+        out["branch_rates"] = [
+            round(float(r), 4) for r in res.sample_rates.mean(0)[:-1]
+        ]
     if args.output_tree:
         with open(args.output_tree, "w") as fh:
             fh.write(res.newick + "\n")
@@ -2337,6 +2343,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--root-prior-mean", type=float, default=0.3,
                    help="Exponential prior mean on the root age "
                    "(expected substitutions per site)")
+    p.add_argument("--clock", choices=["strict", "relaxed"],
+                   default="strict",
+                   help="relaxed = uncorrelated lognormal branch rates")
+    p.add_argument("--relaxed-sd", type=float, default=0.3,
+                   help="lognormal sd of the relaxed-clock rate prior")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-tree", default=None,
                    help="write the posterior-mean ultrametric newick here")

@@ -49,6 +49,9 @@ class DatingResult:
     newick: str
     """Ultrametric tree with branch lengths from the posterior mean ages."""
     generations: int
+    sample_rates: np.ndarray | None = None
+    """(n_samples, n_all) per-branch rate multipliers (relaxed clock only;
+    root entry is a placeholder 1)."""
 
 
 def mcmc_date(
@@ -63,6 +66,9 @@ def mcmc_date(
     burnin_frac: float = 0.25,
     root_age_prior_mean: float = 0.3,
     root_tuning: float = 0.6,
+    clock: str = "strict",
+    relaxed_sd: float = 0.3,
+    rate_tuning: float = 1.0,
     start_ages: np.ndarray | None = None,
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
@@ -73,12 +79,19 @@ def mcmc_date(
     leaf_names: list[str] | None = None,
     prior_only: bool = False,
 ) -> DatingResult:
-    """Sample node ages of ``topology`` under a strict clock.
+    """Sample node ages of ``topology`` under a strict or relaxed clock.
 
     ``n_chains`` independent chains run vmapped; all are sampled (they are
     not heated — age posteriors on a fixed topology rarely need coupling).
     ``start_ages`` defaults to the ML clock fit (``ops.clock.optimize_clock``)
     jittered per chain, which skips most burn-in.
+
+    ``clock="relaxed"`` is the uncorrelated-lognormal relaxed clock
+    (Drummond et al. 2006): each branch carries a rate multiplier with iid
+    LogNormal(-sd^2/2, sd^2) prior (mean 1, sd ``relaxed_sd`` on the log
+    scale), sampled by per-branch Gaussian random walks on log-rate. The
+    effective branch length is (parent age - node age) * rate; sampled
+    ages stay in TIME units (the newick is the posterior-mean time tree).
     """
     from trex_tpu.ops.clock import ages_to_lengths, optimize_clock
     from trex_tpu.ops.likelihood import (
@@ -112,10 +125,16 @@ def mcmc_date(
         eigvals = None
         root_prior = None
 
-    def lnl_of_ages(ages):
+    relaxed = clock == "relaxed"
+    if clock not in ("strict", "relaxed"):
+        raise ValueError(f"unknown clock {clock!r}")
+
+    def lnl_of_ages(ages, log_rates):
         lengths = ages_to_lengths(
             Topology(children=children, parents=parents), ages
         )
+        if relaxed:
+            lengths = lengths * jnp.exp(log_rates)
 
         def per_site_at(scale):
             if eigvals is not None:
@@ -146,6 +165,7 @@ def mcmc_date(
         return jnp.sum(per_site)
 
     batched_lnl = jax.vmap(lnl_of_ages)
+    sd2 = relaxed_sd * relaxed_sd
 
     # --- initial ages --------------------------------------------------------
     seeds = np.asarray(jax.random.key_data(key)).ravel()
@@ -193,13 +213,14 @@ def mcmc_date(
     n_burnin = int(burnin_frac * n_generations)
 
     @jax.jit
-    def run(key, ages):
-        lnl = batched_lnl(ages)
+    def run(key, ages, log_rates):
+        lnl = batched_lnl(ages, log_rates)
 
         def gen(carry, inputs):
-            ages, lnl, acc_slide, acc_root, log_tune = carry
+            ages, log_rates, lnl, acc_slide, acc_root, acc_rate, log_tune = carry
             step_idx, k = inputs
-            k_node, k_u, k_acc1, k_mult, k_acc2 = jax.random.split(k, 5)
+            (k_node, k_u, k_acc1, k_mult, k_acc2,
+             k_rnode, k_rstep, k_acc3) = jax.random.split(k, 8)
 
             # Interior slide (skipped entirely when there is no interior).
             if n_anc > 1:
@@ -214,7 +235,7 @@ def mcmc_date(
                     k_u, (n_chains,)
                 )
                 prop = ages.at[rows, node].set(prop_age)
-                prop_lnl = batched_lnl(prop)
+                prop_lnl = batched_lnl(prop, log_rates)
                 take = (
                     jnp.log(jax.random.uniform(k_acc1, (n_chains,)))
                     < prop_lnl - lnl
@@ -222,6 +243,31 @@ def mcmc_date(
                 ages = jnp.where(take[:, None], prop, ages)
                 lnl = jnp.where(take, prop_lnl, lnl)
                 acc_slide = acc_slide + take.sum()
+
+            # Per-branch rate random walk (relaxed clock only).
+            if relaxed:
+                rows = jnp.arange(n_chains)
+                rnode = jax.random.randint(
+                    k_rnode, (n_chains,), 0, n_all - 1
+                )
+                step = rate_tuning * relaxed_sd * jax.random.normal(
+                    k_rstep, (n_chains,)
+                )
+                old_lr = log_rates[rows, rnode]
+                new_lr = old_lr + step
+                prop_lr = log_rates.at[rows, rnode].set(new_lr)
+                prop_lnl = batched_lnl(ages, prop_lr)
+                mu = -0.5 * sd2
+                dprior = (
+                    (old_lr - mu) ** 2 - (new_lr - mu) ** 2
+                ) / (2.0 * sd2)
+                take = (
+                    jnp.log(jax.random.uniform(k_acc3, (n_chains,)))
+                    < prop_lnl - lnl + dprior
+                )
+                log_rates = jnp.where(take[:, None], prop_lr, log_rates)
+                lnl = jnp.where(take, prop_lnl, lnl)
+                acc_rate = acc_rate + take.sum()
 
             # Root multiplier (per-chain step size, Robbins-Monro-adapted
             # toward ~40% acceptance DURING BURN-IN ONLY — the kernel is
@@ -237,7 +283,7 @@ def mcmc_date(
             kid_pair = children[-1]
             low = jnp.maximum(ages[rows, kid_pair[0]], ages[rows, kid_pair[1]])
             prop = ages.at[:, -1].set(new_root)
-            prop_lnl = batched_lnl(prop)
+            prop_lnl = batched_lnl(prop, log_rates)
             log_alpha = (
                 prop_lnl - lnl
                 - prior_rate * (new_root - old_root)
@@ -255,21 +301,31 @@ def mcmc_date(
                 jnp.log(1e-3), jnp.log(4.0),
             )
 
-            return (ages, lnl, acc_slide, acc_root, log_tune), (ages, lnl)
+            return (
+                (ages, log_rates, lnl, acc_slide, acc_root, acc_rate,
+                 log_tune),
+                (ages, log_rates, lnl),
+            )
 
         keys = jax.random.split(key, n_generations)
         log_tune0 = jnp.full((n_chains,), jnp.log(root_tuning))
-        (_, _, acc_slide, acc_root, _), (trace_ages, trace_lnl) = jax.lax.scan(
+        zero = jnp.zeros((), jnp.int32)
+        (_, _, _, acc_slide, acc_root, acc_rate, _), traces = jax.lax.scan(
             gen,
-            (ages, lnl, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-             log_tune0),
+            (ages, log_rates, lnl, zero, zero, zero, log_tune0),
             (jnp.arange(n_generations), keys),
         )
-        return trace_ages, trace_lnl, acc_slide, acc_root
+        trace_ages, trace_rates, trace_lnl = traces
+        return trace_ages, trace_rates, trace_lnl, acc_slide, acc_root, acc_rate
 
-    trace_ages, trace_lnl, acc_slide, acc_root = jax.device_get(
-        run(key, jnp.asarray(ages0))
-    )
+    log_rates0 = np.zeros((n_chains, n_all), np.float32)
+    if relaxed:
+        log_rates0[:, :-1] = (
+            rng.normal(-0.5 * sd2, relaxed_sd, size=(n_chains, n_all - 1))
+        ).astype(np.float32)
+    (
+        trace_ages, trace_rates, trace_lnl, acc_slide, acc_root, acc_rate
+    ) = jax.device_get(run(key, jnp.asarray(ages0), jnp.asarray(log_rates0)))
 
     # --- summaries -----------------------------------------------------------
     keep = np.arange(n_burnin, n_generations, sample_every)
@@ -290,6 +346,11 @@ def mcmc_date(
         topology, leaf_names, branch_lengths=np.clip(mean_lengths, 0, None)
     )
     root_trace = np.asarray(trace_ages)[n_burnin:, 0, -1]
+    sample_rates = (
+        np.exp(np.asarray(trace_rates)[keep].reshape(-1, n_all))
+        if relaxed
+        else None
+    )
     return DatingResult(
         sample_ages=sample_ages,
         sample_lnl=sample_lnl,
@@ -303,7 +364,13 @@ def mcmc_date(
             # adapts during burn-in).
             "root": float(acc_root)
             / max((n_generations - n_burnin) * n_chains, 1),
+            **(
+                {"rate": float(acc_rate) / max(n_generations * n_chains, 1)}
+                if relaxed
+                else {}
+            ),
         },
         newick=newick,
         generations=n_generations,
+        sample_rates=sample_rates,
     )
