@@ -1428,34 +1428,79 @@ def cmd_treedist(args) -> None:
     from trex_tpu.io import load_newick
     from trex_tpu.search.ratchet import unrooted_splits
 
+    import numpy as np
+
     def named_splits(path):
         """Splits as name-sets, normalized to the side WITHOUT the
         lexicographically-first taxon (index-based sides differ per tree)."""
         with open(path) as fh:
-            topo, _, names = load_newick(fh.read())
+            topo, blens, names = load_newick(fh.read())
         anchor = min(names)
         all_names = frozenset(names)
         splits = set()
         for split in unrooted_splits(topo):
             side = frozenset(names[i] for i in split)
             splits.add(all_names - side if anchor in side else side)
-        return topo, set(names), splits
+        return topo, blens, names, set(names), splits
 
-    topo_a, names_a, splits_a = named_splits(args.trees[0])
-    _, names_b, splits_b = named_splits(args.trees[1])
+    topo_a, blens_a, names_list_a, names_a, splits_a = named_splits(
+        args.trees[0]
+    )
+    topo_b, blens_b, names_list_b, names_b, splits_b = named_splits(
+        args.trees[1]
+    )
     if names_a != names_b:
         raise SystemExit("trees have different leaf sets")
     rf = len(splits_a ^ splits_b)
     max_rf = 2 * (topo_a.n_leaves - 3)
-    print(
-        json.dumps(
-            {
-                "rf": int(rf),
-                "max_rf": int(max_rf),
-                "normalized": float(rf / max_rf) if max_rf > 0 else 0.0,
-            }
+    out = {
+        "rf": int(rf),
+        "max_rf": int(max_rf),
+        "normalized": float(rf / max_rf) if max_rf > 0 else 0.0,
+    }
+    blens_a = np.asarray(blens_a, dtype=np.float64)
+    blens_b = np.asarray(blens_b, dtype=np.float64)
+    if np.isfinite(blens_a[:-1]).all() and np.isfinite(blens_b[:-1]).all():
+        # Branch-length-aware metrics need one shared leaf numbering.
+        from trex_tpu.io import renumber_leaves
+        from trex_tpu.search.treedist import (
+            branch_score_distance,
+            path_difference_distance,
+            weighted_rf_distance,
         )
-    )
+
+        order = {n: i for i, n in enumerate(names_list_a)}
+        # renumber_leaves permutes the topology; branch lengths are
+        # indexed by node, so remap through the clade-free leaf identity:
+        # pendant lengths follow their leaf, internal ones follow clades.
+        # Simplest exact route: renumber b's LEAF ids only (the metrics
+        # key by leaf-set, not node index).
+        perm = [order[n] for n in names_list_b]
+        topo_b2 = renumber_leaves(topo_b, perm)
+        # Remap b's lengths to the renumbered node ids by clade identity.
+        from trex_tpu.search.bootstrap import subtree_leaf_sets
+
+        new_lens = np.zeros_like(blens_b)
+        old_sets = subtree_leaf_sets(topo_b)
+        new_sets = subtree_leaf_sets(topo_b2)
+        mapped_old = [frozenset(perm[i] for i in s) for s in old_sets]
+        lookup = {
+            s: blens_b[topo_b.n_leaves + i] for i, s in enumerate(mapped_old)
+        }
+        for leaf_old, leaf_new in enumerate(perm):
+            new_lens[leaf_new] = blens_b[leaf_old]
+        for i, s in enumerate(new_sets):
+            new_lens[topo_b2.n_leaves + i] = lookup[s]
+        out["branch_score"] = round(
+            branch_score_distance(topo_a, blens_a, topo_b2, new_lens), 6
+        )
+        out["weighted_rf"] = round(
+            weighted_rf_distance(topo_a, blens_a, topo_b2, new_lens), 6
+        )
+        out["path_difference"] = round(
+            path_difference_distance(topo_a, blens_a, topo_b2, new_lens), 6
+        )
+    print(json.dumps(out))
 
 
 def cmd_consensus(args) -> None:

@@ -43,6 +43,12 @@ from trex_tpu.search.stepwise import stepwise_addition, stepwise_addition_multi
 from trex_tpu.search.ml import ml_hill_climb, ml_iterated_search
 from trex_tpu.search.mcmc import McmcResult, mcmc_sample
 from trex_tpu.search.dating import DatingResult, mcmc_date
+from trex_tpu.search.treedist import (
+    branch_score_distance,
+    patristic_matrix,
+    path_difference_distance,
+    weighted_rf_distance,
+)
 from trex_tpu.search.concordance import (
     ConcordanceResult,
     concordance_factors,
@@ -109,6 +115,10 @@ __all__ = [
     "mcmc_sample",
     "DatingResult",
     "mcmc_date",
+    "branch_score_distance",
+    "patristic_matrix",
+    "path_difference_distance",
+    "weighted_rf_distance",
     "ConcordanceResult",
     "concordance_factors",
     "gene_concordance",
