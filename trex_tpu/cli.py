@@ -1907,6 +1907,75 @@ def cmd_mcmc(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_bayesfactor(args) -> None:
+    """Stepping-stone log marginal likelihoods + Bayes factors on a tree.
+
+    Models: "jc" (fixed) or "gtr" (exchangeabilities + frequencies
+    INTEGRATED over flat Dirichlet priors — honest Occam penalty); "+g"
+    suffixes use a fixed ML-fit Gamma shape.
+    """
+    import numpy as np
+
+    from trex_tpu.alignment import compress_alignment
+    from trex_tpu.io import align_leaf_order, load_newick
+    from trex_tpu.search.marginal import stepping_stone
+
+    names, masks, n_states = _load_alignment(args.fasta, args.alphabet)
+    with open(args.tree) as fh:
+        topo, _, tree_names = load_newick(fh.read())
+    if sorted(tree_names) != sorted(names):
+        raise SystemExit("tree and alignment taxa differ")
+    topo = align_leaf_order(topo, tree_names, names)
+    patterns, weights = compress_alignment(masks)
+    patterns = jnp.asarray(np.asarray(patterns, dtype=np.int32))
+    weights = jnp.asarray(weights, jnp.float32)
+
+    results = {}
+    for i, model in enumerate(m.strip() for m in args.models.split(",")):
+        gamma_shape = None
+        base = model
+        if model.endswith("+g"):
+            from trex_tpu.ops.likelihood import optimize_model
+
+            base = model[:-2]
+            params, _ = optimize_model(
+                topo, patterns, n_states,
+                model=("gtr+g" if base == "gtr" else "jc+g"),
+                sequences_are_masks=True, site_weights=weights,
+            )
+            gamma_shape = float(params["gamma_shape"])
+        if base not in ("jc", "gtr"):
+            raise SystemExit(f"unsupported model {model!r} (jc/gtr[+g])")
+        res = stepping_stone(
+            jax.random.PRNGKey(args.seed + i), topo, patterns, n_states,
+            n_rungs=args.rungs, n_generations=args.generations,
+            sample_model=base == "gtr", gamma_shape=gamma_shape,
+            site_weights=weights, sequences_are_masks=True,
+        )
+        results[model] = {
+            "log_marginal": round(res["log_marginal"], 4),
+            "ess_min": round(res["ess_min"], 1),
+            "acceptance": round(res["acceptance"], 3),
+        }
+        if gamma_shape is not None:
+            results[model]["gamma_shape"] = round(gamma_shape, 4)
+    best = max(results, key=lambda m: results[m]["log_marginal"])
+    out = {
+        "n_taxa": len(names),
+        "n_sites": int(masks.shape[1]),
+        "rungs": args.rungs,
+        "models": results,
+        "best": best,
+        "log_bayes_factors_vs_best": {
+            m: round(
+                results[m]["log_marginal"] - results[best]["log_marginal"], 4
+            )
+            for m in results
+        },
+    }
+    print(json.dumps(out))
+
+
 def cmd_date(args) -> None:
     """Strict-clock analysis of a fixed tree: LRT + Bayesian node ages."""
     import numpy as np
@@ -2373,6 +2442,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "(CONSEL/puzzle site-lnL format) for external "
                         "AU-test tools")
     p.set_defaults(fn=cmd_topotest)
+
+    p = sub.add_parser(
+        "bayesfactor",
+        help="stepping-stone marginal likelihoods / Bayes factors",
+    )
+    p.add_argument("--fasta", required=True)
+    p.add_argument("--tree", required=True)
+    p.add_argument("--alphabet", choices=["dna", "protein"], default="dna")
+    p.add_argument("--models", default="jc,gtr",
+                   help="comma list: jc, gtr, jc+g, gtr+g")
+    p.add_argument("--rungs", type=int, default=32)
+    p.add_argument("--generations", type=int, default=3000)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_bayesfactor)
 
     p = sub.add_parser(
         "date",

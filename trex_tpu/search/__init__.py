@@ -43,6 +43,7 @@ from trex_tpu.search.stepwise import stepwise_addition, stepwise_addition_multi
 from trex_tpu.search.ml import ml_hill_climb, ml_iterated_search
 from trex_tpu.search.mcmc import McmcResult, mcmc_sample
 from trex_tpu.search.dating import DatingResult, mcmc_date
+from trex_tpu.search.marginal import stepping_stone
 from trex_tpu.search.treedist import (
     branch_score_distance,
     patristic_matrix,
@@ -115,6 +116,7 @@ __all__ = [
     "mcmc_sample",
     "DatingResult",
     "mcmc_date",
+    "stepping_stone",
     "branch_score_distance",
     "patristic_matrix",
     "path_difference_distance",
