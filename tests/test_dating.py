@@ -220,3 +220,56 @@ def test_relaxed_clock_flags_fast_branch():
     )
     r0 = res0.sample_rates.mean(0)[:-1]
     assert np.all(r0 > 0.45) and np.all(r0 < 2.2)
+
+
+def test_calibrated_dating_recovers_absolute_time():
+    """Root calibrated to [3, 5] time units, true root age 4, true rate
+    0.05 subs/site/unit: the rate x root-age PRODUCT (the identified
+    quantity) is recovered tightly; the truth sits inside the HPD; the
+    chain explores the calibration window (the likelihood-invariant joint
+    time/rate scale move mixes along the ridge)."""
+    from trex_tpu.models.simulate import simulate_alignment
+
+    topo = _single(3, 8)
+    rng = np.random.default_rng(0)
+    inc = jnp.asarray(rng.uniform(0.3, 0.9, size=7).astype(np.float32))
+    ages_t = np.array(increments_to_ages(topo, inc))
+    ages_t *= 4.0 / ages_t[-1]
+    lengths = np.array(ages_to_lengths(topo, jnp.asarray(ages_t))) * 0.05
+    aln = simulate_alignment(
+        jax.random.PRNGKey(1), topo, lengths.astype(np.float32),
+        n_sites=3000,
+    )
+    res = mcmc_date(
+        jax.random.PRNGKey(2), topo, jnp.asarray(aln.astype(np.int32)), 4,
+        n_generations=8000, n_chains=2, calibrations={"root": (3.0, 5.0)},
+    )
+    assert res.sample_clock_rate is not None
+    product = res.sample_ages[:, -1] * res.sample_clock_rate
+    assert abs(product.mean() - 0.2) < 0.012
+    assert res.age_hpd[-1, 0] <= 4.0 <= res.age_hpd[-1, 1]
+    assert res.sample_ages[:, -1].std() > 0.25  # explores the window
+    # Ages stay inside the calibration window.
+    assert res.sample_ages[:, -1].min() >= 3.0 - 1e-5
+    assert res.sample_ages[:, -1].max() <= 5.0 + 1e-5
+
+
+def test_calibration_requires_monophyly():
+    import pytest
+
+    topo = _single(3, 8)
+    from trex_tpu.search.bootstrap import subtree_leaf_sets
+
+    clades = set(subtree_leaf_sets(topo))
+    non_clade = frozenset([0, 1])
+    if non_clade in clades:  # pick something that is NOT a clade
+        non_clade = frozenset([0, 7]) if frozenset([0, 7]) not in clades \
+            else frozenset([1, 6])
+    assert non_clade not in clades
+    with pytest.raises(ValueError, match="monophyletic"):
+        mcmc_date(
+            jax.random.PRNGKey(0), topo,
+            jnp.zeros((8, 4), jnp.int32), 4,
+            n_generations=10, prior_only=True,
+            calibrations={non_clade: (1.0, 2.0)},
+        )

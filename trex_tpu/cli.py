@@ -2014,11 +2014,30 @@ def cmd_date(args) -> None:
         topo, patterns, n_states, sequences_are_masks=True,
         site_weights=weights, rates=rates, freqs=freqs,
     )
+    calibrations = None
+    if args.calibrate:
+        calibrations = {}
+        for spec in args.calibrate:
+            parts = spec.rsplit(":", 2)
+            if len(parts) != 3:
+                raise SystemExit(
+                    f"--calibrate wants 'taxa:min:max' or 'root:min:max', "
+                    f"got {spec!r}"
+                )
+            who, lo_s, hi_s = parts
+            key_ = (
+                "root"
+                if who.strip() == "root"
+                else frozenset(_outgroup_indices(names, who))
+            )
+            calibrations[key_] = (float(lo_s), float(hi_s))
+
     res = mcmc_date(
         jax.random.PRNGKey(args.seed), topo, patterns, n_states,
         n_generations=args.generations, n_chains=args.chains,
         root_age_prior_mean=args.root_prior_mean,
         clock=args.clock, relaxed_sd=args.relaxed_sd,
+        calibrations=calibrations,
         rates=rates, freqs=freqs, gamma_shape=gamma_shape,
         site_weights=weights, sequences_are_masks=True,
         leaf_names=names,
@@ -2057,6 +2076,16 @@ def cmd_date(args) -> None:
         out["branch_rates"] = [
             round(float(r), 4) for r in res.sample_rates.mean(0)[:-1]
         ]
+    if res.sample_clock_rate is not None:
+        cr = res.sample_clock_rate
+        out["clock_rate"] = {
+            "mean": round(float(cr.mean()), 6),
+            "hpd95": [
+                round(float(np.percentile(cr, 2.5)), 6),
+                round(float(np.percentile(cr, 97.5)), 6),
+            ],
+        }
+        out["time_units"] = "calibrated (absolute)"
     if args.output_tree:
         with open(args.output_tree, "w") as fh:
             fh.write(res.newick + "\n")
@@ -2476,6 +2505,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="relaxed = uncorrelated lognormal branch rates")
     p.add_argument("--relaxed-sd", type=float, default=0.3,
                    help="lognormal sd of the relaxed-clock rate prior")
+    p.add_argument("--calibrate", action="append", default=None,
+                   metavar="TAXA:MIN:MAX",
+                   help="uniform age calibration on a clade's MRCA "
+                   "(comma-separated taxa, or 'root'); repeatable; "
+                   "switches ages to absolute time + samples the clock "
+                   "rate")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-tree", default=None,
                    help="write the posterior-mean ultrametric newick here")

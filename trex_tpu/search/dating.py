@@ -52,6 +52,9 @@ class DatingResult:
     sample_rates: np.ndarray | None = None
     """(n_samples, n_all) per-branch rate multipliers (relaxed clock only;
     root entry is a placeholder 1)."""
+    sample_clock_rate: np.ndarray | None = None
+    """(n_samples,) global substitution rate (substitutions/site/time
+    unit; calibrated analyses only)."""
 
 
 def mcmc_date(
@@ -69,6 +72,8 @@ def mcmc_date(
     clock: str = "strict",
     relaxed_sd: float = 0.3,
     rate_tuning: float = 1.0,
+    calibrations: dict | None = None,
+    clock_rate_prior_sd: float = 1.5,
     start_ages: np.ndarray | None = None,
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
@@ -92,6 +97,15 @@ def mcmc_date(
     scale), sampled by per-branch Gaussian random walks on log-rate. The
     effective branch length is (parent age - node age) * rate; sampled
     ages stay in TIME units (the newick is the posterior-mean time tree).
+
+    ``calibrations`` switches the analysis to ABSOLUTE time: a dict
+    mapping clades (frozensets of leaf indices, or the string "root") to
+    (min_age, max_age) uniform calibration bounds on the clade's MRCA
+    age. Every calibrated clade must be monophyletic in ``topology``. A
+    global substitution rate (substitutions/site/time-unit) is then
+    sampled too (broad lognormal prior, sd ``clock_rate_prior_sd`` around
+    an ML-derived initial value) and reported via ``sample_clock_rate``;
+    the root-age prior mean should be given in time units.
     """
     from trex_tpu.ops.clock import ages_to_lengths, optimize_clock
     from trex_tpu.ops.likelihood import (
@@ -129,10 +143,38 @@ def mcmc_date(
     if clock not in ("strict", "relaxed"):
         raise ValueError(f"unknown clock {clock!r}")
 
-    def lnl_of_ages(ages, log_rates):
+    # --- calibrations: per-node uniform age bounds + a sampled global rate
+    calibrated = bool(calibrations)
+    cal_lo = np.zeros(n_all, np.float32)
+    cal_hi = np.full(n_all, np.inf, np.float32)
+    if calibrated:
+        from trex_tpu.search.bootstrap import subtree_leaf_sets
+
+        clade_to_node = {
+            s: n_leaves + i
+            for i, s in enumerate(subtree_leaf_sets(topology))
+        }
+        for clade, (lo_b, hi_b) in calibrations.items():
+            if clade == "root":
+                node = n_all - 1
+            else:
+                node = clade_to_node.get(frozenset(clade))
+                if node is None:
+                    raise ValueError(
+                        f"calibrated clade {sorted(clade)} is not "
+                        "monophyletic in the topology"
+                    )
+            cal_lo[node] = lo_b
+            cal_hi[node] = hi_b
+    cal_lo_dev = jnp.asarray(cal_lo)
+    cal_hi_dev = jnp.asarray(cal_hi)
+
+    def lnl_of_ages(ages, log_rates, log_clock_rate):
         lengths = ages_to_lengths(
             Topology(children=children, parents=parents), ages
         )
+        if calibrated:
+            lengths = lengths * jnp.exp(log_clock_rate)
         if relaxed:
             lengths = lengths * jnp.exp(log_rates)
 
@@ -166,10 +208,15 @@ def mcmc_date(
 
     batched_lnl = jax.vmap(lnl_of_ages)
     sd2 = relaxed_sd * relaxed_sd
+    # A calibrated root gets a UNIFORM prior from its bounds; the
+    # exponential root prior would double-penalize it.
+    if calibrated and np.isfinite(cal_hi[-1]):
+        prior_rate = 0.0
 
     # --- initial ages --------------------------------------------------------
     seeds = np.asarray(jax.random.key_data(key)).ravel()
     rng = np.random.default_rng(int(seeds[-1]))
+    log_clock_rate0 = 0.0
     if start_ages is None and not prior_only:
         ml_ages, _ = optimize_clock(
             topology, leaf_sequences, n_states,
@@ -177,6 +224,25 @@ def mcmc_date(
             rates=rates, freqs=freqs,
         )
         start_ages = np.asarray(ml_ages)
+        if calibrated:
+            # Rescale ML substitution-unit ages into calibrated time via
+            # the first calibrated node's bound midpoint; the implied
+            # substitution rate seeds (and centers the prior of) the
+            # sampled clock rate.
+            cal_nodes = [
+                v for v in range(n_all)
+                if cal_lo[v] > 0 or np.isfinite(cal_hi[v])
+            ]
+            anchor = cal_nodes[0]
+            hi_eff = (
+                cal_hi[anchor]
+                if np.isfinite(cal_hi[anchor])
+                else cal_lo[anchor] * 3.0 + 1.0
+            )
+            target = (cal_lo[anchor] + hi_eff) / 2.0
+            ml_anchor = max(float(start_ages[anchor]), 1e-6)
+            start_ages = start_ages * (target / ml_anchor)
+            log_clock_rate0 = float(np.log(max(ml_anchor / target, 1e-8)))
     elif start_ages is None:
         from trex_tpu.ops.clock import increments_to_ages
 
@@ -196,16 +262,32 @@ def mcmc_date(
     ages0[:, n_leaves:] *= rng.uniform(
         0.95, 1.05, size=(n_chains, n_anc)
     ).astype(np.float32)
-    # Re-enforce validity: parent age strictly above children.
+    # Re-enforce validity: parent age strictly above children, inside any
+    # calibration window.
     for c in range(n_chains):
         for a in range(n_anc):
             v = n_leaves + a
             lo = max(
                 float(ages0[c, int(topology.children[a][0])]),
                 float(ages0[c, int(topology.children[a][1])]),
+                float(cal_lo[v]),
             )
             if ages0[c, v] <= lo:
                 ages0[c, v] = lo + 1e-4
+            if ages0[c, v] > cal_hi[v]:
+                ages0[c, v] = max(cal_hi[v] - 1e-4, lo + 1e-4)
+    if calibrated:
+        bad = [
+            (c, v)
+            for c in range(n_chains)
+            for v in range(n_leaves, n_all)
+            if not (cal_lo[v] <= ages0[c, v] <= cal_hi[v])
+        ]
+        if bad:
+            raise ValueError(
+                "could not satisfy all calibration windows jointly from "
+                f"the starting ages (violations: {bad[:4]}...)"
+            )
 
     # --- the whole sampler: one jitted scan ---------------------------------
     anc_ids = jnp.arange(n_leaves, n_all - 1, dtype=jnp.int32)
@@ -213,14 +295,15 @@ def mcmc_date(
     n_burnin = int(burnin_frac * n_generations)
 
     @jax.jit
-    def run(key, ages, log_rates):
-        lnl = batched_lnl(ages, log_rates)
+    def run(key, ages, log_rates, log_cr):
+        lnl = batched_lnl(ages, log_rates, log_cr)
 
         def gen(carry, inputs):
-            ages, log_rates, lnl, acc_slide, acc_root, acc_rate, log_tune = carry
+            (ages, log_rates, log_cr, lnl, acc_slide, acc_root, acc_rate,
+             acc_cr, log_tune) = carry
             step_idx, k = inputs
             (k_node, k_u, k_acc1, k_mult, k_acc2,
-             k_rnode, k_rstep, k_acc3) = jax.random.split(k, 8)
+             k_rnode, k_rstep, k_acc3, k_cr, k_acc4) = jax.random.split(k, 10)
 
             # Interior slide (skipped entirely when there is no interior).
             if n_anc > 1:
@@ -228,14 +311,19 @@ def mcmc_date(
                 rows = jnp.arange(n_chains)
                 kid_pair = children[node - n_leaves]
                 low = jnp.maximum(
-                    ages[rows, kid_pair[:, 0]], ages[rows, kid_pair[:, 1]]
+                    jnp.maximum(
+                        ages[rows, kid_pair[:, 0]], ages[rows, kid_pair[:, 1]]
+                    ),
+                    cal_lo_dev[node],
                 )
-                high = ages[rows, parents[node]]
+                high = jnp.minimum(
+                    ages[rows, parents[node]], cal_hi_dev[node]
+                )
                 prop_age = low + (high - low) * jax.random.uniform(
                     k_u, (n_chains,)
                 )
                 prop = ages.at[rows, node].set(prop_age)
-                prop_lnl = batched_lnl(prop, log_rates)
+                prop_lnl = batched_lnl(prop, log_rates, log_cr)
                 take = (
                     jnp.log(jax.random.uniform(k_acc1, (n_chains,)))
                     < prop_lnl - lnl
@@ -256,7 +344,7 @@ def mcmc_date(
                 old_lr = log_rates[rows, rnode]
                 new_lr = old_lr + step
                 prop_lr = log_rates.at[rows, rnode].set(new_lr)
-                prop_lnl = batched_lnl(ages, prop_lr)
+                prop_lnl = batched_lnl(ages, prop_lr, log_cr)
                 mu = -0.5 * sd2
                 dprior = (
                     (old_lr - mu) ** 2 - (new_lr - mu) ** 2
@@ -281,16 +369,24 @@ def mcmc_date(
             old_root = ages[:, -1]
             new_root = old_root * factor
             kid_pair = children[-1]
-            low = jnp.maximum(ages[rows, kid_pair[0]], ages[rows, kid_pair[1]])
+            low = jnp.maximum(
+                jnp.maximum(
+                    ages[rows, kid_pair[0]], ages[rows, kid_pair[1]]
+                ),
+                cal_lo_dev[-1],
+            )
             prop = ages.at[:, -1].set(new_root)
-            prop_lnl = batched_lnl(prop, log_rates)
+            prop_lnl = batched_lnl(prop, log_rates, log_cr)
             log_alpha = (
                 prop_lnl - lnl
                 - prior_rate * (new_root - old_root)
                 + jnp.log(factor)
             )
-            take = (new_root > low) & (
-                jnp.log(jax.random.uniform(k_acc2, (n_chains,))) < log_alpha
+            take = (
+                (new_root > low)
+                & (new_root <= cal_hi_dev[-1])
+                & (jnp.log(jax.random.uniform(k_acc2, (n_chains,)))
+                   < log_alpha)
             )
             ages = jnp.where(take[:, None], prop, ages)
             lnl = jnp.where(take, prop_lnl, lnl)
@@ -301,31 +397,94 @@ def mcmc_date(
                 jnp.log(1e-3), jnp.log(4.0),
             )
 
+            # Global clock-rate random walk (calibrated analyses only;
+            # lognormal prior centered on the ML-derived seed).
+            if calibrated:
+                step = 0.3 * jax.random.normal(k_cr, (n_chains,))
+                new_cr = log_cr + step
+                prop_lnl = batched_lnl(ages, log_rates, new_cr)
+                dprior = (
+                    (log_cr - log_clock_rate0) ** 2
+                    - (new_cr - log_clock_rate0) ** 2
+                ) / (2.0 * clock_rate_prior_sd**2)
+                take = (
+                    jnp.log(jax.random.uniform(k_acc4, (n_chains,)))
+                    < prop_lnl - lnl + dprior
+                )
+                log_cr = jnp.where(take, new_cr, log_cr)
+                lnl = jnp.where(take, prop_lnl, lnl)
+                acc_cr = acc_cr + take.sum()
+
+                # Joint (time x f, rate / f) scale move: the likelihood is
+                # EXACTLY invariant (lengths = rate * dt), so this slides
+                # along the rate/time ridge at zero evaluation cost; only
+                # the priors and the f^n_anc Jacobian enter. Calibration
+                # windows gate acceptance.
+                k_s, k_acc5 = jax.random.split(k_cr)
+                f = jnp.exp(
+                    0.5 * (jax.random.uniform(k_s, (n_chains,)) - 0.5)
+                )
+                prop_ages = ages.at[:, n_leaves:].multiply(f[:, None])
+                new_cr2 = log_cr - jnp.log(f)
+                old_root = ages[:, -1]
+                new_root = prop_ages[:, -1]
+                inside = jnp.all(
+                    (prop_ages[:, n_leaves:] >= cal_lo_dev[None, n_leaves:])
+                    & (prop_ages[:, n_leaves:]
+                       <= cal_hi_dev[None, n_leaves:]),
+                    axis=1,
+                )
+                dprior = (
+                    -prior_rate * (new_root - old_root)
+                    + (
+                        (log_cr - log_clock_rate0) ** 2
+                        - (new_cr2 - log_clock_rate0) ** 2
+                    ) / (2.0 * clock_rate_prior_sd**2)
+                )
+                take = inside & (
+                    jnp.log(jax.random.uniform(k_acc5, (n_chains,)))
+                    < dprior + n_anc * jnp.log(f)
+                )
+                ages = jnp.where(take[:, None], prop_ages, ages)
+                log_cr = jnp.where(take, new_cr2, log_cr)
+
             return (
-                (ages, log_rates, lnl, acc_slide, acc_root, acc_rate,
-                 log_tune),
-                (ages, log_rates, lnl),
+                (ages, log_rates, log_cr, lnl, acc_slide, acc_root,
+                 acc_rate, acc_cr, log_tune),
+                (ages, log_rates, log_cr, lnl),
             )
 
         keys = jax.random.split(key, n_generations)
         log_tune0 = jnp.full((n_chains,), jnp.log(root_tuning))
         zero = jnp.zeros((), jnp.int32)
-        (_, _, _, acc_slide, acc_root, acc_rate, _), traces = jax.lax.scan(
+        (
+            (_, _, _, _, acc_slide, acc_root, acc_rate, acc_cr, _),
+            traces,
+        ) = jax.lax.scan(
             gen,
-            (ages, log_rates, lnl, zero, zero, zero, log_tune0),
+            (ages, log_rates, log_cr, lnl, zero, zero, zero, zero,
+             log_tune0),
             (jnp.arange(n_generations), keys),
         )
-        trace_ages, trace_rates, trace_lnl = traces
-        return trace_ages, trace_rates, trace_lnl, acc_slide, acc_root, acc_rate
+        trace_ages, trace_rates, trace_cr, trace_lnl = traces
+        return (trace_ages, trace_rates, trace_cr, trace_lnl,
+                acc_slide, acc_root, acc_rate, acc_cr)
 
     log_rates0 = np.zeros((n_chains, n_all), np.float32)
     if relaxed:
         log_rates0[:, :-1] = (
             rng.normal(-0.5 * sd2, relaxed_sd, size=(n_chains, n_all - 1))
         ).astype(np.float32)
+    log_cr0 = np.full((n_chains,), log_clock_rate0, np.float32)
     (
-        trace_ages, trace_rates, trace_lnl, acc_slide, acc_root, acc_rate
-    ) = jax.device_get(run(key, jnp.asarray(ages0), jnp.asarray(log_rates0)))
+        trace_ages, trace_rates, trace_cr, trace_lnl,
+        acc_slide, acc_root, acc_rate, acc_cr,
+    ) = jax.device_get(
+        run(
+            key, jnp.asarray(ages0), jnp.asarray(log_rates0),
+            jnp.asarray(log_cr0),
+        )
+    )
 
     # --- summaries -----------------------------------------------------------
     keep = np.arange(n_burnin, n_generations, sample_every)
@@ -351,6 +510,9 @@ def mcmc_date(
         if relaxed
         else None
     )
+    sample_clock_rate = (
+        np.exp(np.asarray(trace_cr)[keep].reshape(-1)) if calibrated else None
+    )
     return DatingResult(
         sample_ages=sample_ages,
         sample_lnl=sample_lnl,
@@ -369,8 +531,17 @@ def mcmc_date(
                 if relaxed
                 else {}
             ),
+            **(
+                {
+                    "clock_rate": float(acc_cr)
+                    / max(n_generations * n_chains, 1)
+                }
+                if calibrated
+                else {}
+            ),
         },
         newick=newick,
         generations=n_generations,
         sample_rates=sample_rates,
+        sample_clock_rate=sample_clock_rate,
     )
