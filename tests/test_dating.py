@@ -273,3 +273,45 @@ def test_calibration_requires_monophyly():
             n_generations=10, prior_only=True,
             calibrations={non_clade: (1.0, 2.0)},
         )
+
+
+def test_tip_dating_identifies_absolute_rate():
+    """Heterochronous tips (ages spread over [0,2]) identify the clock
+    rate WITHOUT calibration windows: rate and root age both recovered
+    inside their HPDs."""
+    from trex_tpu.models.simulate import simulate_alignment
+
+    topo = _single(3, 8)
+    rng = np.random.default_rng(0)
+    tips = rng.uniform(0.0, 2.0, size=8).astype(np.float32)
+    children = np.asarray(topo.children)
+    parents = np.asarray(topo.parents)
+    ages_t = np.zeros(15)
+    ages_t[:8] = tips
+    for a in range(7):
+        c0, c1 = children[a]
+        ages_t[8 + a] = max(ages_t[c0], ages_t[c1]) + rng.uniform(0.4, 1.2)
+    rate_true = 0.1
+    lengths = np.zeros(15, np.float32)
+    for v in range(14):
+        lengths[v] = (ages_t[parents[v]] - ages_t[v]) * rate_true
+    aln = simulate_alignment(
+        jax.random.PRNGKey(1), topo, lengths, n_sites=4000
+    )
+    res = mcmc_date(
+        jax.random.PRNGKey(2), topo, jnp.asarray(aln.astype(np.int32)), 4,
+        n_generations=8000, n_chains=2, tip_ages=tips,
+        root_age_prior_mean=10.0,
+    )
+    cr = res.sample_clock_rate
+    assert cr is not None
+    lo_r, hi_r = np.percentile(cr, [2.5, 97.5])
+    assert lo_r <= rate_true <= hi_r
+    assert abs(cr.mean() - rate_true) < 0.015
+    assert res.age_hpd[-1, 0] <= ages_t[-1] <= res.age_hpd[-1, 1]
+    assert np.abs(res.mean_ages[8:] - ages_t[8:]).max() < 0.3
+    # Tips stay pinned at their sampling ages.
+    np.testing.assert_allclose(
+        res.sample_ages[:, :8], np.broadcast_to(tips, res.sample_ages[:, :8].shape),
+        atol=1e-6,
+    )

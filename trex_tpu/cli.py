@@ -2014,6 +2014,24 @@ def cmd_date(args) -> None:
         topo, patterns, n_states, sequences_are_masks=True,
         site_weights=weights, rates=rates, freqs=freqs,
     )
+    tip_ages = None
+    if args.tip_ages:
+        import numpy as np
+
+        tip_map = {}
+        for pair in args.tip_ages.split(","):
+            name_, _, age_s = pair.rpartition("=")
+            if not name_ or name_ not in names:
+                raise SystemExit(
+                    f"--tip-ages entry {pair!r}: want 'taxon=age' with a "
+                    "taxon from the alignment"
+                )
+            tip_map[name_] = float(age_s)
+        missing = [n for n in names if n not in tip_map]
+        if missing:
+            raise SystemExit(f"--tip-ages missing taxa: {missing[:5]}")
+        tip_ages = np.array([tip_map[n] for n in names], np.float32)
+
     calibrations = None
     if args.calibrate:
         calibrations = {}
@@ -2037,7 +2055,7 @@ def cmd_date(args) -> None:
         n_generations=args.generations, n_chains=args.chains,
         root_age_prior_mean=args.root_prior_mean,
         clock=args.clock, relaxed_sd=args.relaxed_sd,
-        calibrations=calibrations,
+        calibrations=calibrations, tip_ages=tip_ages,
         rates=rates, freqs=freqs, gamma_shape=gamma_shape,
         site_weights=weights, sequences_are_masks=True,
         leaf_names=names,
@@ -2511,6 +2529,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "(comma-separated taxa, or 'root'); repeatable; "
                    "switches ages to absolute time + samples the clock "
                    "rate")
+    p.add_argument("--tip-ages", default=None,
+                   metavar="taxon=age,taxon=age,...",
+                   help="heterochronous sampling ages (0 = most recent) "
+                   "for tip dating; all taxa required; samples the clock "
+                   "rate (identified by the tip-age spread)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-tree", default=None,
                    help="write the posterior-mean ultrametric newick here")

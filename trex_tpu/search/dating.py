@@ -73,6 +73,7 @@ def mcmc_date(
     relaxed_sd: float = 0.3,
     rate_tuning: float = 1.0,
     calibrations: dict | None = None,
+    tip_ages: np.ndarray | None = None,
     clock_rate_prior_sd: float = 1.5,
     start_ages: np.ndarray | None = None,
     rates: jax.Array | None = None,
@@ -106,6 +107,12 @@ def mcmc_date(
     sampled too (broad lognormal prior, sd ``clock_rate_prior_sd`` around
     an ML-derived initial value) and reported via ``sample_clock_rate``;
     the root-age prior mean should be given in time units.
+
+    ``tip_ages`` ((n_leaves,) sampling times as ages, 0 = most recent)
+    enables TIP DATING of heterochronous data (serially sampled viruses):
+    leaves sit at their fixed ages, and the clock rate is sampled as in
+    the calibrated case — the tip-age spread identifies it without any
+    node calibration.
     """
     from trex_tpu.ops.clock import ages_to_lengths, optimize_clock
     from trex_tpu.ops.likelihood import (
@@ -144,10 +151,13 @@ def mcmc_date(
         raise ValueError(f"unknown clock {clock!r}")
 
     # --- calibrations: per-node uniform age bounds + a sampled global rate
-    calibrated = bool(calibrations)
+    heterochronous = tip_ages is not None and np.ptp(
+        np.asarray(tip_ages)
+    ) > 0
+    calibrated = bool(calibrations) or tip_ages is not None
     cal_lo = np.zeros(n_all, np.float32)
     cal_hi = np.full(n_all, np.inf, np.float32)
-    if calibrated:
+    if calibrations:
         from trex_tpu.search.bootstrap import subtree_leaf_sets
 
         clade_to_node = {
@@ -224,7 +234,29 @@ def mcmc_date(
             rates=rates, freqs=freqs,
         )
         start_ages = np.asarray(ml_ages)
-        if calibrated:
+        if heterochronous:
+            # Tip dating: put leaves at their sampling ages, stack the ML
+            # age increments (rescaled so the tree spans ~2x the tip
+            # spread) above them bottom-up; the implied rate seeds the
+            # sampled clock rate.
+            ml_root = max(float(start_ages[-1]), 1e-6)
+            tips = np.asarray(tip_ages, np.float64)
+            span = max(float(np.ptp(tips)), 1e-6)
+            scale = 2.0 * span / ml_root
+            start2 = np.zeros(n_all)
+            start2[:n_leaves] = tips
+            children_np = np.asarray(topology.children)
+            ml_np = np.asarray(start_ages, np.float64)
+            for a in range(n_anc):
+                v = n_leaves + a
+                c0, c1 = int(children_np[a, 0]), int(children_np[a, 1])
+                inc_ml = ml_np[v] - max(ml_np[c0], ml_np[c1])
+                start2[v] = (
+                    max(start2[c0], start2[c1]) + max(inc_ml, 1e-4) * scale
+                )
+            start_ages = start2
+            log_clock_rate0 = float(np.log(max(ml_root / (2.0 * span), 1e-8)))
+        elif calibrated:
             # Rescale ML substitution-unit ages into calibrated time via
             # the first calibrated node's bound midpoint; the implied
             # substitution rate seeds (and centers the prior of) the
@@ -257,6 +289,8 @@ def mcmc_date(
     ages0 = np.broadcast_to(
         np.asarray(start_ages, np.float32)[None], (n_chains, n_all)
     ).copy()
+    if tip_ages is not None:
+        ages0[:, :n_leaves] = np.asarray(tip_ages, np.float32)[None]
     # Jitter interior proportionally (keeps ordering with high probability;
     # invalid jitters are snapped back by the move bounds immediately).
     ages0[:, n_leaves:] *= rng.uniform(
@@ -434,6 +468,16 @@ def mcmc_date(
                        <= cal_hi_dev[None, n_leaves:]),
                     axis=1,
                 )
+                if heterochronous:
+                    # Fixed nonzero tips: interior-only scaling can push a
+                    # parent below a leaf child; gate on full ordering.
+                    kid_max = jnp.maximum(
+                        prop_ages[:, children[:, 0]],
+                        prop_ages[:, children[:, 1]],
+                    )
+                    inside = inside & jnp.all(
+                        prop_ages[:, n_leaves:] > kid_max, axis=1
+                    )
                 dprior = (
                     -prior_rate * (new_root - old_root)
                     + (
@@ -441,12 +485,21 @@ def mcmc_date(
                         - (new_cr2 - log_clock_rate0) ** 2
                     ) / (2.0 * clock_rate_prior_sd**2)
                 )
+                if heterochronous:
+                    # Fixed nonzero tips break the exact invariance
+                    # (leaf-edge lengths change): evaluate.
+                    prop_lnl = batched_lnl(prop_ages, log_rates, new_cr2)
+                    dlik = prop_lnl - lnl
+                else:
+                    prop_lnl = lnl
+                    dlik = 0.0
                 take = inside & (
                     jnp.log(jax.random.uniform(k_acc5, (n_chains,)))
-                    < dprior + n_anc * jnp.log(f)
+                    < dlik + dprior + n_anc * jnp.log(f)
                 )
                 ages = jnp.where(take[:, None], prop_ages, ages)
                 log_cr = jnp.where(take, new_cr2, log_cr)
+                lnl = jnp.where(take, prop_lnl, lnl)
 
             return (
                 (ages, log_rates, log_cr, lnl, acc_slide, acc_root,
