@@ -257,3 +257,34 @@ def test_sharded_spr_scan_with_weights(mesh):
         np.asarray(sh_scores), np.asarray(ref_scores), rtol=1e-6
     )
     np.testing.assert_allclose(float(sh_base), float(ref_base), rtol=1e-6)
+
+
+def test_dating_chains_shard_bit_identically(mesh):
+    """mcmc_date chains are pure data parallelism over the mesh: sharded
+    and unsharded runs must produce IDENTICAL traces (same key)."""
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.ops.clock import ages_to_lengths, increments_to_ages
+    from trex_tpu.search.dating import mcmc_date
+    from trex_tpu.io import sample_topologies
+
+    topo = jax.tree_util.tree_map(
+        lambda x: x[0], sample_topologies(3, 6, 1)
+    )
+    inc = jnp.asarray(np.full(5, 0.08, np.float32))
+    ages = increments_to_ages(topo, inc)
+    aln = simulate_alignment(
+        jax.random.PRNGKey(0), topo,
+        np.asarray(ages_to_lengths(topo, ages)), n_sites=200,
+    )
+    seqs = jnp.asarray(aln.astype(np.int32))
+    kwargs = dict(n_generations=300, n_chains=4, sample_every=3)
+    plain = mcmc_date(jax.random.PRNGKey(1), topo, seqs, 4, **kwargs)
+    sharded = mcmc_date(
+        jax.random.PRNGKey(1), topo, seqs, 4, mesh=mesh, **kwargs
+    )
+    np.testing.assert_allclose(
+        sharded.sample_ages, plain.sample_ages, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        sharded.sample_lnl, plain.sample_lnl, rtol=1e-5
+    )

@@ -84,6 +84,7 @@ def mcmc_date(
     sequences_are_masks: bool = False,
     leaf_names: list[str] | None = None,
     prior_only: bool = False,
+    mesh=None,
 ) -> DatingResult:
     """Sample node ages of ``topology`` under a strict or relaxed clock.
 
@@ -113,6 +114,11 @@ def mcmc_date(
     leaves sit at their fixed ages, and the clock rate is sampled as in
     the calibrated case — the tip-age spread identifies it without any
     node calibration.
+
+    ``mesh`` (a ``jax.sharding.Mesh`` with a 'tree' axis) shards the chain
+    batch across devices — chains are independent, so this is pure data
+    parallelism with bit-identical results (tested on the virtual mesh);
+    ``n_chains`` must be divisible by the axis size.
     """
     from trex_tpu.ops.clock import ages_to_lengths, optimize_clock
     from trex_tpu.ops.likelihood import (
@@ -529,15 +535,28 @@ def mcmc_date(
             rng.normal(-0.5 * sd2, relaxed_sd, size=(n_chains, n_all - 1))
         ).astype(np.float32)
     log_cr0 = np.full((n_chains,), log_clock_rate0, np.float32)
+    ages_dev = jnp.asarray(ages0)
+    rates_dev = jnp.asarray(log_rates0)
+    cr_dev = jnp.asarray(log_cr0)
+    if mesh is not None:
+        # Chains are independent: shard the chain axis over the mesh's
+        # 'tree' axis (pure data parallelism, results bit-identical).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from trex_tpu.parallel.mesh import TREE_AXIS
+
+        chain_sharding = NamedSharding(mesh, PartitionSpec(TREE_AXIS))
+        ages_dev = jax.device_put(
+            ages_dev, NamedSharding(mesh, PartitionSpec(TREE_AXIS, None))
+        )
+        rates_dev = jax.device_put(
+            rates_dev, NamedSharding(mesh, PartitionSpec(TREE_AXIS, None))
+        )
+        cr_dev = jax.device_put(cr_dev, chain_sharding)
     (
         trace_ages, trace_rates, trace_cr, trace_lnl,
         acc_slide, acc_root, acc_rate, acc_cr,
-    ) = jax.device_get(
-        run(
-            key, jnp.asarray(ages0), jnp.asarray(log_rates0),
-            jnp.asarray(log_cr0),
-        )
-    )
+    ) = jax.device_get(run(key, ages_dev, rates_dev, cr_dev))
 
     # --- summaries -----------------------------------------------------------
     keep = np.arange(n_burnin, n_generations, sample_every)
