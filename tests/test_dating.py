@@ -315,3 +315,90 @@ def test_tip_dating_identifies_absolute_rate():
         res.sample_ages[:, :8], np.broadcast_to(tips, res.sample_ages[:, :8].shape),
         atol=1e-6,
     )
+
+
+def test_coalescent_area_hand_case():
+    from trex_tpu.search.dating import coalescent_area
+
+    # 3 tips at 0, coalescences at 0.5 and 1.3: 3*0.5 + 1*0.8.
+    ages = jnp.asarray([0.0, 0.0, 0.0, 0.5, 1.3])
+    np.testing.assert_allclose(float(coalescent_area(ages, 3)), 2.3, rtol=1e-6)
+    # Serial tips: tip enters mid-interval.
+    ages2 = jnp.asarray([0.0, 0.0, 0.4, 0.6, 1.0])
+    # [0,0.4] k=2: 1*0.4 ; [0.4,0.6] k=3: 3*0.2 ; [0.6,1.0] k=2: 1*0.4
+    np.testing.assert_allclose(
+        float(coalescent_area(ages2, 3)), 0.4 + 0.6 + 0.4, rtol=1e-6
+    )
+
+
+def test_coalescent_prior_is_exact():
+    """Prior-only with fixed Ne: the inter-coalescent intervals are the
+    EXACT Kingman exponentials (2-tip root ~ Exp(Ne); 3-tip first interval
+    ~ Exp(Ne/3), second ~ Exp(Ne))."""
+    ne = 0.7
+    topo2 = Topology(
+        children=jnp.asarray([[0, 1]], jnp.int32),
+        parents=jnp.asarray([2, 2, 2], jnp.int32),
+    )
+    res2 = mcmc_date(
+        jax.random.PRNGKey(0), topo2, jnp.zeros((2, 4), jnp.int32), 4,
+        n_generations=30000, n_chains=2, prior_only=True,
+        tree_prior="coalescent", ne=ne, sample_every=6,
+    )
+    root = res2.sample_ages[:, -1]
+    assert abs(root.mean() - ne) < 0.05
+    assert abs(root.std() - ne) < 0.07
+
+    topo3 = _single(0, 3)
+    res3 = mcmc_date(
+        jax.random.PRNGKey(1), topo3, jnp.zeros((3, 4), jnp.int32), 4,
+        n_generations=40000, n_chains=2, prior_only=True,
+        tree_prior="coalescent", ne=ne, sample_every=8,
+    )
+    t1 = res3.sample_ages[:, 3]
+    t2 = res3.sample_ages[:, 4]
+    assert abs(t1.mean() - ne / 3) < 0.03
+    assert abs((t2 - t1).mean() - ne) < 0.07
+
+
+def test_gibbs_ne_recovery_from_coalescent_data():
+    """Simulate a Kingman genealogy (Ne = 0.05 substitution units) + data;
+    the Gibbs-sampled Ne posterior recovers it."""
+    from trex_tpu.io.fallback import _canonicalize
+    from trex_tpu.models.simulate import simulate_alignment
+
+    rng = np.random.default_rng(2)
+    ne_true, n = 0.05, 16
+    active = list(range(n))
+    age = {i: 0.0 for i in range(n)}
+    t, node = 0.0, n
+    kids_map = {}
+    while len(active) > 1:
+        k = len(active)
+        t += rng.exponential(ne_true / (k * (k - 1) / 2))
+        i, j = rng.choice(len(active), 2, replace=False)
+        a, b = active[i], active[j]
+        active = [x for x in active if x not in (a, b)] + [node]
+        kids_map[node] = [min(a, b), max(a, b)]
+        age[node] = t
+        node += 1
+    ch, par, relabel = _canonicalize(n, kids_map, 2 * n - 2)
+    ages_arr = np.zeros(2 * n - 1, np.float32)
+    for old, new in relabel.items():
+        ages_arr[new] = age.get(old, 0.0)
+    topo = Topology(children=jnp.asarray(ch), parents=jnp.asarray(par))
+    lengths = ages_arr[np.asarray(par)] - ages_arr
+    lengths[-1] = 0.0
+    aln = simulate_alignment(
+        jax.random.PRNGKey(3), topo, lengths.astype(np.float32),
+        n_sites=2000,
+    )
+    res = mcmc_date(
+        jax.random.PRNGKey(4), topo, jnp.asarray(aln.astype(np.int32)), 4,
+        n_generations=6000, n_chains=2, tree_prior="coalescent",
+    )
+    assert res.sample_ne is not None
+    lo, hi = np.percentile(res.sample_ne, [2.5, 97.5])
+    assert lo <= ne_true <= hi
+    assert abs(res.sample_ne.mean() - ne_true) < 0.02
+    assert res.age_hpd[-1, 0] <= ages_arr[-1] <= res.age_hpd[-1, 1]

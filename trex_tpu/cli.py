@@ -2056,6 +2056,7 @@ def cmd_date(args) -> None:
         root_age_prior_mean=args.root_prior_mean,
         clock=args.clock, relaxed_sd=args.relaxed_sd,
         calibrations=calibrations, tip_ages=tip_ages,
+        tree_prior=args.tree_prior, ne=args.ne,
         rates=rates, freqs=freqs, gamma_shape=gamma_shape,
         site_weights=weights, sequences_are_masks=True,
         leaf_names=names,
@@ -2104,6 +2105,15 @@ def cmd_date(args) -> None:
             ],
         }
         out["time_units"] = "calibrated (absolute)"
+    if res.sample_ne is not None:
+        ne_s = res.sample_ne
+        out["coalescent_ne"] = {
+            "mean": round(float(ne_s.mean()), 6),
+            "hpd95": [
+                round(float(np.percentile(ne_s, 2.5)), 6),
+                round(float(np.percentile(ne_s, 97.5)), 6),
+            ],
+        }
     if args.output_tree:
         with open(args.output_tree, "w") as fh:
             fh.write(res.newick + "\n")
@@ -2534,6 +2544,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="heterochronous sampling ages (0 = most recent) "
                    "for tip dating; all taxa required; samples the clock "
                    "rate (identified by the tip-age spread)")
+    p.add_argument("--tree-prior", choices=["uniform", "coalescent"],
+                   default="uniform",
+                   help="coalescent = Kingman prior on node ages")
+    p.add_argument("--ne", type=float, default=None,
+                   help="fix the coalescent Ne (default: Gibbs-sample it)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-tree", default=None,
                    help="write the posterior-mean ultrametric newick here")

@@ -55,6 +55,26 @@ class DatingResult:
     sample_clock_rate: np.ndarray | None = None
     """(n_samples,) global substitution rate (substitutions/site/time
     unit; calibrated analyses only)."""
+    sample_ne: np.ndarray | None = None
+    """(n_samples,) coalescent effective population size (Gibbs-sampled;
+    tree_prior='coalescent' with ne=None only)."""
+
+
+def coalescent_area(ages: jax.Array, n_leaves: int) -> jax.Array:
+    """Kingman "area" A = sum over inter-event intervals of k(k-1)/2 dt.
+
+    ``ages`` (n_all,) node ages (tips may be nonzero — serial coalescent);
+    k = active lineages in the interval, +1 at each tip going back in
+    time, -1 at each coalescence. log p(ages | Ne) = -(n-1) log Ne - A/Ne.
+    """
+    n_all = ages.shape[-1]
+    deltas = jnp.where(jnp.arange(n_all) < n_leaves, 1.0, -1.0)
+    order = jnp.argsort(ages)
+    sorted_ages = ages[order]
+    k = jnp.cumsum(deltas[order])  # lineages AFTER each event (back in time)
+    dt = jnp.diff(sorted_ages)
+    k_mid = k[:-1]  # lineage count within each interval
+    return jnp.sum(k_mid * (k_mid - 1.0) / 2.0 * dt)
 
 
 def mcmc_date(
@@ -75,6 +95,9 @@ def mcmc_date(
     calibrations: dict | None = None,
     tip_ages: np.ndarray | None = None,
     clock_rate_prior_sd: float = 1.5,
+    tree_prior: str = "uniform",
+    ne: float | None = None,
+    ne_prior: tuple[float, float] = (0.001, 0.001),
     start_ages: np.ndarray | None = None,
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
@@ -119,6 +142,14 @@ def mcmc_date(
     batch across devices — chains are independent, so this is pure data
     parallelism with bit-identical results (tested on the virtual mesh);
     ``n_chains`` must be divisible by the axis size.
+
+    ``tree_prior="coalescent"`` replaces the uniform-interior prior with
+    the (serial) Kingman coalescent: log p(ages | Ne) = -(n-1) log Ne -
+    A/Ne with A = sum over inter-event intervals of k(k-1)/2 * dt (the
+    coalescent "area"; tips enter at their ages). ``ne`` fixes the
+    effective population size; ``ne=None`` SAMPLES it by conjugate Gibbs
+    (InvGamma(a0 + n - 1, b0 + A), ``ne_prior=(a0, b0)``) — phylodynamic
+    Ne estimation; posterior samples in ``sample_ne``.
     """
     from trex_tpu.ops.clock import ages_to_lengths, optimize_clock
     from trex_tpu.ops.likelihood import (
@@ -229,6 +260,24 @@ def mcmc_date(
     if calibrated and np.isfinite(cal_hi[-1]):
         prior_rate = 0.0
 
+    coalescent = tree_prior == "coalescent"
+    if tree_prior not in ("uniform", "coalescent"):
+        raise ValueError(f"unknown tree_prior {tree_prior!r}")
+    sample_ne = coalescent and ne is None
+    ne0 = float(ne) if ne is not None else 1.0
+    ne_a0, ne_b0 = ne_prior
+    if coalescent:
+        # The coalescent density replaces both the uniform-interior prior
+        # and the exponential root prior.
+        prior_rate = 0.0
+    batched_area = jax.vmap(lambda a: coalescent_area(a, n_leaves))
+
+    def dtree_logprior(prop_ages, ages, ne_batch):
+        """Per-chain Delta log tree prior for an age move (Ne fixed)."""
+        if not coalescent:
+            return 0.0
+        return -(batched_area(prop_ages) - batched_area(ages)) / ne_batch
+
     # --- initial ages --------------------------------------------------------
     seeds = np.asarray(jax.random.key_data(key)).ravel()
     rng = np.random.default_rng(int(seeds[-1]))
@@ -335,15 +384,16 @@ def mcmc_date(
     n_burnin = int(burnin_frac * n_generations)
 
     @jax.jit
-    def run(key, ages, log_rates, log_cr):
+    def run(key, ages, log_rates, log_cr, ne_vec):
         lnl = batched_lnl(ages, log_rates, log_cr)
 
         def gen(carry, inputs):
-            (ages, log_rates, log_cr, lnl, acc_slide, acc_root, acc_rate,
-             acc_cr, log_tune) = carry
+            (ages, log_rates, log_cr, ne_vec, lnl, acc_slide, acc_root,
+             acc_rate, acc_cr, log_tune) = carry
             step_idx, k = inputs
             (k_node, k_u, k_acc1, k_mult, k_acc2,
-             k_rnode, k_rstep, k_acc3, k_cr, k_acc4) = jax.random.split(k, 10)
+             k_rnode, k_rstep, k_acc3, k_cr, k_acc4,
+             k_ne) = jax.random.split(k, 11)
 
             # Interior slide (skipped entirely when there is no interior).
             if n_anc > 1:
@@ -366,7 +416,7 @@ def mcmc_date(
                 prop_lnl = batched_lnl(prop, log_rates, log_cr)
                 take = (
                     jnp.log(jax.random.uniform(k_acc1, (n_chains,)))
-                    < prop_lnl - lnl
+                    < prop_lnl - lnl + dtree_logprior(prop, ages, ne_vec)
                 )
                 ages = jnp.where(take[:, None], prop, ages)
                 lnl = jnp.where(take, prop_lnl, lnl)
@@ -420,6 +470,7 @@ def mcmc_date(
             log_alpha = (
                 prop_lnl - lnl
                 - prior_rate * (new_root - old_root)
+                + dtree_logprior(prop, ages, ne_vec)
                 + jnp.log(factor)
             )
             take = (
@@ -490,6 +541,7 @@ def mcmc_date(
                         (log_cr - log_clock_rate0) ** 2
                         - (new_cr2 - log_clock_rate0) ** 2
                     ) / (2.0 * clock_rate_prior_sd**2)
+                    + dtree_logprior(prop_ages, ages, ne_vec)
                 )
                 if heterochronous:
                     # Fixed nonzero tips break the exact invariance
@@ -507,26 +559,36 @@ def mcmc_date(
                 log_cr = jnp.where(take, new_cr2, log_cr)
                 lnl = jnp.where(take, prop_lnl, lnl)
 
+            # Conjugate Gibbs update of Ne: Ne | ages ~ InvGamma(a0 + n - 1,
+            # b0 + A).
+            if sample_ne:
+                area = batched_area(ages)
+                shape_post = ne_a0 + (n_leaves - 1)
+                gamma_draw = jax.random.gamma(
+                    k_ne, shape_post, shape=(n_chains,)
+                )
+                ne_vec = (ne_b0 + area) / gamma_draw
+
             return (
-                (ages, log_rates, log_cr, lnl, acc_slide, acc_root,
+                (ages, log_rates, log_cr, ne_vec, lnl, acc_slide, acc_root,
                  acc_rate, acc_cr, log_tune),
-                (ages, log_rates, log_cr, lnl),
+                (ages, log_rates, log_cr, ne_vec, lnl),
             )
 
         keys = jax.random.split(key, n_generations)
         log_tune0 = jnp.full((n_chains,), jnp.log(root_tuning))
         zero = jnp.zeros((), jnp.int32)
         (
-            (_, _, _, _, acc_slide, acc_root, acc_rate, acc_cr, _),
+            (_, _, _, _, _, acc_slide, acc_root, acc_rate, acc_cr, _),
             traces,
         ) = jax.lax.scan(
             gen,
-            (ages, log_rates, log_cr, lnl, zero, zero, zero, zero,
+            (ages, log_rates, log_cr, ne_vec, lnl, zero, zero, zero, zero,
              log_tune0),
             (jnp.arange(n_generations), keys),
         )
-        trace_ages, trace_rates, trace_cr, trace_lnl = traces
-        return (trace_ages, trace_rates, trace_cr, trace_lnl,
+        trace_ages, trace_rates, trace_cr, trace_ne, trace_lnl = traces
+        return (trace_ages, trace_rates, trace_cr, trace_ne, trace_lnl,
                 acc_slide, acc_root, acc_rate, acc_cr)
 
     log_rates0 = np.zeros((n_chains, n_all), np.float32)
@@ -535,9 +597,21 @@ def mcmc_date(
             rng.normal(-0.5 * sd2, relaxed_sd, size=(n_chains, n_all - 1))
         ).astype(np.float32)
     log_cr0 = np.full((n_chains,), log_clock_rate0, np.float32)
+    ne_init = np.full((n_chains,), ne0, np.float32)
+    if sample_ne:
+        # Seed Ne at the conjugate posterior mean of the starting trees.
+        a_start = np.asarray(
+            jax.vmap(lambda a: coalescent_area(a, n_leaves))(
+                jnp.asarray(ages0)
+            )
+        )
+        ne_init = (
+            (ne_b0 + a_start) / max(ne_a0 + (n_leaves - 1) - 1.0, 1.0)
+        ).astype(np.float32)
     ages_dev = jnp.asarray(ages0)
     rates_dev = jnp.asarray(log_rates0)
     cr_dev = jnp.asarray(log_cr0)
+    ne_dev = jnp.asarray(ne_init)
     if mesh is not None:
         # Chains are independent: shard the chain axis over the mesh's
         # 'tree' axis (pure data parallelism, results bit-identical).
@@ -553,10 +627,11 @@ def mcmc_date(
             rates_dev, NamedSharding(mesh, PartitionSpec(TREE_AXIS, None))
         )
         cr_dev = jax.device_put(cr_dev, chain_sharding)
+        ne_dev = jax.device_put(ne_dev, chain_sharding)
     (
-        trace_ages, trace_rates, trace_cr, trace_lnl,
+        trace_ages, trace_rates, trace_cr, trace_ne, trace_lnl,
         acc_slide, acc_root, acc_rate, acc_cr,
-    ) = jax.device_get(run(key, ages_dev, rates_dev, cr_dev))
+    ) = jax.device_get(run(key, ages_dev, rates_dev, cr_dev, ne_dev))
 
     # --- summaries -----------------------------------------------------------
     keep = np.arange(n_burnin, n_generations, sample_every)
@@ -584,6 +659,9 @@ def mcmc_date(
     )
     sample_clock_rate = (
         np.exp(np.asarray(trace_cr)[keep].reshape(-1)) if calibrated else None
+    )
+    sample_ne_arr = (
+        np.asarray(trace_ne)[keep].reshape(-1) if sample_ne else None
     )
     return DatingResult(
         sample_ages=sample_ages,
@@ -616,4 +694,5 @@ def mcmc_date(
         generations=n_generations,
         sample_rates=sample_rates,
         sample_clock_rate=sample_clock_rate,
+        sample_ne=sample_ne_arr,
     )
