@@ -216,7 +216,7 @@ def mcmc_date(
     cal_lo_dev = jnp.asarray(cal_lo)
     cal_hi_dev = jnp.asarray(cal_hi)
 
-    def lnl_of_ages(ages, log_rates, log_clock_rate):
+    def effective_lengths(ages, log_rates, log_clock_rate):
         lengths = ages_to_lengths(
             Topology(children=children, parents=parents), ages
         )
@@ -224,6 +224,10 @@ def mcmc_date(
             lengths = lengths * jnp.exp(log_clock_rate)
         if relaxed:
             lengths = lengths * jnp.exp(log_rates)
+        return lengths
+
+    def lnl_of_ages(ages, log_rates, log_clock_rate):
+        lengths = effective_lengths(ages, log_rates, log_clock_rate)
 
         def per_site_at(scale):
             if eigvals is not None:
@@ -253,6 +257,13 @@ def mcmc_date(
             per_site = per_site * weights
         return jnp.sum(per_site)
 
+    # NOTE (measured on the v5e): routing this through the fused Pallas
+    # kernel gives NO speedup inside the generation scan at realistic
+    # chain counts (identical 62 gen/s at 8 chains; pathologically slow
+    # compile/dispatch at 32-64 chains) — the scan is latency-bound on
+    # sequential per-generation dependencies, not on the pruning compute.
+    # The lax path stays; the topology MCMC (large parallel neighbor
+    # batches, no cross-generation scan) is where the kernel pays off.
     batched_lnl = jax.vmap(lnl_of_ages)
     sd2 = relaxed_sd * relaxed_sd
     # A calibrated root gets a UNIFORM prior from its bounds; the
