@@ -391,3 +391,40 @@ def test_pallas_prior_folding_matches_lax():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5)
+
+
+def test_checkpoint_resume_is_bit_identical(tmp_path):
+    """Interrupt + resume == uninterrupted run, sample for sample."""
+    from trex_tpu.models.simulate import simulate_alignment
+
+    truth = _single(9, 6)
+    aln = simulate_alignment(
+        jax.random.PRNGKey(4), truth, np.full(11, 0.15, np.float32),
+        n_sites=120,
+    )
+    leaves = jnp.asarray(aln.astype(np.int32))
+    common = dict(
+        n_runs=1, n_chains=2, sample_every=5, burnin_frac=0.2,
+        branch_moves_per_gen=2, sample_model=True, model_tuning=100.0,
+    )
+    full = mcmc_sample(
+        jax.random.PRNGKey(5), leaves, 4, n_generations=600, **common
+    )
+    ckdir = str(tmp_path / "ck")
+    # First leg: same FINAL target, interrupted after 300 generations.
+    mcmc_sample(
+        jax.random.PRNGKey(5), leaves, 4, n_generations=600,
+        stop_after_generations=300,
+        checkpoint_dir=ckdir, checkpoint_every=150, **common,
+    )
+    # Second leg: resumes from generation 300 and finishes.
+    resumed = mcmc_sample(
+        jax.random.PRNGKey(5), leaves, 4, n_generations=600,
+        checkpoint_dir=ckdir, checkpoint_every=150, **common,
+    )
+    np.testing.assert_array_equal(resumed.sample_children, full.sample_children)
+    np.testing.assert_array_equal(resumed.sample_lengths, full.sample_lengths)
+    np.testing.assert_array_equal(resumed.sample_lnl, full.sample_lnl)
+    np.testing.assert_array_equal(resumed.sample_rates, full.sample_rates)
+    np.testing.assert_array_equal(resumed.sample_freqs, full.sample_freqs)
+    assert resumed.acceptance == full.acceptance

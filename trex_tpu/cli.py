@@ -1857,6 +1857,9 @@ def cmd_mcmc(args) -> None:
         rates=rates, freqs=freqs, gamma_shape=gamma_shape,
         sample_model=args.full_bayes,
         leaf_names=names, progress_every=args.progress_every,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        stop_after_generations=args.stop_after,
     )
     if args.full_bayes and res.sample_freqs is not None:
         out["posterior_freqs"] = [
@@ -2602,6 +2605,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--samples-out", default=None,
                    help="write sampled trees (newick, one per line) here")
     p.add_argument("--progress-every", type=int, default=0)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="resumable state dir (bit-identical resume; keep "
+                   "--generations constant across legs)")
+    p.add_argument("--checkpoint-every", type=int, default=1000)
+    p.add_argument("--stop-after", type=int, default=None,
+                   help="run at most this many generations this "
+                   "invocation, then checkpoint and exit")
     p.set_defaults(fn=cmd_mcmc)
 
     p = sub.add_parser("nk-bench", help="NK accuracy benchmark")

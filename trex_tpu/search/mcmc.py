@@ -566,6 +566,9 @@ def mcmc_sample(
     leaf_names: list[str] | None = None,
     prior_only: bool = False,
     progress_every: int = 0,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1000,
+    stop_after_generations: int | None = None,
 ) -> McmcResult:
     """Sample the Bayesian tree posterior with coupled MCMC chains.
 
@@ -601,6 +604,15 @@ def mcmc_sample(
         prior_only: target the prior alone (validation: the sampler must
             recover Exponential branch lengths / uniform topologies).
         start: optional starting topology (defaults to random per chain).
+        checkpoint_dir: write the FULL sampler state (chain states, both
+            RNG streams, accumulated samples and counters) to
+            ``<dir>/mcmc_checkpoint.npz`` every ``checkpoint_every``
+            generations; if the file already exists, RESUME from it —
+            bit-identical to an uninterrupted run (tested). Keep
+            ``n_generations`` (the FINAL target, which fixes the burn-in
+            boundary) the same across legs; use ``stop_after_generations``
+            to bound how many generations one call executes (a checkpoint
+            is written at the stop).
 
     Returns:
         ``McmcResult`` — pooled post-burn-in cold-chain samples, split
@@ -743,8 +755,77 @@ def mcmc_sample(
             jax.device_get(flat_lnl)
         ).reshape(n_total, n_nbr)
 
+    # --- checkpoint / resume -------------------------------------------------
     key_dev = key
-    for gen in range(1, n_generations + 1):
+    start_gen = 1
+    ckpt_path = None
+    if checkpoint_dir is not None:
+        import json as _json
+        import os as _os
+
+        _os.makedirs(checkpoint_dir, exist_ok=True)
+        ckpt_path = _os.path.join(checkpoint_dir, "mcmc_checkpoint.npz")
+        if _os.path.exists(ckpt_path):
+            ck = np.load(ckpt_path, allow_pickle=False)
+            start_gen = int(ck["gen"]) + 1
+            children_host = ck["children"].copy()
+            lengths_host = ck["lengths"].copy()
+            lnl_host = ck["lnl"].copy()
+            key_dev = jax.random.wrap_key_data(jnp.asarray(ck["jax_key"]))
+            rng.bit_generator.state = _json.loads(str(ck["np_state"]))
+            if sample_model:
+                rates_host = ck["rates"].copy()
+                freqs_host = ck["freqs"].copy()
+            samples_children = list(ck["s_children"])
+            samples_lengths = list(ck["s_lengths"])
+            samples_lnl = list(ck["s_lnl"])
+            samples_run = list(ck["s_run"])
+            if sample_model and "s_rates" in ck:
+                samples_rates = list(ck["s_rates"])
+                samples_freqs = list(ck["s_freqs"])
+            acc = {k: int(v) for k, v in zip(ck["acc_keys"], ck["acc_vals"])}
+
+    def write_checkpoint(gen):
+        import json as _json
+
+        payload = {
+            "gen": gen,
+            "children": children_host,
+            "lengths": lengths_host,
+            "lnl": lnl_host,
+            "jax_key": np.asarray(jax.random.key_data(key_dev)),
+            "np_state": _json.dumps(rng.bit_generator.state),
+            "s_children": np.stack(samples_children)
+            if samples_children
+            else np.zeros((0, n_anc, 2), np.int32),
+            "s_lengths": np.stack(samples_lengths)
+            if samples_lengths
+            else np.zeros((0, n_all), np.float32),
+            "s_lnl": np.asarray(samples_lnl, np.float64),
+            "s_run": np.asarray(samples_run, np.int32),
+            "acc_keys": np.asarray(list(acc.keys())),
+            "acc_vals": np.asarray(list(acc.values()), np.int64),
+        }
+        if sample_model:
+            payload["rates"] = rates_host
+            payload["freqs"] = freqs_host
+            payload["s_rates"] = (
+                np.stack(samples_rates)
+                if samples_rates
+                else np.zeros((0, rates_host.shape[1]), np.float32)
+            )
+            payload["s_freqs"] = (
+                np.stack(samples_freqs)
+                if samples_freqs
+                else np.zeros((0, n_states), np.float32)
+            )
+        import os as _os
+
+        tmp = ckpt_path + ".tmp.npz"
+        np.savez(tmp, **payload)
+        _os.replace(tmp, ckpt_path)
+
+    for gen in range(start_gen, n_generations + 1):
         # --- branch-length sweep (device; 1 sync) ---------------------------
         if branch_moves_per_gen > 0:
             key_dev, sub = jax.random.split(key_dev)
@@ -860,6 +941,16 @@ def mcmc_sample(
         if progress_every and gen % progress_every == 0:
             cold = " ".join(f"{lnl_host[r]:.2f}" for r in cold_rows)
             print(f"[mcmc] gen {gen}/{n_generations} cold lnL: {cold}")
+        if ckpt_path is not None and gen % checkpoint_every == 0:
+            write_checkpoint(gen)
+        if (
+            stop_after_generations is not None
+            and gen - start_gen + 1 >= stop_after_generations
+            and gen < n_generations
+        ):
+            if ckpt_path is not None:
+                write_checkpoint(gen)
+            break
 
     # --- summaries ----------------------------------------------------------
     # Summarize on a CANONICAL ROOTING (re-root every sample on leaf 0):
