@@ -8,8 +8,6 @@ data gives the exact sCF null of 1/3 (three quartet resolutions, uniform);
 from __future__ import annotations
 
 import json
-import subprocess
-import sys
 
 import jax
 import numpy as np
@@ -87,7 +85,10 @@ def test_scf_respects_ambiguity_masks():
     assert vals.size == 0  # nothing decisive anywhere
 
 
-def test_cli_concord(tmp_path):
+def test_cli_concord(capsys, tmp_path):
+    """In-process CLI invocation (subprocess spawning starves under the
+    full suite's CPU contention; main([...]) is the repo convention)."""
+    from trex_tpu.cli import main
     from trex_tpu.io import save_newick, write_fasta
     from trex_tpu.models.simulate import simulate_alignment
 
@@ -106,16 +107,12 @@ def test_cli_concord(tmp_path):
     fasta = tmp_path / "aln.fasta"
     fasta.write_text(write_fasta(names, aln))
 
-    proc = subprocess.run(
-        [
-            sys.executable, "-m", "trex_tpu.cli", "concord",
-            "--tree", str(tree_file), "--gene-trees", str(genes_file),
-            "--fasta", str(fasta), "--quartets", "30",
-        ],
-        capture_output=True, text=True, timeout=580,
-    )
-    assert proc.returncode == 0, proc.stderr
-    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    main([
+        "concord", "--tree", str(tree_file),
+        "--gene-trees", str(genes_file),
+        "--fasta", str(fasta), "--quartets", "30",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_gene_trees"] == 4
     internal = [b for b in out["branches"] if b["gcf"] is not None]
     assert len(internal) == 5

@@ -3,8 +3,6 @@
 from __future__ import annotations
 
 import json
-import subprocess
-import sys
 
 import jax
 import jax.numpy as jnp
@@ -75,7 +73,8 @@ def test_reroot_invariance():
         np.testing.assert_allclose(pd, base_pd, rtol=1e-6)
 
 
-def test_cli_treedist_reports_weighted_metrics(tmp_path):
+def test_cli_treedist_reports_weighted_metrics(capsys, tmp_path):
+    from trex_tpu.cli import main
     from trex_tpu.io import save_newick
 
     topo = _single(3, 6)
@@ -90,13 +89,8 @@ def test_cli_treedist_reports_weighted_metrics(tmp_path):
     lb = la * 1.5
     f_b = tmp_path / "b.nwk"
     f_b.write_text(save_newick(topo, names, branch_lengths=lb) + "\n")
-    proc = subprocess.run(
-        [sys.executable, "-m", "trex_tpu.cli", "treedist",
-         str(f_a), str(f_b)],
-        capture_output=True, text=True, timeout=580,
-    )
-    assert proc.returncode == 0, proc.stderr
-    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    main(["treedist", str(f_a), str(f_b)])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rf"] == 0
     np.testing.assert_allclose(
         out["weighted_rf"], 0.5 * la[:-1].sum(), rtol=1e-4
