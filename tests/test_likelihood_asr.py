@@ -277,3 +277,23 @@ def test_joint_vs_marginal_consistency():
     total_ll = float(tree_log_likelihood(topo, blens, jnp.asarray(leaves), 4))
     # The single best assignment cannot exceed the sum over assignments.
     assert float(np.asarray(joint_lp).sum()) <= total_ll + 1e-3
+
+
+def test_marginal_posteriors_with_missing_leaves():
+    """Regression: a -1 (missing) leaf must marginalize out, not collapse
+    every posterior at that site to zero (all-zero tip partial)."""
+    import jax.tree_util as jtu
+
+    from trex_tpu.io import sample_topologies
+
+    topo = jtu.tree_map(lambda x: x[0], sample_topologies(5, 6, 1))
+    lens = jnp.full((11,), 0.1)
+    col = jnp.asarray(
+        np.array([[1], [1], [-1], [0], [0], [-1]], np.int32)
+    )
+    post, _ = marginal_ancestral_posteriors(topo, lens, col, 4)
+    sums = np.asarray(post).sum(axis=1)[:, 0]
+    np.testing.assert_allclose(sums, 1.0, atol=1e-5)
+    # The missing leaves get data-informed (not degenerate) posteriors.
+    p2 = np.asarray(post)[2, :, 0]
+    assert 0 < p2.max() < 1

@@ -1910,6 +1910,116 @@ def cmd_mcmc(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_trait(args) -> None:
+    """Discrete-trait ancestral states on a fixed tree (Mk model).
+
+    Input: a branch-length-bearing newick + a taxon<TAB-or-comma>state
+    table ('?' / '-' = missing). The Mk (symmetric k-state, Lewis 2001)
+    rate is ML-fit as a single multiplier of the given branch lengths;
+    marginal posterior state probabilities come from the inside-outside
+    pass (``ops.likelihood_asr``).
+    """
+    import numpy as np
+
+    from trex_tpu.io import load_newick, save_newick
+    from trex_tpu.ops.likelihood import tree_log_likelihood
+    from trex_tpu.ops.likelihood_asr import marginal_ancestral_posteriors
+
+    with open(args.tree) as fh:
+        topo, blens, names = load_newick(fh.read())
+    blens = np.asarray(blens, dtype=np.float64)
+    if not np.isfinite(blens[:-1]).all() or not (blens[:-1] > 0).any():
+        raise SystemExit("trait analysis needs branch lengths on the tree")
+    blens = np.clip(blens, 1e-6, None)
+    blens[-1] = 0.0
+
+    states: dict[str, str] = {}
+    with open(args.traits) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = [p.strip() for p in line.replace(",", "\t").split("\t")]
+            if len(parts) < 2:
+                raise SystemExit(f"trait line needs 'taxon<sep>state': {line!r}")
+            states[parts[0]] = parts[1]
+    missing = [n for n in names if n not in states]
+    if missing:
+        raise SystemExit(f"traits missing for taxa: {missing[:5]}")
+    labels = sorted(
+        {v for v in states.values() if v not in ("?", "-", "NA", "")}
+    )
+    if len(labels) < 2:
+        raise SystemExit("need at least two observed trait states")
+    code = {v: i for i, v in enumerate(labels)}
+    column = np.array(
+        [code.get(states[n], -1) for n in names], np.int32
+    ).reshape(-1, 1)
+    q = len(labels)
+    trait = jnp.asarray(column)
+
+    # ML rate multiplier (1-D golden-section on log rate).
+    lens_dev = jnp.asarray(blens.astype(np.float32))
+
+    def lnl_at(log_r):
+        return float(
+            tree_log_likelihood(topo, lens_dev * np.exp(log_r), trait, q)
+        )
+
+    lo, hi = -6.0, 4.0
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+    c = hi - gr * (hi - lo)
+    d = lo + gr * (hi - lo)
+    fc, fd = lnl_at(c), lnl_at(d)
+    for _ in range(40):
+        if fc > fd:
+            hi, d, fd = d, c, fc
+            c = hi - gr * (hi - lo)
+            fc = lnl_at(c)
+        else:
+            lo, c, fc = c, d, fd
+            d = lo + gr * (hi - lo)
+            fd = lnl_at(d)
+    rate = float(np.exp((lo + hi) / 2.0))
+    lnl = lnl_at(np.log(rate))
+
+    posteriors, map_states = marginal_ancestral_posteriors(
+        topo, lens_dev * rate, trait, q
+    )
+    post = np.asarray(posteriors)[:, :, 0]  # (n_all, q)
+    maps = np.asarray(map_states)[:, 0]
+    n_leaves = len(names)
+    node_labels = [
+        f"{labels[int(maps[n_leaves + a])]}:"
+        f"{post[n_leaves + a, int(maps[n_leaves + a])]:.2f}".replace(":", "=")
+        for a in range(n_leaves - 1)
+    ]
+    out = {
+        "n_taxa": n_leaves,
+        "states": labels,
+        "mk_rate": round(rate, 6),
+        "log_likelihood": round(lnl, 4),
+        "ancestral_nodes": [
+            {
+                "ancestor": a,
+                "map_state": labels[int(maps[n_leaves + a])],
+                "posterior": {
+                    labels[s]: round(float(post[n_leaves + a, s]), 4)
+                    for s in range(q)
+                },
+            }
+            for a in range(n_leaves - 1)
+        ],
+        "tree": save_newick(
+            topo, names, branch_lengths=blens, support=node_labels
+        ),
+    }
+    if args.output_tree:
+        with open(args.output_tree, "w") as fh:
+            fh.write(out["tree"] + "\n")
+    print(json.dumps(out))
+
+
 def cmd_bayesfactor(args) -> None:
     """Stepping-stone log marginal likelihoods + Bayes factors on a tree.
 
@@ -2502,6 +2612,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(CONSEL/puzzle site-lnL format) for external "
                         "AU-test tools")
     p.set_defaults(fn=cmd_topotest)
+
+    p = sub.add_parser(
+        "trait",
+        help="Mk ancestral states for a discrete trait on a fixed tree",
+    )
+    p.add_argument("--tree", required=True,
+                   help="branch-length-bearing newick")
+    p.add_argument("--traits", required=True,
+                   help="taxon<TAB or ,>state table ('?' = missing)")
+    p.add_argument("--output-tree", default=None,
+                   help="newick with MAP-state node labels")
+    p.set_defaults(fn=cmd_trait)
 
     p = sub.add_parser(
         "bayesfactor",

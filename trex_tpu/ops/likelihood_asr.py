@@ -68,8 +68,12 @@ def _inside_partials(topology, pmats, leaf_sequences, n_states, masks):
             (leaf_sequences.astype(jnp.int32)[:, None, :] >> states[None, :, None]) & 1
         ).astype(jnp.float32)
     else:
+        # Negative states are missing data: all-ones tip partial, matching
+        # _per_site_log_likelihood (an all-ZERO tip would silently collapse
+        # every posterior at that site to 0).
+        leaves = leaf_sequences.astype(jnp.int32)[:, None, :]
         tip = (
-            leaf_sequences.astype(jnp.int32)[:, None, :] == states[None, :, None]
+            (leaves == states[None, :, None]) | (leaves < 0)
         ).astype(jnp.float32)
     inside0 = jnp.zeros((n_all, q, length))
     inside0 = inside0.at[:n_leaves].set(tip)
