@@ -80,3 +80,55 @@ def test_cli_trait_missing_data(capsys, tmp_path):
     for node in out["ancestral_nodes"]:
         total = sum(node["posterior"].values())
         assert abs(total - 1.0) < 0.01
+
+
+def test_simulate_coalescent_statistics():
+    """E[T_mrca] = 2 Ne (1 - 1/n); n=2 root ~ Exp(Ne) exactly; serial
+    genealogies respect tip ages and parent>child ordering."""
+    from trex_tpu.models.simulate import simulate_coalescent
+
+    ne, n = 0.5, 8
+    roots = [simulate_coalescent(s, n, ne)[1][-1] for s in range(300)]
+    assert abs(np.mean(roots) - 2 * ne * (1 - 1 / n)) < 0.1
+
+    r2 = np.array([simulate_coalescent(s, 2, 0.4)[1][-1] for s in range(1500)])
+    assert abs(r2.mean() - 0.4) < 0.04
+    assert abs(r2.std() - 0.4) < 0.05
+
+    tips = np.array([0.0, 0.5, 1.0, 1.5, 0.2, 0.8])
+    topo, ages = simulate_coalescent(1, 6, 0.3, tip_ages=tips)
+    np.testing.assert_allclose(ages[:6], tips, atol=1e-6)
+    parents = np.asarray(topo.parents)
+    for v in range(10):
+        assert ages[parents[v]] > ages[v] - 1e-9
+    assert ages[-1] > tips.max()
+
+
+def test_cli_simulate_coalescent_roundtrip(capsys, tmp_path):
+    """simulate --coalescent-ne writes a serial alignment that date
+    --tip-ages can consume end-to-end."""
+    import jax.numpy as jnp
+
+    from trex_tpu.cli import main
+
+    fasta = tmp_path / "coal.fasta"
+    tree = tmp_path / "coal.nwk"
+    main([
+        "simulate", "--coalescent-ne", "0.3", "--leaves", "6",
+        "--sites", "400", "--clock-rate", "0.2", "--seed", "3",
+        "--sim-tip-ages", "0,0.4,0.8,1.2,0.2,0.6",
+        "--output", str(fasta), "--output-tree", str(tree),
+    ])
+    capsys.readouterr()
+    text = fasta.read_text()
+    assert text.count(">") == 6
+    main([
+        "date", "--fasta", str(fasta), "--tree", str(tree),
+        "--generations", "800", "--chains", "1",
+        "--tip-ages", ",".join(
+            f"t{i}={a}" for i, a in enumerate([0, 0.4, 0.8, 1.2, 0.2, 0.6])
+        ),
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # Rate identified by the tip spread: truth 0.2 inside a loose window.
+    assert 0.05 < out["clock_rate"]["mean"] < 0.6

@@ -1292,7 +1292,30 @@ def cmd_simulate(args) -> None:
     alphabet = {"dna": DNA, "protein": PROTEIN}[args.alphabet]
     n_states = len(alphabet)
     rng = np.random.default_rng(args.seed)
-    if args.tree:
+    if args.coalescent_ne is not None:
+        # Kingman genealogy (optionally serial via --sim-tip-ages); branch
+        # lengths = clock rate x waiting times.
+        from trex_tpu.models.simulate import simulate_coalescent
+
+        tip_ages = None
+        if args.sim_tip_ages:
+            tip_ages = np.array(
+                [float(x) for x in args.sim_tip_ages.split(",")], np.float64
+            )
+            if tip_ages.size != args.leaves:
+                raise SystemExit(
+                    f"--sim-tip-ages wants {args.leaves} comma values"
+                )
+        topo, node_ages = simulate_coalescent(
+            args.seed, args.leaves, args.coalescent_ne, tip_ages=tip_ages
+        )
+        names = [f"t{i}" for i in range(args.leaves)]
+        parents_np = np.asarray(topo.parents)
+        blens = (
+            node_ages[parents_np] - node_ages
+        ).astype(np.float64) * args.clock_rate
+        blens[-1] = 0.0
+    elif args.tree:
         with open(args.tree) as fh:
             topo, blens, names = load_newick(fh.read())
         blens = np.asarray(blens, dtype=np.float64)
@@ -2542,6 +2565,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-tree", type=str, default=None)
     p.add_argument("--output-ancestors", type=str, default=None,
                    help="also write the true ancestral sequences (FASTA)")
+    p.add_argument("--coalescent-ne", type=float, default=None,
+                   help="sample the genealogy from a Kingman coalescent "
+                        "with this Ne (time units); overrides --tree")
+    p.add_argument("--clock-rate", type=float, default=1.0,
+                   help="substitutions/site/time-unit for coalescent "
+                        "genealogies (branch lengths = rate x waiting time)")
+    p.add_argument("--sim-tip-ages", type=str, default=None,
+                   help="comma list of sampling ages for a SERIAL "
+                        "coalescent (pairs with date --tip-ages)")
     p.set_defaults(fn=cmd_simulate)
 
     p = sub.add_parser(

@@ -173,3 +173,70 @@ def simulate_alignment(
         p_invariant=p_invariant,
         return_ancestors=return_ancestors,
     )
+
+
+def simulate_coalescent(
+    seed: int,
+    n_leaves: int,
+    ne: float,
+    tip_ages: np.ndarray | None = None,
+):
+    """Sample a (serial) Kingman coalescent genealogy.
+
+    Goes backward in time: lineages activate at their ``tip_ages``
+    (all 0 when None); with k active lineages the next coalescence waits
+    Exp(ne / C(k, 2)); pending tips that activate first pre-empt it. The
+    generative complement of the coalescent prior in ``search.dating``
+    (their agreement is tested), and the data generator for tip-dating /
+    phylodynamics validation.
+
+    Returns:
+        (Topology (canonical numbering), ages (n_all,) float32 node ages).
+    """
+    from trex_tpu.io.fallback import _canonicalize
+    from trex_tpu.topology import Topology
+
+    rng = np.random.default_rng(seed)
+    tips = (
+        np.zeros(n_leaves) if tip_ages is None
+        else np.asarray(tip_ages, dtype=np.float64)
+    )
+    order = np.argsort(tips)
+    pending = list(order)  # leaves not yet sampled (ascending age)
+    active: list[int] = []
+    ages = {i: float(tips[i]) for i in range(n_leaves)}
+    kids: dict[int, list[int]] = {}
+    t = float(tips[order[0]])
+    node = n_leaves
+    while len(active) + len(pending) > 1 or len(pending) == 1:
+        while pending and tips[pending[0]] <= t + 1e-12:
+            active.append(int(pending.pop(0)))
+        k = len(active)
+        if k < 2:
+            if not pending:
+                break
+            t = float(tips[pending[0]])
+            continue
+        wait = rng.exponential(ne / (k * (k - 1) / 2.0))
+        if pending and t + wait > tips[pending[0]]:
+            t = float(tips[pending[0]])
+            continue
+        t += wait
+        i, j = rng.choice(k, 2, replace=False)
+        a, b = active[i], active[j]
+        active = [x for x in active if x not in (a, b)] + [node]
+        kids[node] = [min(a, b), max(a, b)]
+        ages[node] = t
+        node += 1
+        if len(active) == 1 and not pending:
+            break
+    ch, par, relabel = _canonicalize(n_leaves, kids, 2 * n_leaves - 2)
+    ages_arr = np.zeros(2 * n_leaves - 1, np.float32)
+    for old, new in relabel.items():
+        ages_arr[new] = ages.get(old, 0.0)
+    import jax.numpy as _jnp
+
+    return (
+        Topology(children=_jnp.asarray(ch), parents=_jnp.asarray(par)),
+        ages_arr,
+    )
