@@ -1930,6 +1930,23 @@ def cmd_mcmc(args) -> None:
                 fh.write(
                     save_newick(topo, names, branch_lengths=lens) + "\n"
                 )
+    if args.trace_out:
+        # Tracer-compatible tab-separated log: state index + scalar traces.
+        import numpy as np
+
+        with open(args.trace_out, "w") as fh:
+            cols = ["state", "lnL", "tree_length"]
+            if res.sample_freqs is not None:
+                cols += [f"freq{i}" for i in range(res.sample_freqs.shape[1])]
+                cols += [f"rate{i}" for i in range(res.sample_rates.shape[1])]
+            fh.write("\t".join(cols) + "\n")
+            tl = res.sample_lengths[:, :-1].sum(axis=1)
+            for i in range(res.sample_lnl.size):
+                row = [str(i), f"{res.sample_lnl[i]:.6f}", f"{tl[i]:.6f}"]
+                if res.sample_freqs is not None:
+                    row += [f"{x:.6f}" for x in res.sample_freqs[i]]
+                    row += [f"{x:.6f}" for x in res.sample_rates[i]]
+                fh.write("\t".join(row) + "\n")
     print(json.dumps(out))
 
 
@@ -2758,6 +2775,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the consensus newick here")
     p.add_argument("--samples-out", default=None,
                    help="write sampled trees (newick, one per line) here")
+    p.add_argument("--trace-out", default=None,
+                   help="Tracer-compatible TSV of scalar traces (lnL, tree "
+                   "length, model simplices)")
     p.add_argument("--progress-every", type=int, default=0)
     p.add_argument("--checkpoint-dir", default=None,
                    help="resumable state dir (bit-identical resume; keep "
