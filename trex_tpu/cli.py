@@ -345,21 +345,66 @@ def cmd_infer(args) -> None:
         print(json.dumps(out))
         return
 
-    # Starting topologies: the requested --start, plus (--restarts - 1)
-    # random-addition-order / random restarts (keep the best final score).
-    starts = [
-        _start_tree(
-            args.start, patterns, n_states, args.seed, weights, args.orders
-        )
-    ]
-    for r in range(1, args.restarts):
-        kind = "stepwise" if args.start == "stepwise" else "random"
-        starts.append(
+    constraint_splits = None
+    if args.constraint:
+        from trex_tpu.io import load_newick
+        from trex_tpu.search.bootstrap import subtree_leaf_sets
+        from trex_tpu.search.hillclimb import constrained_start
+
+        if args.neighborhood == "spr-scan":
+            raise SystemExit(
+                "--constraint needs an enumerating --neighborhood "
+                "(nni/spr/tbr); the analytic spr-scan cannot filter moves"
+            )
+        if args.ratchet > 0:
+            raise SystemExit("--constraint does not combine with --ratchet")
+        if args.criterion == "ml" and args.model != "jc":
+            raise SystemExit(
+                "--constraint currently supports --model jc (the "
+                "model-aware refinement rides the unfiltered scan)"
+            )
+        with open(args.constraint) as fh:
+            ctopo, _, cnames = load_newick(fh.read())
+        unknown = [n for n in cnames if n not in names]
+        if unknown:
+            raise SystemExit(f"constraint taxa not in alignment: {unknown[:5]}")
+        cids = [names.index(n) for n in cnames]
+        csets = subtree_leaf_sets(ctopo)
+        taxa = frozenset(cids)
+        constraint_splits = []
+        for s in csets:
+            mapped = frozenset(cids[i] for i in s)
+            if 2 <= len(mapped) <= len(cids) - 2:
+                constraint_splits.append(mapped)
+        out["constraint_splits"] = len(constraint_splits)
+        out["constraint_taxa"] = len(cids)
+        # Starting topologies graft the remaining taxa onto the constraint
+        # tree (new leaves never change the induced constraint subtree).
+        starts = [
+            constrained_start(
+                ctopo, cids, len(names), seed=args.seed + 1000 * r
+            )
+            for r in range(max(args.restarts, 1))
+        ]
+        constraint_taxa = taxa
+    else:
+        constraint_taxa = None
+        # Starting topologies: the requested --start, plus (--restarts - 1)
+        # random-addition-order / random restarts (keep the best score).
+        starts = [
             _start_tree(
-                kind, patterns, n_states, args.seed + 1000 * r, weights,
+                args.start, patterns, n_states, args.seed, weights,
                 args.orders,
             )
-        )
+        ]
+        for r in range(1, args.restarts):
+            kind = "stepwise" if args.start == "stepwise" else "random"
+            starts.append(
+                _start_tree(
+                    kind, patterns, n_states, args.seed + 1000 * r, weights,
+                    args.orders,
+                )
+            )
     if args.restarts > 1:
         out["restarts"] = args.restarts
 
@@ -394,6 +439,8 @@ def cmd_infer(args) -> None:
                     neighborhood=args.neighborhood,
                     sequences_are_masks=True,
                     site_weights=weights,
+                    constraint_splits=constraint_splits,
+                    constraint_taxa=constraint_taxa,
                 )
             if best is None or float(losses[-1]) < float(best[2][-1]):
                 best = (result, lengths, losses)
@@ -655,6 +702,8 @@ def cmd_infer(args) -> None:
                     score_batch_fn=None if scan else score_batch,
                     site_weights=weights if scan else None,
                     sequences_are_masks=scan,
+                    constraint_splits=constraint_splits,
+                    constraint_taxa=constraint_taxa,
                 )
             if result is None or attempt.score < result.score:
                 result = attempt
@@ -2393,6 +2442,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="stepwise")
     p.add_argument("--orders", type=int, default=4,
                    help="random addition orders for --start stepwise")
+    p.add_argument("--constraint", type=str, default=None,
+                   help="newick on a (subset of) taxa; the inferred tree's "
+                        "induced subtree must contain its splits (IQ-TREE "
+                        "-g); needs --neighborhood nni/spr/tbr")
     p.add_argument("--neighborhood",
                    choices=("spr-scan", "spr", "nni", "tbr"),
                    default="spr-scan",

@@ -9,6 +9,8 @@ from trex_tpu.search.asr import (
 from trex_tpu.search.hillclimb import (
     parsimony_hill_climb,
     batched_random_restarts,
+    constrained_start,
+    constraint_mask,
     SearchResult,
 )
 from trex_tpu.search.bootstrap import (
@@ -81,6 +83,8 @@ __all__ = [
     "fit_topology",
     "parsimony_hill_climb",
     "batched_random_restarts",
+    "constrained_start",
+    "constraint_mask",
     "SearchResult",
     "bootstrap_site_weights",
     "bootstrap_scores",

@@ -34,6 +34,107 @@ class SearchResult:
     trace: list[float]
 
 
+def constraint_mask(
+    required_splits: list[frozenset[int]],
+    n_leaves: int,
+    constraint_taxa: frozenset[int] | None = None,
+):
+    """Vectorized candidate filter for constrained search (IQ-TREE -g).
+
+    Returns ``fn(children_batch (B, n_anc, 2)) -> (B,) bool`` that is True
+    where the candidate's induced subtree on ``constraint_taxa`` contains
+    every required split (the split or its within-taxa complement as a
+    restricted clade). Restriction is free: taxa OUTSIDE the constraint
+    set get salt 0, so each candidate clade hashes to the hash of its
+    restriction. Membership uses the additive uint64 clade hashes from the
+    MCMC carry machinery (collision probability ~ B n / 2^64).
+    """
+    from trex_tpu.search.mcmc import _clade_hash_batch
+
+    if constraint_taxa is None:
+        constraint_taxa = frozenset(range(n_leaves))
+    rng = np.random.default_rng(0xC0FFEE)
+    salt = rng.integers(1, 2**62, size=n_leaves, dtype=np.uint64) * 2 + 1
+    mask = np.zeros(n_leaves, bool)
+    mask[sorted(constraint_taxa)] = True
+    salt = np.where(mask, salt, np.uint64(0))
+    total = salt.sum(dtype=np.uint64)
+    wanted = []
+    for s in required_splits:
+        if not s <= constraint_taxa:
+            raise ValueError("required split not within constraint_taxa")
+        h = salt[sorted(s)].sum(dtype=np.uint64)
+        # Complement hash with explicit mod-2^64 wraparound (numpy warns on
+        # unsigned scalar overflow even though it is the intended algebra).
+        comp = np.uint64((int(total) - int(h)) % (1 << 64))
+        wanted.append((h, comp))
+    if not wanted:
+        return lambda children_batch: np.ones(
+            np.asarray(children_batch).shape[0], bool
+        )
+
+    def check(children_batch: np.ndarray) -> np.ndarray:
+        children_batch = np.asarray(children_batch)
+        anc = _clade_hash_batch(children_batch, n_leaves, salt)[:, n_leaves:]
+        ok = np.ones(children_batch.shape[0], bool)
+        for h, comp in wanted:
+            ok &= (anc == h).any(axis=1) | (anc == comp).any(axis=1)
+        return ok
+
+    return check
+
+
+def constrained_start(
+    constraint: Topology,
+    constraint_leaf_ids: list[int],
+    n_leaves: int,
+    seed: int = 0,
+) -> Topology:
+    """A full-taxa starting topology containing a (partial) constraint.
+
+    Begins with the constraint tree (its leaf ``i`` is global taxon
+    ``constraint_leaf_ids[i]``) and grafts every remaining taxon onto a
+    uniformly random edge — inserting a NEW leaf never changes the induced
+    subtree on the constraint taxa, so the result always satisfies the
+    constraint. Feed to ``parsimony_hill_climb``/``ml_hill_climb`` with
+    ``constraint_splits`` for the constrained refinement.
+    """
+    from trex_tpu.io.fallback import _canonicalize
+
+    rng = np.random.default_rng(seed)
+    c_children = np.asarray(constraint.children)
+    k = constraint.n_leaves
+    # Engine node ids: globals for leaves, fresh ids for internals.
+    next_id = n_leaves
+    node_of = {i: constraint_leaf_ids[i] for i in range(k)}
+    kids: dict[int, list[int]] = {}
+    for a in range(k - 1):
+        node_of[k + a] = next_id
+        next_id += 1
+    for a in range(k - 1):
+        kids[node_of[k + a]] = [
+            node_of[int(c_children[a, 0])], node_of[int(c_children[a, 1])]
+        ]
+    root = node_of[2 * k - 2]
+    remaining = sorted(set(range(n_leaves)) - set(constraint_leaf_ids))
+    edges = [
+        (parent, child) for parent, cs in kids.items() for child in cs
+    ]
+    for taxon in remaining:
+        parent, child = edges[rng.integers(len(edges))]
+        joint = next_id
+        next_id += 1
+        kids[parent][kids[parent].index(child)] = joint
+        kids[joint] = [child, taxon]
+        edges.append((joint, child))
+        edges.append((joint, taxon))
+        edges[edges.index((parent, child))] = (parent, joint)
+    ch, par, _ = _canonicalize(n_leaves, kids, root)
+    import jax.numpy as _jnp
+
+    return Topology(children=_jnp.asarray(ch), parents=_jnp.asarray(par))
+
+
 def parsimony_hill_climb(
     start: Topology,
     cost_matrix: jax.Array,
@@ -47,6 +148,8 @@ def parsimony_hill_climb(
     site_weights: jax.Array | None = None,
     sequences_are_masks: bool = False,
     tbr_budget: int = 16384,
+    constraint_splits: list[frozenset[int]] | None = None,
+    constraint_taxa: frozenset[int] | None = None,
 ) -> SearchResult:
     """Greedy hill climb from ``start``; stops at a local optimum.
 
@@ -71,6 +174,13 @@ def parsimony_hill_climb(
             per-round seed; the strongest and most expensive neighborhood).
         tbr_budget: candidate cap per TBR round (seeded unbiased sample of
             the full set when it exceeds the budget).
+        constraint_splits: splits (leaf-index frozensets) the induced
+            subtree on ``constraint_taxa`` (default: all leaves) of every
+            visited topology must contain — IQ-TREE ``-g``-style
+            constrained search; candidates violating any are dropped
+            before scoring. ``start`` must satisfy them (build one with
+            ``constrained_start``). Not supported with "spr-scan" (the
+            analytic scan has no per-move filter).
 
     Returns:
         ``SearchResult`` with the best topology found and the score trace.
@@ -83,6 +193,21 @@ def parsimony_hill_climb(
     )
     from trex_tpu.ops.dispatch import batched_scores_fastest
     from trex_tpu.padding import next_bucket
+
+    check_constraint = None
+    if constraint_splits:
+        if neighborhood == "spr-scan":
+            raise ValueError(
+                "constrained search is not supported with spr-scan "
+                "(use neighborhood='spr')"
+            )
+        check_constraint = constraint_mask(
+            constraint_splits, start.n_leaves, constraint_taxa
+        )
+        if not check_constraint(np.asarray(start.children)[None])[0]:
+            raise ValueError(
+                "the starting topology violates the constraint splits"
+            )
 
     if neighborhood == "spr-scan":
         if score_batch_fn is not None:
@@ -147,6 +272,14 @@ def parsimony_hill_climb(
                     extra_p.append(moved[1])
             nbr_children = np.concatenate([nbr_children, np.stack(extra_c)])
             nbr_parents = np.concatenate([nbr_parents, np.stack(extra_p)])
+        if check_constraint is not None:
+            keep = check_constraint(nbr_children)
+            if not keep.any():
+                return SearchResult(
+                    current, current_score, round_idx, evaluations, trace
+                )
+            nbr_children = nbr_children[keep]
+            nbr_parents = nbr_parents[keep]
         # Bucket the candidate batch so XLA compiles one program per bucket,
         # not one per (varying) neighborhood size; pad host-side.
         n_real = int(nbr_children.shape[0])

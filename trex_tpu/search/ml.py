@@ -37,6 +37,8 @@ def ml_hill_climb(
     gamma_shape: float | jax.Array | None = None,
     category_rates: jax.Array | None = None,
     category_weights: jax.Array | None = None,
+    constraint_splits: list[frozenset[int]] | None = None,
+    constraint_taxa: frozenset[int] | None = None,
 ) -> tuple[SearchResult, jax.Array, jax.Array]:
     """Greedy ML topology search + final branch-length optimization.
 
@@ -72,6 +74,11 @@ def ml_hill_climb(
     ) and neighborhood != "spr-scan":
         raise ValueError(
             "rate-mixture-aware ranking needs neighborhood='spr-scan'"
+        )
+    if constraint_splits and neighborhood == "spr-scan":
+        raise ValueError(
+            "constrained ML search needs an enumerating neighborhood "
+            "(nni/spr/tbr), not spr-scan"
         )
     if neighborhood == "spr-scan":
         result = _ml_scan_climb(
@@ -163,6 +170,8 @@ def ml_hill_climb(
         max_rounds=max_rounds,
         score_batch_fn=score_batch,
         neighborhood=neighborhood,
+        constraint_splits=constraint_splits,
+        constraint_taxa=constraint_taxa,
     )
     if optimize_final_lengths:
         if length_optimizer == "newton":
