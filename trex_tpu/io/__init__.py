@@ -385,6 +385,35 @@ def nni_neighbors(topology: Topology) -> Topology:
     return Topology(children=jnp.asarray(nc), parents=jnp.asarray(npar))
 
 
+def canonicalize_topology(
+    children: np.ndarray, lengths: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Structure-determined canonical numbering of one host children array.
+
+    Accepts any VALID rooted-binary ``children`` (root = last ancestor;
+    numbering need not even be topological) and returns the canonical
+    (children, permuted lengths) — the byte identity every host-enumerated
+    topology carries. Device-side rearrangements
+    (``ops.tree_moves``) emit valid-but-arbitrary numberings; samplers pass
+    their emitted states through this before deduplicating or summarizing.
+    """
+    from trex_tpu.io.fallback import _canonicalize
+
+    children = np.asarray(children)
+    n_leaves = children.shape[0] + 1
+    kids = {
+        n_leaves + a: [int(children[a, 0]), int(children[a, 1])]
+        for a in range(n_leaves - 1)
+    }
+    ch, _, relabel = _canonicalize(n_leaves, kids, 2 * n_leaves - 2)
+    if lengths is None:
+        return ch, None
+    out = np.array(lengths, dtype=np.float32, copy=True)
+    for old, new in relabel.items():
+        out[new] = lengths[old]
+    return ch, out
+
+
 def spr_neighborhood_host(topology: Topology) -> tuple[np.ndarray, np.ndarray]:
     """SPR neighborhood as HOST numpy (children, parents) — no transfer.
 

@@ -9,19 +9,27 @@ the TPU execution model:
   batched state (topologies as ``children`` tensors, branch lengths, log
   posteriors); the per-generation likelihood evaluations — the only O(data)
   work — are ONE vmapped pruning pass over the whole chain batch, exactly
-  the layout the batched scorers already use. Branch-length sweeps run as a
-  jitted ``lax.scan`` entirely on device.
-- **Topology proposals stay host-side** (numpy + the native move library,
-  like every discrete searcher here): a uniform draw from the NNI
-  neighborhood, which is a *symmetric* proposal on canonical topology space
-  (verified exhaustively in ``tests/test_io.py``), so Metropolis needs no
-  Hastings factor. Branch lengths are carried across the rearrangement by
-  clade identity — the one edge whose clade changes inherits the one
-  leftover length (standard NNI bookkeeping).
+  the layout the batched scorers already use.
+- **Entire generations live on device.** Branch-length sweeps, model moves,
+  NNI topology proposals (constructed by ``ops.tree_moves`` pointer-swap +
+  renumber — no host move library in the loop), Metropolis accepts, and the
+  MC^3 swaps are all tensor ops on the chain batch; ``sample_every``
+  generations run as one jitted dispatch, and the host loop never blocks on
+  the device between checkpoints (async dispatch). A first-round host-looped
+  design paid 2-3 blocking ~20 ms tunnel round trips per generation —
+  ~100x below the engine's own batched-eval rate; this design removes every
+  per-generation sync (measured at the 64-taxon benchmark point in
+  ``benchmarks/mcmc_bench.py``).
+- **Branch lengths carry across rearrangements by clade identity** — free
+  under the pointer-swap representation: only the rearranged edge's clade
+  changes and it keeps its slot, so the carry is the identity map up to the
+  renumber permutation (exactly the hash-table carry the host utilities
+  below implement; parity-tested in ``tests/test_tree_moves.py``).
 - **Metropolis coupling (MC^3)**: within each independent run, chain k
   targets ``posterior^beta_k`` with ``beta_k = 1/(1 + heat*k)``; adjacent
   chains propose state swaps between blocks; only the cold chain (k=0) is
-  sampled.
+  sampled. Sampled states are re-canonicalized on host (the device
+  numbering is topologically valid but not structure-determined).
 
 Priors: iid Exponential(rate = 1/brlen_prior_mean) on the 2n-2 branch
 lengths; uniform over topologies. Model: JC69 or fixed GTR(+Gamma is left
@@ -121,7 +129,7 @@ def _dirichlet_logpdf(x: jax.Array, alpha: jax.Array) -> jax.Array:
     )
 
 
-def _make_device_kernels(
+def _build_eval(
     leaf_sequences: jax.Array,
     n_states: int,
     n_all: int,
@@ -129,13 +137,18 @@ def _make_device_kernels(
     sequences_are_masks: bool,
     rates: jax.Array | None,
     freqs: jax.Array | None,
-    prior_rate: float,
     gamma_shape: float | None,
     n_categories: int,
     force_lax: bool = False,
     sample_model: bool = False,
+    eval_chunk: int | None = None,
 ):
-    """Jitted (batched lnL, branch sweep, model sweep) device kernels.
+    """TRACEABLE batched data-lnL evaluator for the on-device sampler.
+
+    Returns ``batched_eval(children (B, n_anc, 2), lengths (B, n_all)
+    [, rates_v (B, P), freqs_v (B, Q)]) -> (B,)``, usable inside the
+    generation scan (every call site of the sampler is traced, so this must
+    not jit internally).
 
     On a TPU backend, scoring goes through the fused Pallas pruning kernel
     (forward-only — exactly what Metropolis needs); +Gamma models and CPU
@@ -144,13 +157,16 @@ def _make_device_kernels(
     are constants within any one evaluation here, so the AD-robustness
     reason for ``expm`` (``ops.likelihood`` docstring) does not apply.
 
-    With ``sample_model`` every lnL signature gains per-chain
-    ``(rates_vec (C, Q(Q-1)/2 simplex), freqs (C, Q) simplex)`` and a
-    ``model_sweep`` kernel performs one Dirichlet-centered Metropolis move
-    on each simplex per call (flat Dirichlet(1) priors, so only the
-    proposal densities enter the Hastings ratio). Per-tree root priors ride
-    the Pallas kernel by folding diag(freqs) into the root's first child
-    transition matrix (sum_s pi_s A_s B_s == sum_s (diag(pi) A)_s B_s).
+    With ``sample_model`` the signature gains per-row
+    ``(rates_vec (B, Q(Q-1)/2 simplex), freqs (B, Q) simplex)``. Per-tree
+    root priors ride the Pallas kernel by folding diag(freqs) into the
+    root's first child transition (sum_s pi_s A_s B_s ==
+    sum_s (diag(pi) A)_s B_s) — interpret-mode-verified in
+    ``tests/test_mcmc.py::test_pallas_prior_folding_matches_lax``.
+
+    The lax path auto-chunks via ``lax.map(batch_size=...)`` when the full
+    partials buffer (B * n_all * Q * L f32) would exceed ~2 GB, or at
+    ``eval_chunk`` rows when that is given.
     """
     from trex_tpu.ops.likelihood import (
         _per_site_log_likelihood,
@@ -161,11 +177,25 @@ def _make_device_kernels(
     )
 
     q = n_states
+    length = int(leaf_sequences.shape[-1])
     use_pallas = (
         jax.default_backend() == "tpu"
         and gamma_shape is None
         and not force_lax
     )
+
+    def chunked(one_row, args):
+        """vmap, or lax.map(batch_size=...) when the buffer would blow HBM."""
+        b = int(args[0].shape[0])
+        if eval_chunk is not None:
+            chunk = eval_chunk
+        else:
+            bytes_full = 4 * b * n_all * q * length
+            budget = 2 << 30
+            chunk = b if bytes_full <= budget else max(1, b * budget // bytes_full)
+        if chunk >= b:
+            return jax.vmap(one_row)(*args)
+        return jax.lax.map(lambda xs: one_row(*xs), args, batch_size=chunk)
 
     if sample_model:
         def pmats_of(lengths_row, rates_vec, freqs_row):
@@ -230,162 +260,67 @@ def _make_device_kernels(
                 return jnp.sum(per_site)
 
             def batched_eval(children, lengths, rates_v, freqs_v):
-                return jax.vmap(lnl_one)(children, lengths, rates_v, freqs_v)
+                return chunked(lnl_one, (children, lengths, rates_v, freqs_v))
 
-        batched_lnl = jax.jit(batched_eval)
+        return batched_eval
+
+    if rates is not None or freqs is not None:
+        eig_freqs = jnp.full((q,), 1.0 / q) if freqs is None else freqs
+        eig_rates = jnp.ones((q, q)) if rates is None else rates
+        eigvals, left, right = gtr_eigensystem(eig_rates, eig_freqs)
     else:
-        if rates is not None or freqs is not None:
-            eig_freqs = jnp.full((q,), 1.0 / q) if freqs is None else freqs
-            eig_rates = jnp.ones((q, q)) if rates is None else rates
-            eigvals, left, right = gtr_eigensystem(eig_rates, eig_freqs)
-        else:
-            eigvals = None
+        eigvals = None
 
-        if use_pallas:
-            from trex_tpu.ops.likelihood_pallas import (
-                batched_log_likelihood_pallas,
-            )
-
-            def batched_eval_fixed(children, lengths):
-                topo = Topology(
-                    children=children,
-                    parents=jnp.zeros(
-                        children.shape[:-2] + (n_all,), dtype=jnp.int32
-                    ),
-                )
-                pmats = None
-                prior = None
-                if eigvals is not None:
-                    pmats = jax.vmap(
-                        jax.vmap(
-                            lambda t: gtr_transition(t, eigvals, left, right)
-                        )
-                    )(lengths)
-                    prior = eig_freqs
-                return batched_log_likelihood_pallas(
-                    topo, lengths, leaf_sequences, n_states,
-                    transition_matrices=pmats, root_prior=prior,
-                    site_weights=site_weights,
-                    sequences_are_masks=sequences_are_masks,
-                )
-        else:
-            def lnl_one_fixed(children, lengths):
-                topo = Topology(
-                    children=children,
-                    parents=jnp.zeros((n_all,), dtype=jnp.int32),
-                )
-                per_site = per_site_log_likelihood(
-                    topo, lengths, leaf_sequences, n_states,
-                    rates=rates, freqs=freqs,
-                    gamma_shape=gamma_shape, n_categories=n_categories,
-                    sequences_are_masks=sequences_are_masks,
-                )
-                if site_weights is not None:
-                    per_site = per_site * site_weights
-                return jnp.sum(per_site)
-
-            def batched_eval_fixed(children, lengths):
-                return jax.vmap(lnl_one_fixed)(children, lengths)
-
-        def batched_eval(children, lengths, rates_v=None, freqs_v=None):
-            return batched_eval_fixed(children, lengths)
-
-        batched_lnl = jax.jit(batched_eval_fixed)
-
-    @partial(jax.jit, static_argnames=("steps",))
-    def branch_sweep(
-        children, lengths, lnl, key, beta, steps, tuning,
-        rates_v=None, freqs_v=None,
-    ):
-        """``steps`` single-branch multiplier moves on every chain, on device.
-
-        Targets ``(likelihood * prior)^beta``; the multiplier proposal
-        ``t' = t * exp(tuning * (u - 1/2))`` has Hastings factor ``t'/t``.
-        """
-        n_chains = lengths.shape[0]
-        rows = jnp.arange(n_chains)
-
-        def step(carry, k):
-            lengths, lnl, logprior, accepted = carry
-            k_node, k_mult, k_acc = jax.random.split(k, 3)
-            node = jax.random.randint(k_node, (n_chains,), 0, n_all - 1)
-            factor = jnp.exp(
-                tuning * (jax.random.uniform(k_mult, (n_chains,)) - 0.5)
-            )
-            old = lengths[rows, node]
-            new = old * factor
-            prop = lengths.at[rows, node].set(new)
-            prop_lnl = batched_eval(children, prop, rates_v, freqs_v)
-            prop_logprior = logprior - prior_rate * (new - old)
-            log_alpha = (
-                beta * (prop_lnl - lnl + prop_logprior - logprior)
-                + jnp.log(factor)
-            )
-            take = jnp.log(jax.random.uniform(k_acc, (n_chains,))) < log_alpha
-            lengths = jnp.where(take[:, None], prop, lengths)
-            lnl = jnp.where(take, prop_lnl, lnl)
-            logprior = jnp.where(take, prop_logprior, logprior)
-            return (lengths, lnl, logprior, accepted + take.sum()), None
-
-        logprior = _exp_logprior(lengths, prior_rate)
-        keys = jax.random.split(key, steps)
-        (lengths, lnl, logprior, accepted), _ = jax.lax.scan(
-            step, (lengths, lnl, logprior, jnp.zeros((), jnp.int32)), keys
+    if use_pallas:
+        from trex_tpu.ops.likelihood_pallas import (
+            batched_log_likelihood_pallas,
         )
-        return lengths, lnl, accepted
 
-    model_sweep = None
-    if sample_model:
-        @jax.jit
-        def model_sweep(
-            children, lengths, lnl, rates_v, freqs_v, key, beta,
-            concentration,
-        ):
-            """One Dirichlet-centered Metropolis move per simplex per chain.
-
-            Flat Dirichlet(1) priors on both simplices, so only the
-            proposal densities enter the ratio. Components below 1e-5 are
-            auto-rejected (a truncated prior: keeps the eigensystem away
-            from degenerate corners while preserving detailed balance).
-            """
-            n_chains = lengths.shape[0]
-            accepted = jnp.zeros((2,), jnp.int32)
-
-            def simplex_move(x, other_eval, k):
-                k_prop, k_acc = jax.random.split(k)
-                prop = jax.random.dirichlet(k_prop, concentration * x)
-                lq_fwd = jax.vmap(_dirichlet_logpdf)(prop, concentration * x)
-                lq_rev = jax.vmap(_dirichlet_logpdf)(x, concentration * prop)
-                prop_lnl = other_eval(prop)
-                inside = jnp.min(prop, axis=-1) >= 1e-5
-                log_alpha = beta * (prop_lnl - lnl) + lq_rev - lq_fwd
-                take = inside & (
-                    jnp.log(jax.random.uniform(k_acc, (n_chains,)))
-                    < log_alpha
-                )
-                return take, prop, prop_lnl
-
-            k_r, k_f = jax.random.split(key)
-            take, prop, prop_lnl = simplex_move(
-                rates_v,
-                lambda rv: batched_eval(children, lengths, rv, freqs_v),
-                k_r,
+        def batched_eval_fixed(children, lengths):
+            topo = Topology(
+                children=children,
+                parents=jnp.zeros(
+                    children.shape[:-2] + (n_all,), dtype=jnp.int32
+                ),
             )
-            rates_v = jnp.where(take[:, None], prop, rates_v)
-            lnl = jnp.where(take, prop_lnl, lnl)
-            accepted = accepted.at[0].add(take.sum())
-
-            take, prop, prop_lnl = simplex_move(
-                freqs_v,
-                lambda fv: batched_eval(children, lengths, rates_v, fv),
-                k_f,
+            pmats = None
+            prior = None
+            if eigvals is not None:
+                pmats = jax.vmap(
+                    jax.vmap(
+                        lambda t: gtr_transition(t, eigvals, left, right)
+                    )
+                )(lengths)
+                prior = eig_freqs
+            return batched_log_likelihood_pallas(
+                topo, lengths, leaf_sequences, n_states,
+                transition_matrices=pmats, root_prior=prior,
+                site_weights=site_weights,
+                sequences_are_masks=sequences_are_masks,
             )
-            freqs_v = jnp.where(take[:, None], prop, freqs_v)
-            lnl = jnp.where(take, prop_lnl, lnl)
-            accepted = accepted.at[1].add(take.sum())
-            return lnl, rates_v, freqs_v, accepted
+    else:
+        def lnl_one_fixed(children, lengths):
+            topo = Topology(
+                children=children,
+                parents=jnp.zeros((n_all,), dtype=jnp.int32),
+            )
+            per_site = per_site_log_likelihood(
+                topo, lengths, leaf_sequences, n_states,
+                rates=rates, freqs=freqs,
+                gamma_shape=gamma_shape, n_categories=n_categories,
+                sequences_are_masks=sequences_are_masks,
+            )
+            if site_weights is not None:
+                per_site = per_site * site_weights
+            return jnp.sum(per_site)
 
-    return batched_lnl, branch_sweep, model_sweep
+        def batched_eval_fixed(children, lengths):
+            return chunked(lnl_one_fixed, (children, lengths))
+
+    def batched_eval(children, lengths, rates_v=None, freqs_v=None):
+        return batched_eval_fixed(children, lengths)
+
+    return batched_eval
 
 
 def carry_lengths_nni(
@@ -402,6 +337,11 @@ def carry_lengths_nni(
     restores the original assignment exactly — required for the reverse
     proposal density of the topology Metropolis move to be well defined.
     (For NNI exactly one clade changes, so the rank mapping is trivial.)
+
+    The device sampler gets this carry for free (``ops.tree_moves``:
+    pointer-swap keeps every persisting clade in its slot); this host
+    version remains the oracle it is parity-tested against, and the utility
+    for host-side workflows.
     """
     from trex_tpu.search.bootstrap import subtree_leaf_sets
 
@@ -453,8 +393,8 @@ def _carry_lengths_nni_batch(
 
     Same semantics (clade-identity carry, single changed clade inherits the
     single leftover length) but via additive clade hashes + searchsorted —
-    O(B * n) numpy instead of O(B * n^2) Python frozenset work. The
-    per-neighbor hot path of the informed proposal.
+    O(B * n) numpy instead of O(B * n^2) Python frozenset work. Host-side
+    utility (the sampler itself now carries lengths on device).
     """
     n_anc = n_leaves - 1
     n_all = 2 * n_leaves - 1
@@ -569,13 +509,17 @@ def mcmc_sample(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1000,
     stop_after_generations: int | None = None,
+    eval_chunk: int | None = None,
 ) -> McmcResult:
     """Sample the Bayesian tree posterior with coupled MCMC chains.
 
     One *generation* = ``branch_moves_per_gen`` single-branch multiplier
-    moves (a jitted on-device scan over the whole chain batch) followed by
-    one NNI topology Metropolis round (host-proposed, device-scored as a
-    single batched likelihood call) and one MC^3 swap proposal per run.
+    moves, one model-simplex round (sampled-model mode), one NNI topology
+    Metropolis round, and one MC^3 swap proposal per run — ALL constructed
+    and accepted on device. ``sample_every`` generations form one jitted
+    block; the host dispatches blocks asynchronously and only synchronizes
+    at checkpoint/progress boundaries, so a remote-tunnel TPU's ~20 ms RTT
+    is paid per checkpoint, not per generation.
 
     Args:
         leaf_sequences: (n_leaves, L) int states (or bitmasks with
@@ -604,32 +548,49 @@ def mcmc_sample(
         prior_only: target the prior alone (validation: the sampler must
             recover Exponential branch lengths / uniform topologies).
         start: optional starting topology (defaults to random per chain).
-        checkpoint_dir: write the FULL sampler state (chain states, both
-            RNG streams, accumulated samples and counters) to
-            ``<dir>/mcmc_checkpoint.npz`` every ``checkpoint_every``
-            generations; if the file already exists, RESUME from it —
-            bit-identical to an uninterrupted run (tested). Keep
-            ``n_generations`` (the FINAL target, which fixes the burn-in
-            boundary) the same across legs; use ``stop_after_generations``
-            to bound how many generations one call executes (a checkpoint
-            is written at the stop).
+        checkpoint_dir: write the FULL sampler state (chain states, the RNG
+            key, accumulated samples and counters) to
+            ``<dir>/mcmc_checkpoint.npz`` on (block-rounded)
+            ``checkpoint_every``-generation boundaries; if the file already
+            exists, RESUME from it — bit-identical to an uninterrupted run
+            (tested). Keep ``n_generations`` (the FINAL target, which fixes
+            the burn-in boundary) the same across legs; use
+            ``stop_after_generations`` to bound how many generations one
+            call executes (a checkpoint is written at the stop). Both
+            intervals round up to whole ``sample_every`` blocks — the
+            device executes whole blocks per dispatch.
+        eval_chunk: cap on simultaneously evaluated trees in the lax
+            likelihood path (None = auto from a ~2 GB partials budget).
 
     Returns:
         ``McmcResult`` — pooled post-burn-in cold-chain samples, split
         posterior probabilities, consensus tree, diagnostics.
     """
-    from trex_tpu.io import nni_neighbors_host, sample_topologies
-    from trex_tpu.search.consensus import majority_rule_consensus, split_frequencies
+    from trex_tpu.io import (
+        canonicalize_topology,
+        reroot_on_outgroup,
+        sample_topologies,
+    )
+    from trex_tpu.ops.tree_moves import (
+        nni_neighbor_device,
+        nni_neighborhood_device,
+    )
+    from trex_tpu.search.consensus import (
+        majority_rule_consensus,
+        split_frequencies,
+    )
 
     n_leaves = int(leaf_sequences.shape[0])
     n_anc = n_leaves - 1
     n_all = 2 * n_leaves - 1
     n_total = n_runs * n_chains
     prior_rate = 1.0 / brlen_prior_mean
+    do_topo = topo_moves and n_leaves >= 4
+    n_nbr = 2 * (n_leaves - 2)
+    n_pairs = n_states * (n_states - 1) // 2
 
     seeds = np.asarray(jax.random.key_data(key)).ravel()
     rng = np.random.default_rng(int(seeds[-1]))
-    clade_salt = rng.integers(1, 2**62, size=n_leaves, dtype=np.uint64) * 2 + 1
 
     # --- initial state -----------------------------------------------------
     if start is not None:
@@ -639,14 +600,6 @@ def mcmc_sample(
     else:
         starts = sample_topologies(int(rng.integers(2**31)), n_leaves, n_total)
         children_host = np.asarray(starts.children).copy()
-    # ``children_host`` is the single source of truth for chain topologies;
-    # Topology views over its rows are built on the fly for the host move
-    # machinery (which reads children only). No second copy may exist —
-    # aliased views made row swaps self-cancelling in an earlier draft.
-    zero_parents = np.zeros((n_all,), dtype=np.int32)
-
-    def topo_view(row: np.ndarray) -> Topology:
-        return Topology(children=row, parents=zero_parents)
     if start_lengths is not None:
         lengths_host = np.broadcast_to(
             np.asarray(start_lengths, dtype=np.float32)[None], (n_total, n_all)
@@ -661,17 +614,18 @@ def mcmc_sample(
         leaf_sequences = jnp.zeros((n_leaves, 1), dtype=jnp.int32)
         site_weights = jnp.zeros((1,), dtype=jnp.float32)
 
-    batched_lnl, branch_sweep, model_sweep = _make_device_kernels(
+    batched_eval = _build_eval(
         jnp.asarray(leaf_sequences), n_states, n_all,
         None if site_weights is None else jnp.asarray(site_weights),
-        sequences_are_masks, rates, freqs, prior_rate,
+        sequences_are_masks, rates, freqs,
         gamma_shape, n_categories, force_lax=prior_only,
-        sample_model=sample_model,
+        sample_model=sample_model, eval_chunk=eval_chunk,
     )
 
     # Per-chain model state (sampled-model mode): exchangeability and
-    # frequency simplices, seeded from the given model or uniform.
-    n_pairs = n_states * (n_states - 1) // 2
+    # frequency simplices, seeded from the given model or uniform. When the
+    # model is fixed these stay as (n_total, 1) dummies so the state pytree
+    # has one structure either way.
     if sample_model:
         if rates is not None:
             rates0 = _matrix_to_pairs(np.asarray(rates), n_states)
@@ -685,97 +639,224 @@ def mcmc_sample(
         rates_host = np.broadcast_to(rates0, (n_total, n_pairs)).copy()
         freqs_host = np.broadcast_to(freqs0, (n_total, n_states)).copy()
     else:
-        rates_host = freqs_host = None
-
-    def model_args(reps: int = 1):
-        """(rates, freqs) device args, per chain, optionally repeated."""
-        if not sample_model:
-            return ()
-        if reps == 1:
-            return (jnp.asarray(rates_host), jnp.asarray(freqs_host))
-        return (
-            jnp.asarray(np.repeat(rates_host, reps, axis=0)),
-            jnp.asarray(np.repeat(freqs_host, reps, axis=0)),
-        )
+        rates_host = np.zeros((n_total, 1), np.float32)
+        freqs_host = np.zeros((n_total, 1), np.float32)
 
     beta_host = np.array(
         [1.0 / (1.0 + heat * k) for _ in range(n_runs) for k in range(n_chains)],
         dtype=np.float32,
     )
     beta = jnp.asarray(beta_host)
+    rows = jnp.arange(n_total)
+    cold_rows = np.arange(n_runs) * n_chains
+    cold = jnp.asarray(cold_rows)
 
-    # The HOST owns the chain state (children/lengths/lnl mirrors); the
-    # device only evaluates batched likelihoods. Each generation costs 2-3
-    # blocking device round trips total (batched jax.device_get), which is
-    # what bounds wall speed through a remote-tunnel TPU (~20 ms RTT).
-    lnl_host = np.array(
-        jax.device_get(
-            batched_lnl(
-                jnp.asarray(children_host), jnp.asarray(lengths_host),
-                *model_args(),
+    def ev(ch, ln, rv, fv):
+        if sample_model:
+            return batched_eval(ch, ln, rv, fv)
+        return batched_eval(ch, ln)
+
+    # --- one generation, fully traced ---------------------------------------
+    # Acceptance counters: [branch, topology, swap, model] accepted counts;
+    # denominators are deterministic (gens * moves * chains), computed host-
+    # side at the end.
+    def gen_step(state):
+        children, lengths, lnl, rates_v, freqs_v, k, acc = state
+
+        if branch_moves_per_gen > 0:
+            k, sub = jax.random.split(k)
+            logprior = _exp_logprior(lengths, prior_rate)
+
+            def bstep(carry, kk):
+                lengths, lnl, logprior, n_acc = carry
+                k_node, k_mult, k_acc = jax.random.split(kk, 3)
+                node = jax.random.randint(k_node, (n_total,), 0, n_all - 1)
+                factor = jnp.exp(
+                    tuning * (jax.random.uniform(k_mult, (n_total,)) - 0.5)
+                )
+                old = lengths[rows, node]
+                new = old * factor
+                prop = lengths.at[rows, node].set(new)
+                prop_lnl = ev(children, prop, rates_v, freqs_v)
+                prop_logprior = logprior - prior_rate * (new - old)
+                log_alpha = (
+                    beta * (prop_lnl - lnl + prop_logprior - logprior)
+                    + jnp.log(factor)
+                )
+                take = (
+                    jnp.log(jax.random.uniform(k_acc, (n_total,))) < log_alpha
+                )
+                lengths = jnp.where(take[:, None], prop, lengths)
+                lnl = jnp.where(take, prop_lnl, lnl)
+                logprior = jnp.where(take, prop_logprior, logprior)
+                return (lengths, lnl, logprior, n_acc + take.sum()), None
+
+            keys = jax.random.split(sub, branch_moves_per_gen)
+            (lengths, lnl, _, n_acc), _ = jax.lax.scan(
+                bstep,
+                (lengths, lnl, logprior, jnp.zeros((), jnp.int32)),
+                keys,
             )
+            acc = acc.at[0].add(n_acc)
+
+        if sample_model:
+            # One Dirichlet-centered Metropolis move per simplex per chain.
+            # Flat Dirichlet(1) priors, so only the proposal densities enter
+            # the ratio; components below 1e-5 are auto-rejected (truncated
+            # prior: keeps the eigensystem away from degenerate corners
+            # while preserving detailed balance).
+            k, k_r, k_f = jax.random.split(k, 3)
+
+            def simplex_move(x, other_eval, kk):
+                k_prop, k_acc = jax.random.split(kk)
+                prop = jax.random.dirichlet(k_prop, model_tuning * x)
+                lq_fwd = jax.vmap(_dirichlet_logpdf)(prop, model_tuning * x)
+                lq_rev = jax.vmap(_dirichlet_logpdf)(x, model_tuning * prop)
+                prop_lnl = other_eval(prop)
+                inside = jnp.min(prop, axis=-1) >= 1e-5
+                log_alpha = beta * (prop_lnl - lnl) + lq_rev - lq_fwd
+                take = inside & (
+                    jnp.log(jax.random.uniform(k_acc, (n_total,))) < log_alpha
+                )
+                return take, prop, prop_lnl
+
+            take, prop, prop_lnl = simplex_move(
+                rates_v,
+                lambda rv: batched_eval(children, lengths, rv, freqs_v),
+                k_r,
+            )
+            rates_v = jnp.where(take[:, None], prop, rates_v)
+            lnl = jnp.where(take, prop_lnl, lnl)
+            acc = acc.at[3].add(take.sum())
+
+            take, prop, prop_lnl = simplex_move(
+                freqs_v,
+                lambda fv: batched_eval(children, lengths, rates_v, fv),
+                k_f,
+            )
+            freqs_v = jnp.where(take[:, None], prop, freqs_v)
+            lnl = jnp.where(take, prop_lnl, lnl)
+            acc = acc.at[3].add(take.sum())
+
+        if do_topo:
+            nbr_fn = jax.vmap(
+                lambda c, l: nni_neighborhood_device(c, l, n_leaves)
+            )
+            if topo_proposal == "informed":
+                # Forward: draw y ~ exp(beta/2 lnl) over N(x) (the branch
+                # prior is invariant under the carry, so it cancels); the
+                # Hastings factor is the ratio of neighborhood normalizers.
+                rep_r = jnp.repeat(rates_v, n_nbr, axis=0)
+                rep_f = jnp.repeat(freqs_v, n_nbr, axis=0)
+                nbr_c, nbr_l = nbr_fn(children, lengths)
+                lnl_x_nbr = ev(
+                    nbr_c.reshape(-1, n_anc, 2), nbr_l.reshape(-1, n_all),
+                    rep_r, rep_f,
+                ).reshape(n_total, n_nbr)
+                logw_x = 0.5 * beta[:, None] * lnl_x_nbr
+                z_x = jax.nn.logsumexp(logw_x, axis=1)
+                k, k_pick, k_acc = jax.random.split(k, 3)
+                pick = jax.random.categorical(k_pick, logw_x, axis=1)
+                prop_c = nbr_c[rows, pick]
+                prop_l = nbr_l[rows, pick]
+                prop_lnl = lnl_x_nbr[rows, pick]
+                # Reverse normalizer over N(y): x is in it by NNI symmetry
+                # with exactly the current lengths (pointer-swap carry is
+                # involutive), and lnL is renumbering-invariant.
+                nbr_c2, nbr_l2 = nbr_fn(prop_c, prop_l)
+                lnl_y_nbr = ev(
+                    nbr_c2.reshape(-1, n_anc, 2), nbr_l2.reshape(-1, n_all),
+                    rep_r, rep_f,
+                ).reshape(n_total, n_nbr)
+                z_y = jax.nn.logsumexp(
+                    0.5 * beta[:, None] * lnl_y_nbr, axis=1
+                )
+                log_alpha = 0.5 * beta * (prop_lnl - lnl) + z_x - z_y
+            else:  # plain uniform NNI (symmetric; 1 eval of C trees)
+                k, k_edge, k_var, k_acc = jax.random.split(k, 4)
+                edge = jax.random.randint(k_edge, (n_total,), 0, n_anc - 1)
+                var = jax.random.randint(k_var, (n_total,), 0, 2)
+                prop_c, prop_l = jax.vmap(
+                    lambda c, l, e, v: nni_neighbor_device(
+                        c, l, e, v, n_leaves
+                    )
+                )(children, lengths, edge, var)
+                prop_lnl = ev(prop_c, prop_l, rates_v, freqs_v)
+                # Same length multiset -> prior unchanged; symmetric move.
+                log_alpha = beta * (prop_lnl - lnl)
+            take = jnp.log(jax.random.uniform(k_acc, (n_total,))) < log_alpha
+            children = jnp.where(take[:, None, None], prop_c, children)
+            lengths = jnp.where(take[:, None], prop_l, lengths)
+            lnl = jnp.where(take, prop_lnl, lnl)
+            acc = acc.at[1].add(take.sum())
+
+        if n_chains > 1:
+            k, k_pick, k_acc = jax.random.split(k, 3)
+            ks = jax.random.randint(k_pick, (n_runs,), 0, n_chains - 1)
+            i = jnp.arange(n_runs) * n_chains + ks
+            j = i + 1
+            post = lnl + _exp_logprior(lengths, prior_rate)
+            log_alpha = (beta[i] - beta[j]) * (post[j] - post[i])
+            take = jnp.log(jax.random.uniform(k_acc, (n_runs,))) < log_alpha
+            perm = rows.at[i].set(jnp.where(take, j, i))
+            perm = perm.at[j].set(jnp.where(take, i, j))
+            children = children[perm]
+            lengths = lengths[perm]
+            lnl = lnl[perm]
+            rates_v = rates_v[perm]
+            freqs_v = freqs_v[perm]
+            acc = acc.at[2].add(take.sum())
+
+        return (children, lengths, lnl, rates_v, freqs_v, k, acc)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def block_fn(state):
+        """``sample_every`` generations + one cold-chain snapshot."""
+        state = jax.lax.fori_loop(
+            0, sample_every, lambda _, s: gen_step(s), state
         )
-    )
+        children, lengths, lnl, rates_v, freqs_v, _, _ = state
+        sample = (
+            children[cold], lengths[cold], lnl[cold],
+            rates_v[cold], freqs_v[cold],
+        )
+        return state, sample
 
-    def host_logprior(lens: np.ndarray) -> np.ndarray:
-        return np.log(prior_rate) * (n_all - 1) - prior_rate * lens[
-            :, :-1
-        ].sum(axis=1)
-
+    total_blocks = n_generations // sample_every
+    trailing = n_generations - total_blocks * sample_every
     n_burnin = int(burnin_frac * n_generations)
-    cold_rows = [r * n_chains for r in range(n_runs)]
 
+    # --- checkpoint / resume -------------------------------------------------
     samples_children: list[np.ndarray] = []
     samples_lengths: list[np.ndarray] = []
     samples_lnl: list[float] = []
     samples_run: list[int] = []
     samples_rates: list[np.ndarray] = []
     samples_freqs: list[np.ndarray] = []
-    acc = {"branch": 0, "branch_n": 0, "topology": 0, "topology_n": 0,
-           "swap": 0, "swap_n": 0, "model": 0, "model_n": 0}
 
-    n_nbr = 2 * (n_leaves - 2)  # constant for every topology
-
-    def neighborhood(children, lens):
-        """Stacked NNI neighborhoods + carried lengths + lnLs (1 sync)."""
-        ch = np.empty((n_total, n_nbr, n_anc, 2), np.int32)
-        ln = np.empty((n_total, n_nbr, n_all), np.float32)
-        for c in range(n_total):
-            nbr_c, _ = nni_neighbors_host(topo_view(children[c]))
-            ch[c] = nbr_c
-            ln[c] = _carry_lengths_nni_batch(
-                children[c], lens[c], nbr_c, n_leaves, clade_salt,
-            )
-        flat_lnl = batched_lnl(
-            jnp.asarray(ch.reshape(-1, n_anc, 2)),
-            jnp.asarray(ln.reshape(-1, n_all)),
-            *model_args(reps=n_nbr),
-        )
-        return ch, ln, np.asarray(
-            jax.device_get(flat_lnl)
-        ).reshape(n_total, n_nbr)
-
-    # --- checkpoint / resume -------------------------------------------------
+    gens_done = 0
+    acc_host = np.zeros((4,), np.int32)
     key_dev = key
-    start_gen = 1
+    lnl_host = None
     ckpt_path = None
     if checkpoint_dir is not None:
-        import json as _json
         import os as _os
 
         _os.makedirs(checkpoint_dir, exist_ok=True)
         ckpt_path = _os.path.join(checkpoint_dir, "mcmc_checkpoint.npz")
         if _os.path.exists(ckpt_path):
             ck = np.load(ckpt_path, allow_pickle=False)
-            start_gen = int(ck["gen"]) + 1
+            gens_done = int(ck["gens_done"])
             children_host = ck["children"].copy()
             lengths_host = ck["lengths"].copy()
+            # The chain's lnL is part of the state: recomputing it could
+            # differ from the in-jit value in low-order bits and flip later
+            # accept decisions (resume must be bit-identical).
             lnl_host = ck["lnl"].copy()
+            rates_host = ck["rates"].copy()
+            freqs_host = ck["freqs"].copy()
+            acc_host = ck["acc"].copy()
             key_dev = jax.random.wrap_key_data(jnp.asarray(ck["jax_key"]))
-            rng.bit_generator.state = _json.loads(str(ck["np_state"]))
-            if sample_model:
-                rates_host = ck["rates"].copy()
-                freqs_host = ck["freqs"].copy()
             samples_children = list(ck["s_children"])
             samples_lengths = list(ck["s_lengths"])
             samples_lnl = list(ck["s_lnl"])
@@ -783,18 +864,54 @@ def mcmc_sample(
             if sample_model and "s_rates" in ck:
                 samples_rates = list(ck["s_rates"])
                 samples_freqs = list(ck["s_freqs"])
-            acc = {k: int(v) for k, v in zip(ck["acc_keys"], ck["acc_vals"])}
 
-    def write_checkpoint(gen):
-        import json as _json
+    if lnl_host is None:
+        lnl0 = ev(
+            jnp.asarray(children_host), jnp.asarray(lengths_host),
+            jnp.asarray(rates_host), jnp.asarray(freqs_host),
+        )
+    else:
+        lnl0 = jnp.asarray(lnl_host)
+    state = (
+        jnp.asarray(children_host), jnp.asarray(lengths_host), lnl0,
+        jnp.asarray(rates_host), jnp.asarray(freqs_host), key_dev,
+        jnp.asarray(acc_host),
+    )
 
+    pending: list[tuple[int, tuple]] = []
+
+    def flush_pending():
+        for blk, sample in pending:
+            gen = blk * sample_every
+            if gen <= n_burnin:
+                continue
+            s_children, s_lengths, s_lnl, s_rates, s_freqs = (
+                np.asarray(x) for x in jax.device_get(sample)
+            )
+            for r in range(n_runs):
+                samples_children.append(s_children[r])
+                samples_lengths.append(s_lengths[r])
+                samples_lnl.append(float(s_lnl[r]))
+                samples_run.append(r)
+                if sample_model:
+                    samples_rates.append(s_rates[r])
+                    samples_freqs.append(s_freqs[r])
+        pending.clear()
+
+    def write_checkpoint(state, gens_now):
+        import os as _os
+
+        flush_pending()
+        children_d, lengths_d, lnl_d, rates_d, freqs_d, key_d, acc_d = state
         payload = {
-            "gen": gen,
-            "children": children_host,
-            "lengths": lengths_host,
-            "lnl": lnl_host,
-            "jax_key": np.asarray(jax.random.key_data(key_dev)),
-            "np_state": _json.dumps(rng.bit_generator.state),
+            "gens_done": gens_now,
+            "children": np.asarray(jax.device_get(children_d)),
+            "lengths": np.asarray(jax.device_get(lengths_d)),
+            "lnl": np.asarray(jax.device_get(lnl_d)),
+            "rates": np.asarray(jax.device_get(rates_d)),
+            "freqs": np.asarray(jax.device_get(freqs_d)),
+            "acc": np.asarray(jax.device_get(acc_d)),
+            "jax_key": np.asarray(jax.device_get(jax.random.key_data(key_d))),
             "s_children": np.stack(samples_children)
             if samples_children
             else np.zeros((0, n_anc, 2), np.int32),
@@ -803,169 +920,94 @@ def mcmc_sample(
             else np.zeros((0, n_all), np.float32),
             "s_lnl": np.asarray(samples_lnl, np.float64),
             "s_run": np.asarray(samples_run, np.int32),
-            "acc_keys": np.asarray(list(acc.keys())),
-            "acc_vals": np.asarray(list(acc.values()), np.int64),
         }
         if sample_model:
-            payload["rates"] = rates_host
-            payload["freqs"] = freqs_host
             payload["s_rates"] = (
                 np.stack(samples_rates)
                 if samples_rates
-                else np.zeros((0, rates_host.shape[1]), np.float32)
+                else np.zeros((0, n_pairs), np.float32)
             )
             payload["s_freqs"] = (
                 np.stack(samples_freqs)
                 if samples_freqs
                 else np.zeros((0, n_states), np.float32)
             )
-        import os as _os
-
         tmp = ckpt_path + ".tmp.npz"
         np.savez(tmp, **payload)
         _os.replace(tmp, ckpt_path)
 
-    for gen in range(start_gen, n_generations + 1):
-        # --- branch-length sweep (device; 1 sync) ---------------------------
-        if branch_moves_per_gen > 0:
-            key_dev, sub = jax.random.split(key_dev)
-            out = branch_sweep(
-                jnp.asarray(children_host), jnp.asarray(lengths_host),
-                jnp.asarray(lnl_host), sub, beta,
-                branch_moves_per_gen, tuning, *model_args(),
-            )
-            new_lengths, new_lnl, accepted = jax.device_get(out)
-            lengths_host = np.array(new_lengths)
-            lnl_host = np.array(new_lnl)
-            acc["branch"] += int(accepted)
-            acc["branch_n"] += branch_moves_per_gen * n_total
-
-        # --- model-parameter sweep (device; 1 sync; sampled-model mode) ----
-        if sample_model:
-            key_dev, sub = jax.random.split(key_dev)
-            out = model_sweep(
-                jnp.asarray(children_host), jnp.asarray(lengths_host),
-                jnp.asarray(lnl_host), *model_args(), sub, beta,
-                jnp.float32(model_tuning),
-            )
-            new_lnl, new_rates, new_freqs, accepted = jax.device_get(out)
-            lnl_host = np.array(new_lnl)
-            rates_host = np.array(new_rates)
-            freqs_host = np.array(new_freqs)
-            acc["model"] += int(accepted.sum())
-            acc["model_n"] += 2 * n_total
-
-        # --- NNI topology round (host proposal, device scoring) ------------
-        if topo_moves and n_leaves >= 4:
-            if topo_proposal == "informed":
-                # Forward: draw y ~ exp(beta/2 lnl) over N(x) (the branch
-                # prior is invariant under the carry, so it cancels).
-                ch_x, ln_x, lnl_x_nbr = neighborhood(children_host, lengths_host)
-                logw_x = 0.5 * beta_host[:, None] * lnl_x_nbr
-                z_x = _logsumexp_rows(logw_x)
-                probs = np.exp(logw_x - z_x[:, None])
-                probs /= probs.sum(axis=1, keepdims=True)
-                picks = np.array(
-                    [rng.choice(n_nbr, p=probs[c]) for c in range(n_total)]
-                )
-                rows = np.arange(n_total)
-                prop_children = ch_x[rows, picks]
-                prop_lengths = ln_x[rows, picks]
-                prop_lnl = lnl_x_nbr[rows, picks]
-                # Reverse normalizer over N(y) (x is in it by NNI symmetry
-                # with exactly the current lengths: the carry is involutive).
-                _, _, lnl_y_nbr = neighborhood(prop_children, prop_lengths)
-                z_y = _logsumexp_rows(0.5 * beta_host[:, None] * lnl_y_nbr)
-                log_alpha = (
-                    0.5 * beta_host * (prop_lnl - lnl_host) + z_x - z_y
-                )
-            else:  # plain uniform NNI (symmetric; 1 sync)
-                prop_children = np.empty_like(children_host)
-                prop_lengths = np.empty_like(lengths_host)
-                for c in range(n_total):
-                    nbr_c, _ = nni_neighbors_host(topo_view(children_host[c]))
-                    j = int(rng.integers(nbr_c.shape[0]))
-                    prop_children[c] = nbr_c[j]
-                    prop_lengths[c] = carry_lengths_nni(
-                        topo_view(children_host[c]), lengths_host[c],
-                        topo_view(nbr_c[j]),
-                    )
-                prop_lnl = np.asarray(
-                    jax.device_get(
-                        batched_lnl(
-                            jnp.asarray(prop_children),
-                            jnp.asarray(prop_lengths),
-                            *model_args(),
-                        )
-                    )
-                )
-                # Same length multiset -> prior unchanged; symmetric proposal.
-                log_alpha = beta_host * (prop_lnl - lnl_host)
-            take = np.log(rng.uniform(size=n_total)) < log_alpha
-            acc["topology"] += int(take.sum())
-            acc["topology_n"] += n_total
-            for c in np.where(take)[0]:
-                children_host[c] = prop_children[c]
-                lengths_host[c] = prop_lengths[c]
-                lnl_host[c] = prop_lnl[c]
-
-        # --- MC^3 swap proposal (host-only bookkeeping) ---------------------
-        if n_chains > 1:
-            logprior_host = host_logprior(lengths_host)
-            for r in range(n_runs):
-                k = int(rng.integers(n_chains - 1))
-                i, j = r * n_chains + k, r * n_chains + k + 1
-                post_i = lnl_host[i] + logprior_host[i]
-                post_j = lnl_host[j] + logprior_host[j]
-                log_alpha = (beta_host[i] - beta_host[j]) * (post_j - post_i)
-                acc["swap_n"] += 1
-                if np.log(rng.uniform()) < log_alpha:
-                    acc["swap"] += 1
-                    children_host[[i, j]] = children_host[[j, i]]
-                    lengths_host[[i, j]] = lengths_host[[j, i]]
-                    lnl_host[[i, j]] = lnl_host[[j, i]]
-                    if sample_model:
-                        rates_host[[i, j]] = rates_host[[j, i]]
-                        freqs_host[[i, j]] = freqs_host[[j, i]]
-
-        # --- sampling (host mirrors; no sync) -------------------------------
-        if gen > n_burnin and gen % sample_every == 0:
-            for r, row in enumerate(cold_rows):
-                samples_children.append(children_host[row].copy())
-                samples_lengths.append(lengths_host[row].copy())
-                samples_lnl.append(float(lnl_host[row]))
-                samples_run.append(r)
-                if sample_model:
-                    samples_rates.append(rates_host[row].copy())
-                    samples_freqs.append(freqs_host[row].copy())
-        if progress_every and gen % progress_every == 0:
-            cold = " ".join(f"{lnl_host[r]:.2f}" for r in cold_rows)
-            print(f"[mcmc] gen {gen}/{n_generations} cold lnL: {cold}")
-        if ckpt_path is not None and gen % checkpoint_every == 0:
-            write_checkpoint(gen)
-        if (
-            stop_after_generations is not None
-            and gen - start_gen + 1 >= stop_after_generations
-            and gen < n_generations
-        ):
-            if ckpt_path is not None:
-                write_checkpoint(gen)
+    # --- main loop: async block dispatch -------------------------------------
+    blocks_done = gens_done // sample_every
+    ck_blocks = max(1, -(-checkpoint_every // sample_every))
+    prog_blocks = (
+        max(1, round(progress_every / sample_every)) if progress_every else 0
+    )
+    stop_blocks = (
+        None
+        if stop_after_generations is None
+        else -(-stop_after_generations // sample_every)
+    )
+    executed = 0
+    stopped_early = False
+    for blk in range(blocks_done + 1, total_blocks + 1):
+        state, sample = block_fn(state)
+        pending.append((blk, sample))
+        executed += 1
+        gens_done = blk * sample_every
+        if prog_blocks and blk % prog_blocks == 0:
+            lnl_cold = np.asarray(jax.device_get(pending[-1][1][2]))
+            cold_str = " ".join(f"{v:.2f}" for v in lnl_cold)
+            print(f"[mcmc] gen {gens_done}/{n_generations} cold lnL: {cold_str}")
+        at_stop = (
+            stop_blocks is not None
+            and executed >= stop_blocks
+            and blk < total_blocks
+        )
+        if ckpt_path is not None and (blk % ck_blocks == 0 or at_stop):
+            write_checkpoint(state, gens_done)
+        if at_stop:
+            stopped_early = True
             break
 
+    if not stopped_early:
+        if trailing and gens_done == total_blocks * sample_every:
+            advance = jax.jit(
+                lambda s: jax.lax.fori_loop(
+                    0, trailing, lambda _, st: gen_step(st), s
+                ),
+                donate_argnums=(0,),
+            )
+            state = advance(state)
+            gens_done = n_generations
+        if ckpt_path is not None:
+            write_checkpoint(state, gens_done)
+    flush_pending()
+    acc_host = np.asarray(jax.device_get(state[6]))
+
     # --- summaries ----------------------------------------------------------
+    # The device sampler's numbering is topologically valid but arbitrary;
+    # canonicalize every sample (structure-determined numbering + matching
+    # length permutation) so byte identities and node-indexed summaries mean
+    # the same thing they do for host-enumerated trees.
+    canon_children: list[np.ndarray] = []
+    canon_lengths: list[np.ndarray] = []
+    for c, l in zip(samples_children, samples_lengths):
+        cc, ll = canonicalize_topology(c, l)
+        canon_children.append(cc)
+        canon_lengths.append(ll)
+
     # Summarize on a CANONICAL ROOTING (re-root every sample on leaf 0):
     # under a reversible model the data cannot identify the root, so chains
     # wander over rootings and raw rooted-clade frequencies fluctuate even
     # at a fixed unrooted topology. Rooting on leaf 0 makes clades correspond
     # 1:1 to unrooted splits — the quantity MrBayes-style summaries (split
     # posteriors, consensus, ASDSF) are defined on.
-    from trex_tpu.io import reroot_on_outgroup
-
+    zero_parents = np.zeros((n_all,), dtype=np.int32)
     sample_topos = [
         reroot_on_outgroup(
             Topology(children=c, parents=zero_parents), [0]
         )[0]
-        for c in samples_children
+        for c in canon_children
     ]
     per_run = [
         [t for t, r in zip(sample_topos, samples_run) if r == rr]
@@ -985,19 +1027,23 @@ def mcmc_sample(
         sum(effective_sample_size(t) for t in per_run_lnl if t.size > 0)
     )
     mean_lengths = (
-        np.mean(np.stack(samples_lengths), axis=0)
-        if samples_lengths
+        np.mean(np.stack(canon_lengths), axis=0)
+        if canon_lengths
         else np.zeros(n_all, np.float32)
     )
+    branch_n = gens_done * branch_moves_per_gen * n_total
+    topo_n = gens_done * n_total if do_topo else 0
+    swap_n = gens_done * n_runs if n_chains > 1 else 0
+    model_n = 2 * gens_done * n_total if sample_model else 0
     return McmcResult(
         sample_children=(
-            np.stack(samples_children)
-            if samples_children
+            np.stack(canon_children)
+            if canon_children
             else np.zeros((0, n_anc, 2), np.int32)
         ),
         sample_lengths=(
-            np.stack(samples_lengths)
-            if samples_lengths
+            np.stack(canon_lengths)
+            if canon_lengths
             else np.zeros((0, n_all), np.float32)
         ),
         sample_lnl=np.asarray(samples_lnl, dtype=np.float64),
@@ -1005,11 +1051,11 @@ def mcmc_sample(
         split_posterior=split_post,
         consensus_newick=consensus,
         acceptance={
-            "branch": acc["branch"] / max(acc["branch_n"], 1),
-            "topology": acc["topology"] / max(acc["topology_n"], 1),
-            "swap": acc["swap"] / max(acc["swap_n"], 1),
+            "branch": int(acc_host[0]) / max(branch_n, 1),
+            "topology": int(acc_host[1]) / max(topo_n, 1),
+            "swap": int(acc_host[2]) / max(swap_n, 1),
             **(
-                {"model": acc["model"] / max(acc["model_n"], 1)}
+                {"model": int(acc_host[3]) / max(model_n, 1)}
                 if sample_model
                 else {}
             ),
