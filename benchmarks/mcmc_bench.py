@@ -61,8 +61,9 @@ def main() -> None:
         branch_moves_per_gen=args.branch_moves,
         topo_proposal=args.proposal,
     )
-    # Warmup (compiles every kernel shape), then the timed run.
-    mcmc_sample(jax.random.PRNGKey(1), leaves, 4, n_generations=3, **common)
+    # Warmup (compiles every kernel shape — one full sample block, same
+    # sample_every so block_fn's compiled shape is reused), then the timed run.
+    mcmc_sample(jax.random.PRNGKey(1), leaves, 4, n_generations=50, **common)
     t0 = time.perf_counter()
     res = mcmc_sample(
         jax.random.PRNGKey(2), leaves, 4,

@@ -2451,7 +2451,7 @@ def build_parser() -> argparse.ArgumentParser:
                    default="spr-scan",
                    help="spr-scan = analytic all-SPR evaluation (fastest; "
                         "exact under both criteria); tbr = sampled O(n^3) "
-                        "TBR set (strongest, needs the native library)")
+                        "TBR set (strongest)")
     p.add_argument("--rounds", type=int, default=100,
                    help="max hill-climb rounds")
     p.add_argument("--ratchet", type=int, default=0,

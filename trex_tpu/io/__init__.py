@@ -25,6 +25,10 @@ from trex_tpu.io.fallback import (
     py_nni_neighbors,
     py_parse_newick,
     py_sample_topologies,
+    py_spr_move,
+    py_spr_neighborhood,
+    py_tbr_move,
+    py_tbr_neighborhood,
     py_write_newick,
 )
 from trex_tpu.topology import Topology
@@ -418,10 +422,11 @@ def spr_neighborhood_host(topology: Topology) -> tuple[np.ndarray, np.ndarray]:
     """SPR neighborhood as HOST numpy (children, parents) — no transfer.
 
     Returns views into per-shape cached buffers (overwritten by the next
-    call of the same shape); copy for persistence.
+    call of the same shape); copy for persistence. Falls back to the pure-
+    Python enumerator (identical output, slower) without the native library.
     """
     if not native.available():
-        raise NotImplementedError("SPR requires the native library")
+        return py_spr_neighborhood(np.asarray(topology.children))
     return native.spr_neighborhood(np.asarray(topology.children))
 
 
@@ -684,10 +689,15 @@ def tbr_neighborhood_host(
     degenerate), deduplicated; ``max_trees`` truncates after a seeded
     shuffle of the iteration order, so a truncated result is an unbiased
     sample. Returns views into per-shape cached buffers (overwritten by the
-    next same-shape call); copy for persistence.
+    next same-shape call); copy for persistence. Falls back to the pure-
+    Python enumerator without the native library (same move set; a
+    truncated sample draws a different, equally unbiased subset — the
+    shuffle streams differ).
     """
     if not native.available():
-        raise NotImplementedError("TBR requires the native library")
+        return py_tbr_neighborhood(
+            np.asarray(topology.children), max_trees=max_trees, seed=seed
+        )
     return native.tbr_neighborhood(
         np.asarray(topology.children), max_trees=max_trees, seed=seed
     )
@@ -701,18 +711,36 @@ def tbr_neighborhood(
     return Topology(children=jnp.asarray(nc), parents=jnp.asarray(npar))
 
 
+def tbr_move_host(
+    children: np.ndarray, prune_node: int, reroot_node: int, regraft_node: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """One TBR move on host numpy arrays (native or Python fallback)."""
+    if not native.available():
+        return py_tbr_move(children, prune_node, reroot_node, regraft_node)
+    return native.tbr_move(
+        np.asarray(children), prune_node, reroot_node, regraft_node
+    )
+
+
+def spr_move_host(
+    children: np.ndarray, prune_node: int, regraft_node: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """One SPR move on host numpy arrays (native or Python fallback)."""
+    if not native.available():
+        return py_spr_move(children, prune_node, regraft_node)
+    return native.spr_move(np.asarray(children), prune_node, regraft_node)
+
+
 def tbr_move(
     topology: Topology, prune_node: int, reroot_node: int, regraft_node: int
 ) -> Topology | None:
-    """One tree-bisection-reconnection move (native only; None if invalid).
+    """One tree-bisection-reconnection move (None if invalid).
 
     Prunes the subtree above ``prune_node``, re-roots it at the edge above
     ``reroot_node`` (inside the subtree; == prune_node for plain SPR), and
     regrafts onto the edge above ``regraft_node``.
     """
-    if not native.available():
-        raise NotImplementedError("TBR requires the native library")
-    result = native.tbr_move(
+    result = tbr_move_host(
         np.asarray(topology.children), prune_node, reroot_node, regraft_node
     )
     if result is None:
@@ -722,10 +750,8 @@ def tbr_move(
 
 
 def spr_move(topology: Topology, prune_node: int, regraft_node: int) -> Topology | None:
-    """One subtree-prune-regraft move (native only; None if invalid)."""
-    if not native.available():
-        raise NotImplementedError("SPR requires the native library")
-    result = native.spr_move(np.asarray(topology.children), prune_node, regraft_node)
+    """One subtree-prune-regraft move (None if invalid)."""
+    result = spr_move_host(np.asarray(topology.children), prune_node, regraft_node)
     if result is None:
         return None
     nc, npar = result
@@ -752,9 +778,13 @@ __all__ = [
     "relabel_leaves",
     "align_leaf_order",
     "sample_topologies",
+    "canonicalize_topology",
     "nni_neighbors",
     "spr_neighborhood",
+    "spr_neighborhood_host",
     "spr_move",
+    "spr_move_host",
+    "tbr_move_host",
     "prune_to_taxa",
     "renumber_leaves",
     "reroot_at_edge",

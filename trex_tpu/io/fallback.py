@@ -162,6 +162,266 @@ def py_sample_topologies(seed: int, n_leaves: int, batch: int):
     return children, parents
 
 
+def _tree_maps(children: np.ndarray):
+    """(kids dict, parent dict, n_leaves, n_all) from a children array."""
+    children = np.asarray(children, dtype=np.int32)
+    n_leaves = children.shape[0] + 1
+    n_all = 2 * n_leaves - 1
+    kids = {
+        n_leaves + a: [int(children[a, 0]), int(children[a, 1])]
+        for a in range(n_leaves - 1)
+    }
+    parent = {n_all - 1: n_all - 1}
+    for p, cs in kids.items():
+        for c in cs:
+            parent[c] = p
+    return kids, parent, n_leaves, n_all
+
+
+def _subtree_nodes(kids: dict[int, list[int]], node: int) -> list[int]:
+    out, stack = [], [node]
+    while stack:
+        n = stack.pop()
+        out.append(n)
+        stack.extend(kids.get(n, []))
+    return out
+
+
+def _tbr_apply(
+    kids: dict[int, list[int]],
+    parent: dict[int, int],
+    n_leaves: int,
+    prune: int,
+    reroot: int,
+    regraft: int,
+):
+    """Apply a validated TBR move (mirrors native ``tbr_apply``,
+    ``native/trex_native.cpp:224-304``); returns canonical (children,
+    parents) or None on a degenerate result. Mutates its dict arguments —
+    pass copies."""
+    n_all = 2 * n_leaves - 1
+    p = parent[prune]
+    sibling = kids[p][1] if kids[p][0] == prune else kids[p][0]
+    plain_spr = reroot == prune
+
+    # Splice p out of the remainder (sibling takes its place).
+    gp = parent[p]
+    if gp != p:
+        kids[gp] = [sibling if k == p else k for k in kids[gp]]
+        parent[sibling] = gp
+    else:
+        parent[sibling] = sibling  # sibling becomes the remainder's root
+
+    # Re-root the pruned subtree at the edge above reroot.
+    if plain_spr:
+        sub_root = prune
+    else:
+        path = []  # reroot ... prune, via (pre-splice) parent pointers
+        n = reroot
+        while True:
+            path.append(n)
+            if n == prune:
+                break
+            n = parent[n]
+        reversed_ = -1
+        for i in range(len(path) - 1, 0, -1):
+            node = path[i]
+            path_child = path[i - 1]
+            if node == prune:
+                reversed_ = (
+                    kids[node][1] if kids[node][0] == path_child else kids[node][0]
+                )
+                kids[node] = []  # smoothed out of the tree
+            else:
+                keep = (
+                    kids[node][1] if kids[node][0] == path_child else kids[node][0]
+                )
+                kids[node] = [keep, reversed_]
+                reversed_ = node
+        kids[prune] = [reroot, reversed_]
+        sub_root = prune
+
+    # Regraft sub_root onto the edge above regraft, reusing p as junction.
+    rp = parent[regraft]
+    if rp == regraft:
+        kids[p] = [sub_root, regraft]
+        parent[p] = p
+    else:
+        kids[rp] = [p if k == regraft else k for k in kids[rp]]
+        kids[p] = [sub_root, regraft]
+        parent[p] = rp
+    parent[sub_root] = p
+    parent[regraft] = p
+
+    # Validate binary shape and find the unique root before canonicalizing.
+    internal = {n for n, cs in kids.items() if cs}
+    if any(len(kids[n]) != 2 for n in internal):
+        return None
+    if len(internal) != n_leaves - 1:
+        return None
+    is_child = {c for n in internal for c in kids[n]}
+    roots = [n for n in internal if n not in is_child]
+    if len(roots) != 1:
+        return None
+    clean = {n: kids[n] for n in internal}
+    ch, par, _ = _canonicalize(n_leaves, clean, roots[0])
+    if (ch < 0).any() or (par[: n_all - 1] < 0).any():
+        return None
+    return ch, par
+
+
+def py_spr_move(children: np.ndarray, prune: int, regraft: int):
+    """One SPR move; canonical (children, parents) or None if invalid.
+
+    Mirrors ``trex_spr`` (``native/trex_native.cpp:588-646``): invalid when
+    the regraft edge is inside the pruned subtree, at the pruned node's
+    sibling or parent (no-ops), or either node is the root.
+    """
+    kids, parent, n_leaves, n_all = _tree_maps(children)
+    if not (0 <= prune < n_all - 1 and 0 <= regraft < n_all - 1):
+        return None
+    x = regraft
+    while True:  # reject regrafting inside the pruned subtree
+        if x == prune:
+            return None
+        if parent[x] == x:
+            break
+        x = parent[x]
+    p = parent[prune]
+    sibling = kids[p][1] if kids[p][0] == prune else kids[p][0]
+    if regraft in (sibling, p):
+        return None
+    return _tbr_apply(kids, parent, n_leaves, prune, prune, regraft)
+
+
+def py_tbr_move(children: np.ndarray, prune: int, reroot: int, regraft: int):
+    """One TBR move; canonical (children, parents) or None if invalid.
+
+    Mirrors ``trex_tbr`` (``native/trex_native.cpp:753-799``): ``reroot``
+    must lie inside the pruned subtree (== ``prune`` degenerates to SPR),
+    ``regraft`` outside it and never at the junction parent; the SPR
+    degenerate additionally rejects the sibling no-op.
+    """
+    kids, parent, n_leaves, n_all = _tree_maps(children)
+    if not (
+        0 <= prune < n_all - 1 and 0 <= regraft < n_all - 1 and 0 <= reroot < n_all
+    ):
+        return None
+    in_sub = set(_subtree_nodes(kids, prune))
+    if reroot not in in_sub or regraft in in_sub:
+        return None
+    p = parent[prune]
+    sibling = kids[p][1] if kids[p][0] == prune else kids[p][0]
+    if regraft == p:
+        return None
+    if reroot == prune and regraft == sibling:
+        return None
+    return _tbr_apply(kids, parent, n_leaves, prune, reroot, regraft)
+
+
+def py_spr_neighborhood(children: np.ndarray, max_trees: int | None = None):
+    """Full deduplicated SPR neighborhood (Python mirror of
+    ``trex_spr_neighborhood``, ``native/trex_native.cpp:655-745``).
+
+    Same iteration order (prune-major, regraft-minor, ascending), the same
+    dedup-by-canonical-bytes with the identity excluded, and the same
+    200k-tree cap semantics — so native and fallback agree tree for tree.
+    """
+    children = np.asarray(children, dtype=np.int32)
+    kids, parent, n_leaves, n_all = _tree_maps(children)
+    cap = (n_all - 1) * (n_all - 1)
+    cap = min(cap, max_trees if max_trees is not None else 200_000)
+    seen = {children.tobytes()}
+    out_c: list[np.ndarray] = []
+    out_p: list[np.ndarray] = []
+    for prune in range(n_all - 1):
+        in_sub = set(_subtree_nodes(kids, prune))
+        p = parent[prune]
+        sibling = kids[p][1] if kids[p][0] == prune else kids[p][0]
+        for regraft in range(n_all - 1):
+            if regraft in in_sub or regraft in (sibling, p):
+                continue
+            res = _tbr_apply(
+                {k: list(v) for k, v in kids.items()}, dict(parent),
+                n_leaves, prune, prune, regraft,
+            )
+            if res is None:
+                continue
+            ch, par = res
+            key = ch.tobytes()
+            if key in seen:
+                continue
+            if len(out_c) >= cap:
+                return np.stack(out_c), np.stack(out_p)
+            seen.add(key)
+            out_c.append(ch)
+            out_p.append(par)
+    if not out_c:
+        return (
+            np.zeros((0, n_leaves - 1, 2), np.int32),
+            np.zeros((0, n_all), np.int32),
+        )
+    return np.stack(out_c), np.stack(out_p)
+
+
+def py_tbr_neighborhood(
+    children: np.ndarray, max_trees: int = 16384, seed: int = 0
+):
+    """Deduplicated TBR neighborhood sample (Python mirror of
+    ``trex_tbr_neighborhood``, ``native/trex_native.cpp:807-878``).
+
+    Same move set and validity rules; the prune/regraft iteration orders are
+    shuffled by ``seed`` so truncation yields an unbiased sample. The
+    shuffle streams differ from the native ``mt19937_64`` (numpy PCG64), so
+    a TRUNCATED fallback sample is a different — equally unbiased — subset;
+    untruncated neighborhoods are set-identical (parity-tested).
+    """
+    children = np.asarray(children, dtype=np.int32)
+    kids, parent, n_leaves, n_all = _tree_maps(children)
+    cap = min(max_trees, 200_000)
+    rng = np.random.default_rng(seed)
+    prune_order = rng.permutation(n_all - 1)
+    node_order = rng.permutation(n_all - 1)
+    seen = {children.tobytes()}
+    out_c: list[np.ndarray] = []
+    out_p: list[np.ndarray] = []
+    for prune in prune_order:
+        prune = int(prune)
+        sub_nodes = _subtree_nodes(kids, prune)
+        in_sub = set(sub_nodes)
+        p = parent[prune]
+        sibling = kids[p][1] if kids[p][0] == prune else kids[p][0]
+        for reroot in sub_nodes:
+            plain_spr = reroot == prune
+            for regraft in node_order:
+                regraft = int(regraft)
+                if regraft in in_sub or regraft == p:
+                    continue
+                if plain_spr and regraft == sibling:
+                    continue
+                res = _tbr_apply(
+                    {k: list(v) for k, v in kids.items()}, dict(parent),
+                    n_leaves, prune, reroot, regraft,
+                )
+                if res is None:
+                    continue
+                ch, par = res
+                key = ch.tobytes()
+                if key in seen:
+                    continue
+                if len(out_c) >= cap:
+                    return np.stack(out_c), np.stack(out_p)
+                seen.add(key)
+                out_c.append(ch)
+                out_p.append(par)
+    if not out_c:
+        return (
+            np.zeros((0, n_leaves - 1, 2), np.int32),
+            np.zeros((0, n_all), np.int32),
+        )
+    return np.stack(out_c), np.stack(out_p)
+
+
 def py_nni_neighbors(children: np.ndarray):
     children = np.asarray(children, dtype=np.int32)
     n_leaves = children.shape[0] + 1

@@ -186,9 +186,10 @@ def parsimony_hill_climb(
         ``SearchResult`` with the best topology found and the score trace.
     """
     from trex_tpu.io import (
-        native,
         nni_neighbors_host,
+        spr_move_host,
         spr_neighborhood_host,
+        tbr_move_host,
         tbr_neighborhood_host,
     )
     from trex_tpu.ops.dispatch import batched_scores_fastest
@@ -255,7 +256,7 @@ def parsimony_hill_climb(
         # so the device batch carries a broadcast placeholder — half the
         # transfer at O(n^2)-candidate neighborhoods).
         nbr_children, nbr_parents = neighbors_fn(current)
-        if random_kicks > 0 and native.available():
+        if random_kicks > 0:
             extra_c, extra_p = [], []
             children_np = np.asarray(current.children)
             while len(extra_c) < random_kicks:
@@ -264,9 +265,9 @@ def parsimony_hill_climb(
                 reroot = int(rng.integers(0, n_all))
                 # Alternate SPR and TBR kicks for diversification.
                 if len(extra_c) % 2 == 0:
-                    moved = native.spr_move(children_np, prune, regraft)
+                    moved = spr_move_host(children_np, prune, regraft)
                 else:
-                    moved = native.tbr_move(children_np, prune, reroot, regraft)
+                    moved = tbr_move_host(children_np, prune, reroot, regraft)
                 if moved is not None:
                     extra_c.append(moved[0])
                     extra_p.append(moved[1])

@@ -248,13 +248,8 @@ def ml_iterated_search(
     """
     import numpy as np
 
-    from trex_tpu.io import native
+    from trex_tpu.io import spr_move_host, tbr_move_host
     from trex_tpu.ops.likelihood_asr import optimize_branch_lengths_newton
-
-    if not native.available():
-        raise NotImplementedError(
-            "ml_iterated_search needs the native library for SPR/TBR kicks"
-        )
     if progress_dir is not None:
         import os
 
@@ -320,9 +315,9 @@ def ml_iterated_search(
             regraft = int(rng.integers(0, n_all - 1))
             reroot = int(rng.integers(0, n_all))
             if applied % 2 == 0:
-                moved = native.spr_move(children_np, prune, regraft)
+                moved = spr_move_host(children_np, prune, regraft)
             else:
-                moved = native.tbr_move(children_np, prune, reroot, regraft)
+                moved = tbr_move_host(children_np, prune, reroot, regraft)
             if moved is None:
                 continue
             children_np, parents_np = moved

@@ -66,7 +66,7 @@ def default_candidates(
     for; NNI covers every single-branch rearrangement, the TBR sample adds
     more distant credible trees cheaply.
     """
-    from trex_tpu.io import native, nni_neighbors_host
+    from trex_tpu.io import nni_neighbors_host, tbr_neighborhood_host
 
     children = [np.asarray(topology.children)[None]]
     parents = [np.asarray(topology.parents)[None]]
@@ -74,9 +74,9 @@ def default_candidates(
     if nc.shape[0]:
         children.append(nc)
         parents.append(npar)
-    if extra_tbr > 0 and native.available():
-        tc, tp = native.tbr_neighborhood(
-            np.asarray(topology.children), max_trees=extra_tbr, seed=seed
+    if extra_tbr > 0:
+        tc, tp = tbr_neighborhood_host(
+            topology, max_trees=extra_tbr, seed=seed
         )
         if tc.shape[0]:
             children.append(tc.copy())
