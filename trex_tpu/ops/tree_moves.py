@@ -86,6 +86,68 @@ def renumber_topological(
     return new_children, order
 
 
+def _nni_apply(
+    children: jax.Array,
+    lengths: jax.Array,
+    parents: jax.Array,
+    edge: jax.Array,
+    variant: jax.Array,
+    n_leaves: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Pointer-swap NNI + O(1)-depth renumber (precomputed ``parents``).
+
+    After the swap on an INDEX-ORDERED tree the only possible violation is
+    the edge (c, s) where c = n_leaves + edge and s is c's old sibling with
+    s > c: every other parent/child relation is unchanged. A cyclic shift of
+    the ancestor slots [c .. s] (c moves to s's slot, everything between
+    drops one) restores topological order:
+
+    - nodes u in (c, s] move to u-1 >= c; their children are either < c
+      (unchanged position < u-1), in (c, s) (also shifted down), or == c —
+      impossible, since c's only parent is p > s;
+    - c at slot s has children s (now at s-1) and b < c <= s-1;
+    - nodes > s (including p, since s < p always) keep their slots, and
+      their shifted children only move down.
+
+    No fixed-point loop, no sort — the construction is O(n) gathers with
+    constant sequential depth, which is what lets a whole Metropolis
+    neighborhood build run inside a generation ``lax.scan`` at microsecond
+    cost (a height-propagation loop here measured 89 ms/generation at 64
+    taxa x 8 chains on v5e — 4x the likelihood evaluation it feeds).
+    """
+    n_anc = children.shape[0]
+    m_node = n_leaves + edge
+    p_off = parents[m_node] - n_leaves
+    sib = jnp.where(
+        children[p_off, 0] == m_node, children[p_off, 1], children[p_off, 0]
+    )
+    a = children[edge, 0]
+    b = children[edge, 1]
+    grand = jnp.where(variant == 0, a, b)
+    kept = jnp.where(variant == 0, b, a)
+    swapped = children.at[p_off].set(jnp.stack([m_node, grand]))
+    swapped = swapped.at[edge].set(jnp.stack([sib, kept]))
+    # Cyclic-shift renumber over ancestor offsets [oc, os]; identity when
+    # the sibling is a leaf or already below c (os == oc).
+    oc = edge
+    os_ = jnp.where(sib - n_leaves > edge, sib - n_leaves, edge)
+    j = jnp.arange(n_anc, dtype=jnp.int32)
+    order = jnp.where(
+        j == os_, oc, jnp.where((j >= oc) & (j < os_), j + 1, j)
+    )
+    inv = jnp.where(
+        j == oc, os_, jnp.where((j > oc) & (j <= os_), j - 1, j)
+    )
+    node_map = jnp.concatenate(
+        [jnp.arange(n_leaves, dtype=jnp.int32), n_leaves + inv]
+    )
+    new_children = jnp.sort(node_map[swapped[order]], axis=-1)
+    new_lengths = jnp.concatenate(
+        [lengths[:n_leaves], lengths[n_leaves + order]]
+    )
+    return new_children, new_lengths
+
+
 @partial(jax.jit, static_argnames=("n_leaves",))
 def nni_neighbor_device(
     children: jax.Array,
@@ -99,29 +161,15 @@ def nni_neighbor_device(
     ``edge`` indexes the non-root ancestor M = n_leaves + edge (the lower
     node of the internal edge being rearranged); ``variant`` in {0, 1} picks
     which of M's children swaps places with M's sibling. Both may be traced
-    values — the whole construction is gather/scatter + the renumber sort.
+    values — the whole construction is gathers/scatters of constant
+    sequential depth (see ``_nni_apply``).
 
     Matches the host enumerator's move set exactly
     (``io/fallback.py:py_nni_neighbors``): the 2*(n_leaves - 2) pairs
     (edge, variant) produce the same multiset of topologies.
     """
     parents = parents_from_children(children, n_leaves)
-    m_node = n_leaves + edge
-    p_off = parents[m_node] - n_leaves
-    sib = jnp.where(
-        children[p_off, 0] == m_node, children[p_off, 1], children[p_off, 0]
-    )
-    a = children[edge, 0]
-    b = children[edge, 1]
-    grand = jnp.where(variant == 0, a, b)
-    kept = jnp.where(variant == 0, b, a)
-    swapped = children.at[p_off].set(jnp.stack([m_node, grand]))
-    swapped = swapped.at[edge].set(jnp.stack([sib, kept]))
-    new_children, order = renumber_topological(swapped, n_leaves)
-    new_lengths = jnp.concatenate(
-        [lengths[:n_leaves], lengths[n_leaves + order]]
-    )
-    return new_children, new_lengths
+    return _nni_apply(children, lengths, parents, edge, variant, n_leaves)
 
 
 @partial(jax.jit, static_argnames=("n_leaves",))
@@ -132,11 +180,13 @@ def nni_neighborhood_device(
 
     Returns ``(children (K, n_anc, 2), lengths (K, n_all))`` with K =
     2*(n_leaves - 2); neighbor 2*e + v is ``nni_neighbor_device(..., e, v)``.
-    vmap over a chain batch for the MCMC's informed proposal.
+    The parent array is computed once and shared across the whole
+    neighborhood. vmap over a chain batch for the MCMC's informed proposal.
     """
     n_anc = children.shape[0]
+    parents = parents_from_children(children, n_leaves)
     edges = jnp.repeat(jnp.arange(n_anc - 1, dtype=jnp.int32), 2)
     variants = jnp.tile(jnp.arange(2, dtype=jnp.int32), n_anc - 1)
     return jax.vmap(
-        lambda e, v: nni_neighbor_device(children, lengths, e, v, n_leaves)
+        lambda e, v: _nni_apply(children, lengths, parents, e, v, n_leaves)
     )(edges, variants)
