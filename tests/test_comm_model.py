@@ -1,0 +1,74 @@
+"""Collective-volume model vs actual shard layouts on a virtual mesh."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from trex_tpu.parallel.comm_model import (
+    Collective,
+    batch_scoring_collectives,
+    best_tree_collectives,
+    joint_step_collectives,
+    predicted_efficiency,
+    shard_sizes,
+)
+from trex_tpu.parallel.mesh import SITE_AXIS, TREE_AXIS, make_mesh
+from trex_tpu.topology import random_topologies
+
+
+def test_shard_sizes_match_device_layout():
+    devices = jax.devices()[:8]
+    for tree_par in (1, 2, 4, 8):
+        mesh = make_mesh(devices, tree_parallelism=tree_par)
+        n_tree, n_site = mesh.shape[TREE_AXIS], mesh.shape[SITE_AXIS]
+        batch, n_leaves, length = 2 * n_tree, 8, 16 * max(n_site, 1)
+        topos = random_topologies(jax.random.PRNGKey(0), n_leaves, batch)
+        leaf = jnp.zeros((n_leaves, length), jnp.int32)
+        want = shard_sizes(
+            {TREE_AXIS: n_tree, SITE_AXIS: n_site}, batch, n_leaves, length
+        )
+        children = jax.device_put(
+            topos.children, NamedSharding(mesh, P(TREE_AXIS))
+        )
+        leaf_s = jax.device_put(leaf, NamedSharding(mesh, P(None, SITE_AXIS)))
+        assert children.addressable_shards[0].data.shape == want["children"]
+        assert leaf_s.addressable_shards[0].data.shape == want["leaf_sequences"]
+
+
+def test_ring_wire_volumes():
+    # All-reduce over k devices ships 2(k-1)/k of the payload per device.
+    c = Collective("psum", "site", 4, 1024)
+    assert c.wire_bytes_per_device == 2 * 3 * 1024 // 4
+    g = Collective("all_gather", "tree", 8, 8 * 4)
+    assert g.wire_bytes_per_device == 7 * 8 * 4 // 8
+    assert Collective("psum", "site", 1, 1 << 20).wire_bytes_per_device == 0
+
+
+def test_collective_sets_match_sharded_programs():
+    mesh_shape = {"tree": 2, "site": 4}
+    score = batch_scoring_collectives(mesh_shape, batch=64)
+    assert len(score) == 1 and score[0].op == "psum"
+    assert score[0].payload_bytes == (64 // 2) * 4
+
+    best = best_tree_collectives(mesh_shape, batch=64)
+    assert [c.op for c in best] == ["psum", "all_gather", "all_gather"]
+
+    joint = joint_step_collectives(
+        mesh_shape, n_restarts=4, n_all=7, n_anc=3
+    )
+    # Loss psum + replicated topology-grad psum.
+    assert [c.payload_bytes for c in joint] == [16, 4 * 6 * 3 * 4]
+
+
+def test_efficiency_model_limits():
+    cs = batch_scoring_collectives({"tree": 1, "site": 8}, batch=1024)
+    # Infinite bandwidth -> perfect efficiency; tiny bandwidth -> ~0.
+    assert predicted_efficiency(cs, 1e-3, 1e18) > 0.999
+    assert predicted_efficiency(cs, 1e-6, 1e3) < 0.01
+    # Monotone in bandwidth.
+    e1 = predicted_efficiency(cs, 1e-3, 1e9)
+    e2 = predicted_efficiency(cs, 1e-3, 1e10)
+    assert e2 > e1

@@ -167,6 +167,13 @@ def _build_eval(
     The lax path auto-chunks via ``lax.map(batch_size=...)`` when the full
     partials buffer (B * n_all * Q * L f32) would exceed ~2 GB, or at
     ``eval_chunk`` rows when that is given.
+
+    Also returns ``nbr_lnl(children (C, n_anc, 2), lengths (C, n_all)
+    [, rates_v, freqs_v]) -> (C, K)``: EXACT log-likelihoods of every NNI
+    neighbor of every chain via the analytic rescoring scan
+    (``ops.nni_scan`` — one up/down pass instead of 2(n-2) prunings, the
+    informed proposal's hot path), or None under +Gamma (mixture rescoring
+    not implemented; the caller falls back to direct neighbor evaluation).
     """
     from trex_tpu.ops.likelihood import (
         _per_site_log_likelihood,
@@ -175,6 +182,7 @@ def _build_eval(
         gtr_transition,
         per_site_log_likelihood,
     )
+    from trex_tpu.ops.nni_scan import nni_neighborhood_lnl
 
     q = n_states
     length = int(leaf_sequences.shape[-1])
@@ -262,7 +270,22 @@ def _build_eval(
             def batched_eval(children, lengths, rates_v, freqs_v):
                 return chunked(lnl_one, (children, lengths, rates_v, freqs_v))
 
-        return batched_eval
+        nbr_lnl = None
+        if gamma_shape is None:
+            def nbr_one(children_row, lengths_row, rv, fr):
+                return nni_neighborhood_lnl(
+                    children_row, lengths_row, leaf_sequences, q,
+                    transition_matrices=pmats_of(lengths_row, rv, fr),
+                    root_prior=fr, site_weights=site_weights,
+                    sequences_are_masks=sequences_are_masks,
+                )
+
+            nbr_vm = jax.vmap(nbr_one)
+
+            def nbr_lnl(children, lengths, rates_v, freqs_v):
+                return nbr_vm(children, lengths, rates_v, freqs_v)
+
+        return batched_eval, nbr_lnl
 
     if rates is not None or freqs is not None:
         eig_freqs = jnp.full((q,), 1.0 / q) if freqs is None else freqs
@@ -320,7 +343,33 @@ def _build_eval(
     def batched_eval(children, lengths, rates_v=None, freqs_v=None):
         return batched_eval_fixed(children, lengths)
 
-    return batched_eval
+    nbr_lnl = None
+    if gamma_shape is None:
+        if eigvals is not None:
+            def nbr_one(children_row, lengths_row):
+                pm = jax.vmap(
+                    lambda t: gtr_transition(t, eigvals, left, right)
+                )(lengths_row)
+                return nni_neighborhood_lnl(
+                    children_row, lengths_row, leaf_sequences, q,
+                    transition_matrices=pm, root_prior=eig_freqs,
+                    site_weights=site_weights,
+                    sequences_are_masks=sequences_are_masks,
+                )
+        else:
+            def nbr_one(children_row, lengths_row):
+                return nni_neighborhood_lnl(
+                    children_row, lengths_row, leaf_sequences, q,
+                    site_weights=site_weights,
+                    sequences_are_masks=sequences_are_masks,
+                )
+
+        nbr_vm = jax.vmap(nbr_one)
+
+        def nbr_lnl(children, lengths, rates_v=None, freqs_v=None):
+            return nbr_vm(children, lengths)
+
+    return batched_eval, nbr_lnl
 
 
 def carry_lengths_nni(
@@ -614,11 +663,17 @@ def mcmc_sample(
         leaf_sequences = jnp.zeros((n_leaves, 1), dtype=jnp.int32)
         site_weights = jnp.zeros((1,), dtype=jnp.float32)
 
-    batched_eval = _build_eval(
+    # force_lax: every evaluation inside the generation scan is now a
+    # small batch (C chains for branch/model moves and picked candidates;
+    # the neighborhoods ride the analytic rescoring scan) — and the fused
+    # Pallas kernel measured ~5x SLOWER than the lax pruning at B=8 inside
+    # a lax.scan on v5e (launch overhead dominates; see
+    # benchmarks/mcmc_bench.py history).
+    batched_eval, nbr_lnl = _build_eval(
         jnp.asarray(leaf_sequences), n_states, n_all,
         None if site_weights is None else jnp.asarray(site_weights),
         sequences_are_masks, rates, freqs,
-        gamma_shape, n_categories, force_lax=prior_only,
+        gamma_shape, n_categories, force_lax=True,
         sample_model=sample_model, eval_chunk=eval_chunk,
     )
 
@@ -739,35 +794,49 @@ def mcmc_sample(
             acc = acc.at[3].add(take.sum())
 
         if do_topo:
-            nbr_fn = jax.vmap(
-                lambda c, l: nni_neighborhood_device(c, l, n_leaves)
-            )
             if topo_proposal == "informed":
                 # Forward: draw y ~ exp(beta/2 lnl) over N(x) (the branch
                 # prior is invariant under the carry, so it cancels); the
                 # Hastings factor is the ratio of neighborhood normalizers.
-                rep_r = jnp.repeat(rates_v, n_nbr, axis=0)
-                rep_f = jnp.repeat(freqs_v, n_nbr, axis=0)
-                nbr_c, nbr_l = nbr_fn(children, lengths)
-                lnl_x_nbr = ev(
-                    nbr_c.reshape(-1, n_anc, 2), nbr_l.reshape(-1, n_all),
-                    rep_r, rep_f,
-                ).reshape(n_total, n_nbr)
+                # Neighbor lnLs come from the analytic rescoring scan when
+                # available (one up/down pass per chain instead of 2(n-2)
+                # prunings), and only the PICKED neighbor is constructed.
+                if nbr_lnl is not None:
+                    lnl_x_nbr = nbr_lnl(children, lengths, rates_v, freqs_v)
+                else:
+                    nbr_fn = jax.vmap(
+                        lambda c, l: nni_neighborhood_device(c, l, n_leaves)
+                    )
+                    rep_r = jnp.repeat(rates_v, n_nbr, axis=0)
+                    rep_f = jnp.repeat(freqs_v, n_nbr, axis=0)
+                    nbr_c, nbr_l = nbr_fn(children, lengths)
+                    lnl_x_nbr = ev(
+                        nbr_c.reshape(-1, n_anc, 2),
+                        nbr_l.reshape(-1, n_all),
+                        rep_r, rep_f,
+                    ).reshape(n_total, n_nbr)
                 logw_x = 0.5 * beta[:, None] * lnl_x_nbr
                 z_x = jax.nn.logsumexp(logw_x, axis=1)
                 k, k_pick, k_acc = jax.random.split(k, 3)
                 pick = jax.random.categorical(k_pick, logw_x, axis=1)
-                prop_c = nbr_c[rows, pick]
-                prop_l = nbr_l[rows, pick]
                 prop_lnl = lnl_x_nbr[rows, pick]
+                prop_c, prop_l = jax.vmap(
+                    lambda c, l, e, v: nni_neighbor_device(
+                        c, l, e, v, n_leaves
+                    )
+                )(children, lengths, pick // 2, pick % 2)
                 # Reverse normalizer over N(y): x is in it by NNI symmetry
                 # with exactly the current lengths (pointer-swap carry is
                 # involutive), and lnL is renumbering-invariant.
-                nbr_c2, nbr_l2 = nbr_fn(prop_c, prop_l)
-                lnl_y_nbr = ev(
-                    nbr_c2.reshape(-1, n_anc, 2), nbr_l2.reshape(-1, n_all),
-                    rep_r, rep_f,
-                ).reshape(n_total, n_nbr)
+                if nbr_lnl is not None:
+                    lnl_y_nbr = nbr_lnl(prop_c, prop_l, rates_v, freqs_v)
+                else:
+                    nbr_c2, nbr_l2 = nbr_fn(prop_c, prop_l)
+                    lnl_y_nbr = ev(
+                        nbr_c2.reshape(-1, n_anc, 2),
+                        nbr_l2.reshape(-1, n_all),
+                        rep_r, rep_f,
+                    ).reshape(n_total, n_nbr)
                 z_y = jax.nn.logsumexp(
                     0.5 * beta[:, None] * lnl_y_nbr, axis=1
                 )
