@@ -29,3 +29,57 @@ os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# ---------------------------------------------------------------------------
+# Smoke tier: `pytest -m smoke` runs a <5 min representative slice that still
+# touches every test module. Selection is automatic from the checked-in
+# durations table (tests/durations.json, regenerated from a full
+# `--durations=0` run): per module, the fastest tests are marked smoke until
+# the module's budget is spent, so every module keeps at least one
+# representative. Tests absent from the table (new tests) are smoke by
+# default until the table is re-baselined.
+# ---------------------------------------------------------------------------
+import json  # noqa: E402
+
+_SMOKE_BUDGET_PER_MODULE = 6.0  # seconds of recorded call time per module
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "smoke: fast representative slice (auto-selected)"
+    )
+
+
+def _load_durations():
+    path = os.path.join(os.path.dirname(__file__), "durations.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    durations = _load_durations()
+    by_module: dict = {}
+    for item in items:
+        by_module.setdefault(item.fspath.basename, []).append(item)
+    for module_items in by_module.values():
+        known = [
+            (durations[i.nodeid], i) for i in module_items if i.nodeid in durations
+        ]
+        unknown = [i for i in module_items if i.nodeid not in durations]
+        smoke = set(unknown)
+        known.sort(key=lambda pair: pair[0])
+        spent = 0.0
+        for dur, item in known:
+            if spent + dur > _SMOKE_BUDGET_PER_MODULE and smoke:
+                break
+            smoke.add(item)
+            spent += dur
+        if not smoke and known:  # every test slow: keep the fastest one
+            smoke.add(known[0][1])
+        for item in smoke:
+            item.add_marker(pytest.mark.smoke)

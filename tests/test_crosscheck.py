@@ -9,6 +9,7 @@ variants, and the 8-device sharded path must all return the same scores.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from trex_tpu.alignment import compress_alignment
 from trex_tpu.ops.fitch import batched_fitch_score
@@ -26,10 +27,12 @@ from trex_tpu.topology import random_topologies
 from trex_tpu.types import CostModel
 
 
-def test_all_paths_agree():
-    rng = np.random.default_rng(0)
+@pytest.mark.parametrize("trial", range(4))
+def test_all_paths_agree(trial):
+    # Per-trial rng so trials are independent tests (smoke tier picks one).
+    rng = np.random.default_rng(trial)
     mesh = make_mesh(jax.devices(), tree_parallelism=2)
-    for trial in range(4):
+    if True:
         n_leaves = int(rng.choice([8, 16]))
         q = int(rng.choice([2, 4, 8]))
         length = int(rng.choice([64, 96, 128]))

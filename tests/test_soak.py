@@ -7,6 +7,7 @@ trials); guards the cross-path invariants against future regressions.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from trex_tpu.alignment import compress_alignment
 from trex_tpu.ops.costs import exact_cost
@@ -22,9 +23,11 @@ from trex_tpu.topology import random_topologies, topology_to_adjacency
 from trex_tpu.types import CostModel
 
 
-def test_randomized_soak():
-    rng = np.random.default_rng(999)
-    for trial in range(12):
+@pytest.mark.parametrize("trial", range(12))
+def test_randomized_soak(trial):
+    # Per-trial rng so trials are independent tests (smoke tier picks one).
+    rng = np.random.default_rng(999 + trial)
+    if True:
         n_leaves = int(rng.choice([4, 8, 12, 24]))
         q = int(rng.choice([2, 4, 20]))
         length = int(rng.integers(3, 150))

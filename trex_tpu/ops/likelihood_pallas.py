@@ -132,11 +132,129 @@ def _likelihood_kernel(
         )
 
 
+def _likelihood_kernel_slots(
+    slots_ref,  # SMEM (T, 1, n_all) int32 — node -> storage slot
+    prior_ref,  # SMEM (1, Q_pad) f32 — root prior (0 at padded states)
+    seq_ref,  # VMEM (n_leaves, L_BLK) int32
+    pmats_ref,  # VMEM — shared: (1, Q_pad, Q_pad); else (T, n_all*Q_pad, Q_pad)
+    #             f32 per-node P reordered so slot s holds P of the node
+    #             stored at s (the child P the parent's message needs)
+    weight_ref,  # VMEM (1, 8, L_BLK) f32 — row 0 = per-site weights
+    out_ref,  # VMEM (1, 1, T, 8, 128) f32; per-block log-lik sums at [...,t,0,0]
+    part_ref,  # VMEM scratch (T * n_all * Q_pad, L_BLK) f32 — slot-indexed
+    *,
+    n_leaves: int,
+    n_states: int,
+    q_pad: int,
+    trees: int,
+    masks: bool,
+    shared_pmats: bool,
+):
+    """Pruning recursion, parent-slot layout + power-of-two rescaling.
+
+    Two measured bottlenecks of ``_likelihood_kernel`` removed:
+
+    - per ancestor it issued 2 scattered dynamic-slice reads + 2 SMEM child
+      indices + (non-shared) 2 scattered P reads; the parent-slot layout
+      (``sankoff_pallas._parent_slot_layout``) makes both the partials pair
+      and the P pair ONE contiguous read at an address linear in ``a``, plus
+      a single SMEM scalar for the write slot;
+    - the per-ancestor max-rescale cost a lane DIVIDE of the (Q_pad, L)
+      tile and a transcendental ``log`` of the scale. Rescaling by the
+      power of two 2^(e-127) (e = the max's biased exponent field) keeps
+      partials in [2^-1, 2) at a cost of two bitcasts + shift + integer
+      add, the divide becomes a multiply by the exact inverse (both powers
+      of two: no rounding), and the log-scale accumulator collapses to an
+      int32 exponent sum carried in registers — one ``ln 2 *`` fixup at the
+      end. Stochastic-matrix rows keep messages <= max(d) < 2, so combined
+      < 4 and the biased exponent never overflows its field.
+    """
+    n_all = 2 * n_leaves - 1
+    n_anc = n_leaves - 1
+    l_blk = seq_ref.shape[-1]
+    stride = n_all * q_pad
+
+    state_iota = jax.lax.broadcasted_iota(jnp.int32, (q_pad, l_blk), 0)
+
+    for i in range(n_leaves):
+        observed = seq_ref[pl.ds(i, 1), :]
+        if masks:
+            onehot = jnp.where((observed >> state_iota) & 1 == 1, 1.0, 0.0)
+        else:
+            onehot = jnp.where(
+                (state_iota == observed)
+                | ((observed < 0) & (state_iota < n_states)),
+                1.0,
+                0.0,
+            )
+        for t in range(trees):
+            s = slots_ref[t, 0, i]
+            part_ref[pl.ds(t * stride + s * q_pad, q_pad), :] = onehot
+
+    if shared_pmats:
+        p_shared = pmats_ref[0, :, :]
+        shared_cols = [p_shared[:, j : j + 1] for j in range(n_states)]
+
+    def msg(d, cols):
+        acc = cols[0] * d[0:1, :]
+        for j in range(1, n_states):
+            acc = acc + cols[j] * d[j : j + 1, :]
+        return acc
+
+    def visit(a, exp_sums):
+        new_sums = []
+        for t in range(trees):
+            base = t * stride
+            d12 = part_ref[pl.ds(base + 2 * a * q_pad, 2 * q_pad), :]
+            if shared_pmats:
+                cols1 = cols2 = shared_cols
+            else:
+                p12 = pmats_ref[t, pl.ds(2 * a * q_pad, 2 * q_pad), :]
+                cols1 = [p12[:q_pad, j : j + 1] for j in range(n_states)]
+                cols2 = [p12[q_pad:, j : j + 1] for j in range(n_states)]
+            combined = msg(d12[:q_pad], cols1) * msg(d12[q_pad:], cols2)
+            m = jnp.max(combined, axis=0, keepdims=True)  # (1, L)
+            e = jax.lax.shift_right_logical(
+                jax.lax.bitcast_convert_type(m, jnp.int32), 23
+            )  # biased exponent; m >= 0 so no sign bit
+            inv = jax.lax.bitcast_convert_type(
+                jax.lax.shift_left(254 - e, 23), jnp.float32
+            )  # exact 2^(127 - (e - 127)); 0 stays 0 harmlessly
+            w = slots_ref[t, 0, n_leaves + a]
+            part_ref[pl.ds(base + w * q_pad, q_pad), :] = combined * inv
+            new_sums.append(exp_sums[t] + (e - 127))
+        return tuple(new_sums)
+
+    exp_sums = jax.lax.fori_loop(
+        0,
+        n_anc,
+        visit,
+        tuple(jnp.zeros((1, l_blk), jnp.int32) for _ in range(trees)),
+    )
+
+    ln2 = jnp.float32(0.6931471805599453)
+    weights_row = weight_ref[0][0:1, :]  # (1, L_BLK); 0 at padded sites
+    for t in range(trees):
+        root = part_ref[
+            pl.ds(t * stride + 2 * n_anc * q_pad, q_pad), :
+        ]
+        site_lik = prior_ref[0, 0] * root[0:1, :]
+        for i in range(1, n_states):
+            site_lik = site_lik + prior_ref[0, i] * root[i : i + 1, :]
+        per_site = (
+            jnp.log(jnp.maximum(site_lik, 1e-30))
+            + exp_sums[t].astype(jnp.float32) * ln2
+        )
+        out_ref[0, 0, t, :, :] = jnp.full(
+            (8, 128), jnp.sum(per_site * weights_row), dtype=jnp.float32
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_states", "site_block", "interpret", "trees_per_block",
-        "sequences_are_masks",
+        "sequences_are_masks", "layout",
     ),
 )
 def batched_log_likelihood_pallas(
@@ -153,6 +271,7 @@ def batched_log_likelihood_pallas(
     interpret: bool = False,
     trees_per_block: int = 1,
     sequences_are_masks: bool = False,
+    layout: str = "slots",
 ) -> jax.Array:
     """(B,) log-likelihoods of a candidate batch via the fused kernel.
 
@@ -171,6 +290,16 @@ def batched_log_likelihood_pallas(
             (compressed site patterns / bootstrap); padded sites weigh 0.
         sequences_are_masks: leaves are int32 state-set bitmasks (IUPAC
             ambiguity / gaps); tip partials are 1 at every allowed state.
+        layout: "slots" (default) stores each node's partials where its
+            parent reads them — one contiguous pair read per ancestor and
+            power-of-two exponent rescaling (``_likelihood_kernel_slots``).
+            Chosen as default for NUMERICS: one final ``log`` instead of
+            n_anc approximate TPU logs makes it ~13x closer to an f64
+            oracle (max err 0.058 vs 0.77 lnL at 64 taxa x 1024 sites,
+            B=64) — ranking-relevant. Speed (interleaved A/B, B=1024,
+            T=2): shared-P 126k trees/s vs 117k for "nodes"; per-branch
+            90k vs 98k. "nodes" is the original node-indexed kernel, kept
+            as the A/B and regression baseline.
     """
     batch = topologies.children.shape[0]
     n_anc = topologies.children.shape[-2]
@@ -211,21 +340,6 @@ def batched_log_likelihood_pallas(
     )
 
     shared = shared_transition is not None
-    if shared:
-        # Single (Q, Q) matrix for every branch: one padded block total.
-        pmats = jnp.zeros((1, q_pad, q_pad), jnp.float32)
-        pmats = pmats.at[0, :q, :q].set(shared_transition.astype(jnp.float32))
-    else:
-        if transition_matrices is None:
-            transition_matrices = jax.vmap(
-                jax.vmap(lambda t: jc69_transition(t, q))
-            )(branch_lengths)  # (B, n_all, Q, Q)
-        # Pad states; padded rows stay 0 so padded parent states give 0.
-        pmats = jnp.zeros((batch, n_all, q_pad, q_pad), jnp.float32)
-        pmats = pmats.at[:, :, :q, :q].set(
-            transition_matrices.astype(jnp.float32)
-        )
-        pmats = pmats.reshape(batch, n_all * q_pad, q_pad)
 
     if root_prior is None:
         root_prior = jnp.full((q,), 1.0 / q)
@@ -240,11 +354,108 @@ def batched_log_likelihood_pallas(
         children = jnp.concatenate(
             [children, jnp.broadcast_to(children[-1:], (reps, n_anc, 2))]
         )
+
+    def _pad_batch(x):
+        if padded_batch == batch:
+            return x
+        reps = padded_batch - batch
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (reps,) + x.shape[1:])]
+        )
+
+    node_of_slot = None
+    if layout == "slots":
+        from trex_tpu.ops.sankoff_pallas import _parent_slot_layout
+
+        slots3 = _parent_slot_layout(children)  # (padded_B, n_all)
+        slots = slots3[:, None, :]  # (B, 1, n_all)
         if not shared:
-            pmats = jnp.concatenate(
-                [pmats, jnp.broadcast_to(pmats[-1:], (reps,) + pmats.shape[1:])]
+            # Inverse permutation (slot -> node) so per-node data can be
+            # GATHERED into the slot order the kernel reads. Scattering the
+            # (B, n_all, Q, Q) P tensor instead measured 2.5x slower
+            # end-to-end at B=1024 (XLA scatters serialize).
+            rows = jnp.arange(padded_batch)[:, None]
+            node_of_slot = (
+                jnp.zeros((padded_batch, n_all), jnp.int32)
+                .at[rows, slots3]
+                .set(
+                    jnp.broadcast_to(
+                        jnp.arange(n_all, dtype=jnp.int32),
+                        (padded_batch, n_all),
+                    )
+                )
             )
 
+    if shared:
+        # Single (Q, Q) matrix for every branch: one padded block total.
+        pmats = jnp.zeros((1, q_pad, q_pad), jnp.float32)
+        pmats = pmats.at[0, :q, :q].set(shared_transition.astype(jnp.float32))
+    else:
+        if transition_matrices is None:
+            # Per-branch JC69: permute the (B, n_all) LENGTHS into slot
+            # order first (tiny gather), then build P directly in the order
+            # the kernel reads — the big P tensor is never reordered.
+            bl = _pad_batch(branch_lengths)
+            if node_of_slot is not None:
+                bl = jnp.take_along_axis(bl, node_of_slot, axis=1)
+            tm = jax.vmap(jax.vmap(lambda t: jc69_transition(t, q)))(bl)
+        else:
+            tm = _pad_batch(transition_matrices)
+            if node_of_slot is not None:
+                tm = tm[jnp.arange(padded_batch)[:, None], node_of_slot]
+        # Pad states; padded rows stay 0 so padded parent states give 0.
+        pmats = jnp.zeros((padded_batch, n_all, q_pad, q_pad), jnp.float32)
+        pmats = pmats.at[:, :, :q, :q].set(tm.astype(jnp.float32))
+        pmats = pmats.reshape(padded_batch, n_all * q_pad, q_pad)
+
+    if layout == "slots":
+        kernel = functools.partial(
+            _likelihood_kernel_slots,
+            n_leaves=n_leaves,
+            n_states=q,
+            q_pad=q_pad,
+            trees=trees,
+            masks=sequences_are_masks,
+            shared_pmats=shared,
+        )
+        block_ll = pl.pallas_call(
+            kernel,
+            grid=(padded_batch // trees, n_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (trees, 1, n_all), lambda b, l: (b, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, q_pad), lambda b, l: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec((n_leaves, site_block), lambda b, l: (0, l)),
+                (
+                    pl.BlockSpec((1, q_pad, q_pad), lambda b, l: (0, 0, 0))
+                    if shared
+                    else pl.BlockSpec(
+                        (trees, n_all * q_pad, q_pad), lambda b, l: (b, 0, 0)
+                    )
+                ),
+                pl.BlockSpec((1, 8, site_block), lambda b, l: (l, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, trees, 8, 128), lambda b, l: (b, l, 0, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (padded_batch // trees, n_blocks, trees, 8, 128), jnp.float32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (trees * n_all * q_pad, site_block), jnp.float32
+                ),
+            ],
+            interpret=interpret,
+        )(slots, prior, seqs, pmats, weights_tiled)
+        scores = jnp.sum(block_ll[:, :, :, 0, 0], axis=1)  # (B//T, T)
+        return scores.reshape(padded_batch)[:batch]
+    if layout != "nodes":
+        raise ValueError(f"layout must be 'nodes' or 'slots', got {layout!r}")
     kernel = functools.partial(
         _likelihood_kernel,
         n_leaves=n_leaves,

@@ -180,6 +180,156 @@ def _fitch_kernel_multi(
         out_ref[0, 0, t, :, :] = jnp.full((8, 128), total, dtype=jnp.float32)
 
 
+def _fitch_kernel_multi_carry(
+    pairs_ref,  # SMEM (T, 1, n_anc) int32 — c1 | (c2 << 16) packed children
+    leaf_ref,  # VMEM (1, n_leaves * P, 128) int32 — packed leaf bitmasks
+    weight_ref,  # VMEM (1, P, 128) f32 — per-site weights (packed like leaves)
+    out_ref,  # VMEM (1, 1, T, 8, 128) f32; per-tree counts at [...,t,0,0]
+    sets_ref,  # VMEM scratch (T * n_all * P, 128) int32
+    *,
+    n_leaves: int,
+    pack: int,
+    trees: int,
+):
+    """Node-indexed Fitch with reduced per-ancestor scalar work.
+
+    Two deltas vs ``_fitch_kernel_multi``, both aimed at the scalar unit
+    (the measured bottleneck — the VPU lane work per ancestor is ~6 ops on
+    resident tiles, but each step also issues SMEM index loads + dynamic
+    address arithmetic that serialize on the scalar core):
+
+    - both child indices ship in ONE packed SMEM word (``c1 | c2 << 16``),
+      halving SMEM loads per tree-step (shift+mask are scalar-ALU cheap);
+    - per-site event counters ride the ``fori_loop`` carry (vector
+      registers) instead of a VMEM read-modify-write, dropping one dynamic
+      VMEM read + one write per tree-step. Counters are int32; site weights
+      (compressed patterns / bootstrap) apply once at the end, which is
+      exact because every event adds the same per-site weight.
+    """
+    n_all = 2 * n_leaves - 1
+    n_anc = n_leaves - 1
+    stride = n_all * pack
+
+    leaf_block = leaf_ref[0]
+    for t in range(trees):
+        sets_ref[pl.ds(t * stride, n_leaves * pack), :] = leaf_block
+
+    def visit(a, counts):
+        new_counts = []
+        for t in range(trees):
+            packed = pairs_ref[t, 0, a]
+            c1 = packed & 0xFFFF
+            c2 = packed >> 16
+            base = t * stride
+            d1 = sets_ref[pl.ds(base + c1 * pack, pack), :]
+            d2 = sets_ref[pl.ds(base + c2 * pack, pack), :]
+            inter = d1 & d2
+            empty = inter == 0
+            sets_ref[pl.ds(base + (n_leaves + a) * pack, pack), :] = jnp.where(
+                empty, d1 | d2, inter
+            )
+            new_counts.append(counts[t] + empty.astype(jnp.int32))
+        return tuple(new_counts)
+
+    counts = jax.lax.fori_loop(
+        0,
+        n_anc,
+        visit,
+        tuple(jnp.zeros((pack, 128), jnp.int32) for _ in range(trees)),
+    )
+    weights = weight_ref[0]  # (P, 128); 0 at padded sites
+    for t in range(trees):
+        total = jnp.sum(counts[t].astype(jnp.float32) * weights)
+        out_ref[0, 0, t, :, :] = jnp.full((8, 128), total, dtype=jnp.float32)
+
+
+def _parent_slot_layout(children: jax.Array) -> jax.Array:
+    """Per-tree node -> storage-slot map for the paired-read kernel layout.
+
+    Slot assignment: the two children of ancestor ``a`` land in slots
+    ``2a`` and ``2a + 1``, so the ancestor loop reads ONE contiguous
+    ``(2 * pack, 128)`` slice at a linear address instead of two dynamic
+    slices at scattered child addresses (+ their two SMEM index loads) —
+    the per-ancestor scalar/address work is the measured bottleneck of the
+    dependent DP chain, not the VPU lane arithmetic. Every non-root node
+    has exactly one parent, so the map is a bijection; the root (never
+    read) parks in the last slot ``2 * n_anc``.
+
+    Args:
+        children: (B, n_anc, 2) int32 child indices.
+
+    Returns:
+        (B, n_all) int32 slot of each node.
+    """
+    batch, n_anc, _ = children.shape
+    n_all = 2 * n_anc + 1
+    rows = jnp.arange(batch)[:, None]
+    pair_base = 2 * jnp.arange(n_anc, dtype=jnp.int32)[None, :]
+    slots = jnp.zeros((batch, n_all), jnp.int32)
+    slots = slots.at[rows, children[:, :, 0]].set(pair_base)
+    slots = slots.at[rows, children[:, :, 1]].set(pair_base + 1)
+    return slots.at[:, n_all - 1].set(2 * n_anc)
+
+
+def _fitch_kernel_slots(
+    slots_ref,  # SMEM (T, 1, n_all) int32 — node -> storage slot
+    leaf_ref,  # VMEM (1, n_leaves * P, 128) int32 — packed leaf bitmasks
+    weight_ref,  # VMEM (1, P, 128) f32 — per-site weights (packed like leaves)
+    out_ref,  # VMEM (1, 1, T, 8, 128) f32; per-tree counts at [...,t,0,0]
+    sets_ref,  # VMEM scratch (T * n_all * P, 128) int32 — slot-indexed
+    *,
+    n_leaves: int,
+    pack: int,
+    trees: int,
+):
+    """Fitch recursion over the parent-slot storage layout.
+
+    vs ``_fitch_kernel_multi``, per ancestor per tree: one contiguous
+    (2*pack, 128) read at a linear-in-``a`` address + ONE SMEM scalar (the
+    write slot) replaces two scattered dynamic-slice reads + two SMEM child
+    indices, and the per-site event counters ride the ``fori_loop`` carry in
+    vector registers instead of a VMEM read-modify-write. Counters are
+    int32 (events <= n_anc < 2^31); site weights apply once at the end.
+    """
+    n_all = 2 * n_leaves - 1
+    n_anc = n_leaves - 1
+    stride = n_all * pack
+
+    for t in range(trees):
+        base = t * stride
+        for i in range(n_leaves):
+            s = slots_ref[t, 0, i]
+            sets_ref[pl.ds(base + s * pack, pack), :] = leaf_ref[
+                0, pl.ds(i * pack, pack), :
+            ]
+
+    def visit(a, counts):
+        new_counts = []
+        for t in range(trees):
+            base = t * stride
+            d12 = sets_ref[pl.ds(base + 2 * a * pack, 2 * pack), :]
+            d1 = d12[:pack]
+            d2 = d12[pack:]
+            inter = d1 & d2
+            empty = inter == 0
+            merged = jnp.where(empty, d1 | d2, inter)
+            w = slots_ref[t, 0, n_leaves + a]
+            sets_ref[pl.ds(base + w * pack, pack), :] = merged
+            new_counts.append(counts[t] + empty.astype(jnp.int32))
+        return tuple(new_counts)
+
+    counts = jax.lax.fori_loop(
+        0,
+        n_anc,
+        visit,
+        tuple(jnp.zeros((pack, 128), jnp.int32) for _ in range(trees)),
+    )
+    weights = weight_ref[0]  # (P, 128); 0 at padded sites
+    for t in range(trees):
+        total = jnp.sum(counts[t].astype(jnp.float32) * weights)
+        out_ref[0, 0, t, :, :] = jnp.full((8, 128), total, dtype=jnp.float32)
+
+
 def _fitch_kernel_swar(
     children_ref,  # SMEM (T, n_anc, 2) int32
     leaf_ref,  # VMEM (1, n_leaves * P, 128) int32 — 4 sites per word (bytes)
@@ -249,7 +399,7 @@ def _fitch_kernel_swar(
     jax.jit,
     static_argnames=(
         "interpret", "trees_per_block", "unroll", "sequences_are_masks",
-        "site_packing", "n_states",
+        "site_packing", "n_states", "layout",
     ),
 )
 def batched_fitch_score_pallas(
@@ -263,6 +413,7 @@ def batched_fitch_score_pallas(
     sequences_are_masks: bool = False,
     site_packing: int = 1,
     n_states: int = 32,
+    layout: str = "nodes2",
 ) -> jax.Array:
     """Unit-cost parsimony scores of a candidate batch via fused Fitch.
 
@@ -284,6 +435,15 @@ def batched_fitch_score_pallas(
     ``unroll``: Mosaic supports only 1 (hardware loop) or the full ancestor
     count; full unroll measured +2% on v5e at 64 taxa — not worth the
     compile-time scaling, so the default stays 1.
+
+    ``layout`` (interleaved A/B at 64 taxa x 1024 sites, B=2048, bit-exact
+    across all three): "nodes2" (default) packs both child indices into one
+    SMEM word and carries event counters in the loop carry — 886k trees/s
+    at T=8 (+22% over "nodes"; the DP chain is scalar-issue-bound, so
+    halving SMEM loads + dropping the counter read-modify-write is the win);
+    "nodes" is the original (727k); "slots" (parent-slot storage, contiguous
+    pair reads) measured SLOWER (541k — the per-tree leaf scatter and
+    slot-indexed writes cost more than the paired read saves).
 
     The fastest scoring path for Hamming costs (the reference's universal
     choice): state sets are int32 bitmasks, 1024 sites per (8, 128) VPU
@@ -370,6 +530,75 @@ def batched_fitch_score_pallas(
         reps = padded_batch - batch
         children = jnp.concatenate(
             [children, jnp.broadcast_to(children[-1:], (reps, n_anc, 2))]
+        )
+    if layout == "slots":
+        slots = _parent_slot_layout(children)[:, None, :]  # (B, 1, n_all)
+        kernel = functools.partial(
+            _fitch_kernel_slots, n_leaves=n_leaves, pack=pack, trees=trees,
+        )
+        block_counts = pl.pallas_call(
+            kernel,
+            grid=(padded_batch // trees, n_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (trees, 1, n_all), lambda b, l: (b, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, n_leaves * pack, _LANES), lambda b, l: (l, 0, 0)
+                ),
+                pl.BlockSpec((1, pack, _LANES), lambda b, l: (l, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, trees, 8, 128), lambda b, l: (b, l, 0, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (padded_batch // trees, n_blocks, trees, 8, 128), jnp.float32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((trees * n_all * pack, _LANES), jnp.int32),
+            ],
+            interpret=interpret,
+        )(slots, packed, weights_packed)
+        scores = jnp.sum(block_counts[:, :, :, 0, 0], axis=1)
+        return scores.reshape(padded_batch)[:batch]
+    if layout == "nodes2":
+        pairs = (
+            children[:, :, 0] | (children[:, :, 1] << 16)
+        )[:, None, :]  # (B, 1, n_anc) packed child pairs
+        kernel = functools.partial(
+            _fitch_kernel_multi_carry, n_leaves=n_leaves, pack=pack,
+            trees=trees,
+        )
+        block_counts = pl.pallas_call(
+            kernel,
+            grid=(padded_batch // trees, n_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (trees, 1, n_anc), lambda b, l: (b, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, n_leaves * pack, _LANES), lambda b, l: (l, 0, 0)
+                ),
+                pl.BlockSpec((1, pack, _LANES), lambda b, l: (l, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, trees, 8, 128), lambda b, l: (b, l, 0, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (padded_batch // trees, n_blocks, trees, 8, 128), jnp.float32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((trees * n_all * pack, _LANES), jnp.int32),
+            ],
+            interpret=interpret,
+        )(pairs, packed, weights_packed)
+        scores = jnp.sum(block_counts[:, :, :, 0, 0], axis=1)
+        return scores.reshape(padded_batch)[:batch]
+    if layout != "nodes":
+        raise ValueError(
+            f"layout must be 'nodes', 'nodes2' or 'slots', got {layout!r}"
         )
     kernel = functools.partial(
         _fitch_kernel_multi, n_leaves=n_leaves, pack=pack, trees=trees,
