@@ -53,20 +53,24 @@ def batched_scores_fastest(
             # trees_per_block auto-picked by the kernel (SMEM-safe cap; see
             # batched_fitch_score_pallas docstring). Long alignments take
             # the SWAR 4-sites-per-word variant: slower per dependent step
-            # but 4x fewer site blocks — crossover ~2k sites on v5e
-            # (1.05x at 2048, 1.55x at 4096, 1.6x at 8k-10k sites).
+            # but 4x fewer site blocks — with the carried-count kernels the
+            # crossover is ~3k sites on v5e (nodes2 755k vs swar 629k
+            # trees/s at 2048; swar 458k vs 375k at 4096, 234k vs 189k at
+            # 8192). Small ancestor counts also get a full loop unroll
+            # (+6% measured at 64 taxa; bounded n_anc keeps compiles fast).
             q = cost_matrix.shape[-1]
             n_anc = topologies.children.shape[-2]
             packing = (
                 4
-                if q <= 8 and n_anc <= 255 and leaf_sequences.shape[-1] > 2048
+                if q <= 8 and n_anc <= 255 and leaf_sequences.shape[-1] > 3072
                 else 1
             )
+            unroll = n_anc if (packing == 1 and n_anc <= 64) else 1
             return batched_fitch_score_pallas(
                 topologies, leaf_sequences,
                 site_weights=site_weights,
                 sequences_are_masks=sequences_are_masks,
-                site_packing=packing, n_states=q,
+                site_packing=packing, n_states=q, unroll=unroll,
             )
         from trex_tpu.ops.fitch import fitch_score
 

@@ -190,6 +190,7 @@ def _fitch_kernel_multi_carry(
     n_leaves: int,
     pack: int,
     trees: int,
+    unroll: int,
 ):
     """Node-indexed Fitch with reduced per-ancestor scalar work.
 
@@ -236,6 +237,7 @@ def _fitch_kernel_multi_carry(
         n_anc,
         visit,
         tuple(jnp.zeros((pack, 128), jnp.int32) for _ in range(trees)),
+        unroll=unroll,
     )
     weights = weight_ref[0]  # (P, 128); 0 at padded sites
     for t in range(trees):
@@ -331,12 +333,11 @@ def _fitch_kernel_slots(
 
 
 def _fitch_kernel_swar(
-    children_ref,  # SMEM (T, n_anc, 2) int32
+    pairs_ref,  # SMEM (T, 1, n_anc) int32 — c1 | (c2 << 16) packed children
     leaf_ref,  # VMEM (1, n_leaves * P, 128) int32 — 4 sites per word (bytes)
     weight_ref,  # VMEM (1, 4, P, 128) f32 — per-byte-lane site weights
     out_ref,  # VMEM (1, 1, T, 8, 128) f32; per-tree totals at [...,t,0,0]
     sets_ref,  # VMEM scratch (T * n_all * P, 128) int32
-    count_ref,  # VMEM scratch (T * P, 128) int32 — packed byte counters
     *,
     n_leaves: int,
     n_states: int,
@@ -352,6 +353,10 @@ def _fitch_kernel_swar(
     cross-field carries since 255 * 1 < 256), and events accumulate as
     packed byte counters (valid while n_ancestors <= 255). Per-site weights
     apply at unpack time: byte lane k of word j is site ``k * (L/4) + j``.
+
+    Same scalar-work treatment as ``_fitch_kernel_multi_carry``: child
+    indices ship packed in one SMEM word, packed byte counters ride the
+    loop carry instead of a VMEM read-modify-write.
     """
     n_all = 2 * n_leaves - 1
     n_anc = n_leaves - 1
@@ -361,12 +366,13 @@ def _fitch_kernel_swar(
     leaf_block = leaf_ref[0]
     for t in range(trees):
         sets_ref[pl.ds(t * stride, n_leaves * pack), :] = leaf_block
-    count_ref[:, :] = jnp.zeros((trees * pack, 128), jnp.int32)
 
-    def visit(a, _):
+    def visit(a, counts):
+        new_counts = []
         for t in range(trees):
-            c1 = children_ref[t, a, 0]
-            c2 = children_ref[t, a, 1]
+            packed = pairs_ref[t, 0, a]
+            c1 = packed & 0xFFFF
+            c2 = packed >> 16
             base = t * stride
             d1 = sets_ref[pl.ds(base + c1 * pack, pack), :]
             d2 = sets_ref[pl.ds(base + c2 * pack, pack), :]
@@ -378,14 +384,17 @@ def _fitch_kernel_swar(
             byte_mask = nz * jnp.int32(255)
             merged = (inter & byte_mask) | ((d1 | d2) & ~byte_mask)
             sets_ref[pl.ds(base + (n_leaves + a) * pack, pack), :] = merged
-            count_ref[pl.ds(t * pack, pack), :] = count_ref[
-                pl.ds(t * pack, pack), :
-            ] + (nz ^ low_bits)
-        return 0
+            new_counts.append(counts[t] + (nz ^ low_bits))
+        return tuple(new_counts)
 
-    jax.lax.fori_loop(0, n_anc, visit, 0)
+    counts = jax.lax.fori_loop(
+        0,
+        n_anc,
+        visit,
+        tuple(jnp.zeros((pack, 128), jnp.int32) for _ in range(trees)),
+    )
     for t in range(trees):
-        packed = count_ref[pl.ds(t * pack, pack), :]
+        packed = counts[t]
         total = jnp.float32(0.0)
         for k in range(4):
             field = (packed >> (8 * k)) & jnp.int32(0xFF)
@@ -568,7 +577,7 @@ def batched_fitch_score_pallas(
         )[:, None, :]  # (B, 1, n_anc) packed child pairs
         kernel = functools.partial(
             _fitch_kernel_multi_carry, n_leaves=n_leaves, pack=pack,
-            trees=trees,
+            trees=trees, unroll=unroll,
         )
         block_counts = pl.pallas_call(
             kernel,
@@ -647,9 +656,15 @@ def _fitch_swar_impl(
     n_all = 2 * n_leaves - 1
     length = leaf_sequences.shape[-1]
 
-    # Words per node tile; 4x fewer words than sites.
+    # Words per node tile; 4x fewer words than sites. Shrink the tile to
+    # the alignment too: at e.g. 1024 sites only 256 words exist, and an
+    # 8-sublane tile would pad the alignment 4x (measured 4.4x slower at
+    # the 64x1k headline than the fitted 2-sublane tile).
     vmem_budget = 10 * 1024 * 1024
     pack = _SUBLANES_F32
+    words_needed = max(1, -(-length // 4))
+    while pack > 1 and pack * _LANES >= 2 * words_needed:
+        pack //= 2
     while pack > 1 and trees * n_all * pack * _LANES * 4 > vmem_budget:
         pack //= 2
     words_per_block = pack * _LANES
@@ -695,6 +710,7 @@ def _fitch_swar_impl(
         children = jnp.concatenate(
             [children, jnp.broadcast_to(children[-1:], (reps, n_anc, 2))]
         )
+    pairs = (children[:, :, 0] | (children[:, :, 1] << 16))[:, None, :]
     kernel = functools.partial(
         _fitch_kernel_swar, n_leaves=n_leaves, n_states=n_states,
         pack=pack, trees=trees,
@@ -704,7 +720,7 @@ def _fitch_swar_impl(
         grid=(padded_batch // trees, n_blocks),
         in_specs=[
             pl.BlockSpec(
-                (trees, n_anc, 2), lambda b, l: (b, 0, 0),
+                (trees, 1, n_anc), lambda b, l: (b, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec((1, n_leaves * pack, _LANES), lambda b, l: (l, 0, 0)),
@@ -718,10 +734,9 @@ def _fitch_swar_impl(
         ),
         scratch_shapes=[
             pltpu.VMEM((trees * n_all * pack, _LANES), jnp.int32),
-            pltpu.VMEM((trees * pack, _LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(children, packed, weights_lanes)
+    )(pairs, packed, weights_lanes)
     scores = jnp.sum(block_counts[:, :, :, 0, 0], axis=1)
     return scores.reshape(padded_batch)[:batch]
 
