@@ -134,3 +134,39 @@ def test_straight_through_routes_gradient_to_winner():
     np.testing.assert_array_equal(np.asarray(y), [1])
     (gx,) = vjp(jnp.ones_like(y, dtype=x.dtype))
     np.testing.assert_allclose(np.asarray(gx), [[0.0, 1.0, 0.0]])
+
+
+def test_project_topology_roundtrips_valid_trees():
+    """Projecting a valid tree's one-hot adjacency returns the same tree."""
+    import numpy as np
+    from trex_tpu.ops.relax import project_topology
+    from trex_tpu.topology import random_topologies, topology_to_adjacency
+
+    topos = random_topologies(jax.random.PRNGKey(7), 16, 8)
+    for b in range(8):
+        topo = jax.tree_util.tree_map(lambda x: x[b], topos)
+        adj = topology_to_adjacency(topo)
+        proj = project_topology(adj)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(proj.children), axis=1),
+            np.sort(np.asarray(topo.children), axis=1),
+        )
+        np.testing.assert_array_equal(proj.parents, topo.parents)
+
+
+def test_project_topology_always_valid_on_random_soft():
+    """Any row-stochastic soft adjacency projects to a valid topology."""
+    import numpy as np
+    from trex_tpu.ops.relax import project_topology, soft_topology
+
+    for seed in range(4):
+        logits = jax.random.normal(jax.random.PRNGKey(seed), (32 * 2 - 2, 31))
+        adj = soft_topology(jax.random.PRNGKey(100 + seed), logits, 0.5)
+        topo = project_topology(adj)
+        ch = np.asarray(topo.children)
+        n_leaves = 32
+        # each node used exactly once as a child; children precede parents
+        flat = ch.ravel()
+        assert sorted(flat.tolist()) == list(range(2 * n_leaves - 2))
+        for a in range(n_leaves - 1):
+            assert ch[a, 0] < n_leaves + a and ch[a, 1] < n_leaves + a

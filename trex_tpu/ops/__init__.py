@@ -59,6 +59,7 @@ from trex_tpu.ops.relax import (
     soft_topology,
     soft_sequences,
     discretize_topology,
+    project_topology,
     binary_tree_penalty,
     joint_loss,
     straight_through,
@@ -108,6 +109,7 @@ __all__ = [
     "soft_topology",
     "soft_sequences",
     "discretize_topology",
+    "project_topology",
     "binary_tree_penalty",
     "joint_loss",
     "straight_through",

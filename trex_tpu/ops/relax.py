@@ -92,6 +92,56 @@ def discretize_topology(soft_adjacency: jax.Array) -> jax.Array:
     return jax.nn.one_hot(jnp.argmax(soft_adjacency, axis=-1), n)
 
 
+def project_topology(soft_adjacency: jax.Array):
+    """Project a soft adjacency onto the nearest-greedy VALID ``Topology``.
+
+    Row-argmax discretization (``discretize_topology``, the reference's
+    evaluation recipe at ``tree.py:31-47``) almost never yields a valid
+    binary tree beyond toy sizes — at 64 taxa a trained soft adjacency
+    routinely gives some ancestor 3+ children and scoring it with the
+    dense-edge ``exact_cost`` silently under-counts. This projection makes
+    the differentiable search's output consumable by every discrete tool
+    (Fitch/likelihood kernels, SPR climbers, newick IO).
+
+    Greedy sequential assignment: ancestors in increasing index order each
+    claim the 2 still-unassigned lower-indexed nodes with the largest soft
+    attachment weight toward them. Before ancestor ``j`` exactly
+    ``n_leaves - j`` candidates remain, so feasibility is invariant and
+    the result is always a valid topology under the repo node convention
+    (children precede parents; root last).
+
+    Args:
+        soft_adjacency: (n_all, n_all) row-stochastic soft adjacency.
+
+    Returns:
+        ``Topology`` (unbatched; vmap for batches).
+    """
+    from trex_tpu.topology import Topology
+
+    n_all = soft_adjacency.shape[-1]
+    n_anc = (n_all - 1) // 2
+    n_leaves = n_anc + 1
+    w = soft_adjacency[:-1, n_leaves:]  # (n_all-1, n_anc); root never a child
+    idx = jnp.arange(n_all - 1)
+    neg_inf = jnp.asarray(-jnp.inf, dtype=w.dtype)
+
+    def claim(avail, j):
+        wj = jnp.where(avail & (idx < n_leaves + j), w[:, j], neg_inf)
+        c1 = jnp.argmax(wj)
+        c2 = jnp.argmax(wj.at[c1].set(neg_inf))
+        avail = avail.at[c1].set(False).at[c2].set(False)
+        pair = jnp.stack([jnp.minimum(c1, c2), jnp.maximum(c1, c2)])
+        return avail, pair.astype(jnp.int32)
+
+    _, children = jax.lax.scan(
+        claim, jnp.ones((n_all - 1,), bool), jnp.arange(n_anc)
+    )
+    anc = jnp.arange(n_anc, dtype=jnp.int32) + n_leaves
+    parents = jnp.zeros((n_all,), jnp.int32).at[-1].set(n_all - 1)
+    parents = parents.at[children[:, 0]].set(anc).at[children[:, 1]].set(anc)
+    return Topology(children=children, parents=parents)
+
+
 def binary_tree_penalty(soft_adjacency: jax.Array, scale: float | jax.Array) -> jax.Array:
     """Quadratic penalty pushing every ancestor to exactly two children.
 
