@@ -36,12 +36,14 @@ jax.config.update("jax_platforms", "cpu")
 # durations table (tests/durations.json, regenerated from a full
 # `--durations=0` run): per module, the fastest tests are marked smoke until
 # the module's budget is spent, so every module keeps at least one
-# representative. Tests absent from the table (new tests) are smoke by
-# default until the table is re-baselined.
+# representative. Tests absent from the table (new tests) are charged an
+# assumed duration against the same budget — so a burst of new tests cannot
+# silently blow the <5-min tier before the table is re-baselined.
 # ---------------------------------------------------------------------------
 import json  # noqa: E402
 
 _SMOKE_BUDGET_PER_MODULE = 6.0  # seconds of recorded call time per module
+_ASSUMED_UNKNOWN_DURATION = 2.0  # budget charge for tests not in the table
 
 
 def pytest_configure(config):
@@ -67,19 +69,21 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         by_module.setdefault(item.fspath.basename, []).append(item)
     for module_items in by_module.values():
-        known = [
-            (durations[i.nodeid], i) for i in module_items if i.nodeid in durations
-        ]
-        unknown = [i for i in module_items if i.nodeid not in durations]
-        smoke = set(unknown)
-        known.sort(key=lambda pair: pair[0])
+        ranked = sorted(
+            (
+                (durations.get(i.nodeid, _ASSUMED_UNKNOWN_DURATION), i)
+                for i in module_items
+            ),
+            key=lambda pair: pair[0],
+        )
+        smoke = set()
         spent = 0.0
-        for dur, item in known:
+        for dur, item in ranked:
             if spent + dur > _SMOKE_BUDGET_PER_MODULE and smoke:
                 break
             smoke.add(item)
             spent += dur
-        if not smoke and known:  # every test slow: keep the fastest one
-            smoke.add(known[0][1])
+        if not smoke and ranked:  # every test slow: keep the fastest one
+            smoke.add(ranked[0][1])
         for item in smoke:
             item.add_marker(pytest.mark.smoke)

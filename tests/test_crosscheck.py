@@ -32,38 +32,37 @@ def test_all_paths_agree(trial):
     # Per-trial rng so trials are independent tests (smoke tier picks one).
     rng = np.random.default_rng(trial)
     mesh = make_mesh(jax.devices(), tree_parallelism=2)
-    if True:
-        n_leaves = int(rng.choice([8, 16]))
-        q = int(rng.choice([2, 4, 8]))
-        length = int(rng.choice([64, 96, 128]))
-        batch = 8
-        topos = random_topologies(jax.random.PRNGKey(trial), n_leaves, batch)
-        leaf = jax.random.randint(
-            jax.random.PRNGKey(100 + trial), (n_leaves, length), 0, q
-        )
-        cost = CostModel.hamming(q).matrix
+    n_leaves = int(rng.choice([8, 16]))
+    q = int(rng.choice([2, 4, 8]))
+    length = int(rng.choice([64, 96, 128]))
+    batch = 8
+    topos = random_topologies(jax.random.PRNGKey(trial), n_leaves, batch)
+    leaf = jax.random.randint(
+        jax.random.PRNGKey(100 + trial), (n_leaves, length), 0, q
+    )
+    cost = CostModel.hamming(q).matrix
 
-        ref = np.asarray(batched_sankoff_score(topos, cost, leaf))
-        paths = {
-            "lax-hamming": batched_sankoff_score_hamming(topos, cost, leaf),
-            "fitch-lax": batched_fitch_score(topos, leaf),
-            "minplus-kernel": batched_sankoff_score_pallas(
-                topos, cost, leaf, interpret=True
-            ),
-            "fitch-kernel": batched_fitch_score_pallas(
-                topos, leaf, interpret=True, trees_per_block=2
-            ),
-            "sharded": sharded_batch_scores(mesh, topos, cost, leaf),
-        }
-        patterns, weights = compress_alignment(np.asarray(leaf))
-        paths["fitch-kernel-compressed"] = batched_fitch_score_pallas(
-            topos,
-            jnp.asarray(patterns),
-            site_weights=jnp.asarray(weights, jnp.float32),
-            interpret=True,
+    ref = np.asarray(batched_sankoff_score(topos, cost, leaf))
+    paths = {
+        "lax-hamming": batched_sankoff_score_hamming(topos, cost, leaf),
+        "fitch-lax": batched_fitch_score(topos, leaf),
+        "minplus-kernel": batched_sankoff_score_pallas(
+            topos, cost, leaf, interpret=True
+        ),
+        "fitch-kernel": batched_fitch_score_pallas(
+            topos, leaf, interpret=True, trees_per_block=2
+        ),
+        "sharded": sharded_batch_scores(mesh, topos, cost, leaf),
+    }
+    patterns, weights = compress_alignment(np.asarray(leaf))
+    paths["fitch-kernel-compressed"] = batched_fitch_score_pallas(
+        topos,
+        jnp.asarray(patterns),
+        site_weights=jnp.asarray(weights, jnp.float32),
+        interpret=True,
+    )
+    for name, scores in paths.items():
+        np.testing.assert_allclose(
+            np.asarray(scores), ref, atol=1e-4,
+            err_msg=f"trial {trial} path {name}",
         )
-        for name, scores in paths.items():
-            np.testing.assert_allclose(
-                np.asarray(scores), ref, atol=1e-4,
-                err_msg=f"trial {trial} path {name}",
-            )

@@ -485,6 +485,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mutation-rate", type=float, default=0.1)
     p.add_argument("--branch-length", type=int, default=1)
     p.add_argument("--iterations", type=int, default=10000)
+    p.add_argument("--replicates", type=int, default=1,
+                   help="independent landscapes per (K, lambda) cell")
+    p.add_argument("--plot", type=str, default=None, metavar="OUT.png",
+                   help="write the reference-parity errorbar figure")
     p.set_defaults(fn=cmd_nk_bench)
     return parser
 

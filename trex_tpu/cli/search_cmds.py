@@ -163,7 +163,13 @@ def cmd_bootstrap(args) -> None:
         )
     )
 def cmd_nk_bench(args) -> None:
-    """NK accuracy benchmark: Sankoff vs gradient ASR over lambda values."""
+    """NK accuracy benchmark: Sankoff vs gradient ASR over lambda values.
+
+    With ``--replicates R > 1`` each (K, lambda) cell reports mean/std over R
+    independent landscapes; ``--plot out.png`` writes the errorbar figure the
+    reference's sweep ends in (/root/reference/src/trex/evals/benchmark.py:994-1048):
+    accuracy vs lambda, one line per K, Sankoff mean as a dashed baseline.
+    """
     from trex_tpu.models.nk import evolve_tree, make_landscape
     from trex_tpu.ops.sankoff import sankoff_reconstruct
     from trex_tpu.search.asr import (
@@ -174,41 +180,93 @@ def cmd_nk_bench(args) -> None:
     from trex_tpu.types import CostModel
 
     key = jax.random.PRNGKey(args.seed)
-    results: dict[str, object] = {}
+    reps = max(1, getattr(args, "replicates", 1))
     topo = balanced_topology(args.leaves)
     adjacency = topology_to_adjacency(topo)
     n_all = 2 * args.leaves - 1
     cost = CostModel.hamming(2).matrix
 
+    # raw[K][label] = list of per-replicate accuracies
+    raw: dict[int, dict[str, list[float]]] = {}
     for k_epi in args.k_values:
-        key, k_land, k_root, k_tree, k_opt = jax.random.split(key, 5)
-        landscape = make_landscape(args.sites, k_epi, k_land, n_states=2)
-        root = jax.random.randint(k_root, (args.sites,), 0, 2)
-        seqs = evolve_tree(
-            landscape, topo, root, args.mutation_rate, k_tree,
-            branch_length=args.branch_length,
-        )
-        leaf = seqs[: args.leaves].astype(jnp.int32)
-        truth = seqs[args.leaves :].astype(jnp.int32)
-
-        recon, _, _ = sankoff_reconstruct(topo, cost, leaf)
-        entry = {
-            "sankoff": float(jnp.mean(recon[args.leaves :] == truth))
-        }
+        cells: dict[str, list[float]] = {"sankoff": []}
         for lam in args.lambdas:
-            if lam == 0.0:
-                learned = reconstruct_ancestors(
-                    leaf, n_all, 2, adjacency, k_opt,
-                    n_iterations=args.iterations,
-                )
-            else:
-                learned = reconstruct_ancestors_landscape_aware(
-                    leaf, n_all, 2, landscape, lam, adjacency, k_opt,
-                    n_iterations=args.iterations,
-                )
-            entry[f"gradient_asr(lambda={lam})"] = float(
-                jnp.mean(learned == truth)
+            cells[f"gradient_asr(lambda={lam})"] = []
+        for _rep in range(reps):
+            key, k_land, k_root, k_tree, k_opt = jax.random.split(key, 5)
+            landscape = make_landscape(args.sites, k_epi, k_land, n_states=2)
+            root = jax.random.randint(k_root, (args.sites,), 0, 2)
+            seqs = evolve_tree(
+                landscape, topo, root, args.mutation_rate, k_tree,
+                branch_length=args.branch_length,
             )
-        results[f"K={k_epi}"] = entry
-        print(json.dumps({f"K={k_epi}": entry}), file=sys.stderr)
+            leaf = seqs[: args.leaves].astype(jnp.int32)
+            truth = seqs[args.leaves :].astype(jnp.int32)
+
+            recon, _, _ = sankoff_reconstruct(topo, cost, leaf)
+            cells["sankoff"].append(
+                float(jnp.mean(recon[args.leaves :] == truth))
+            )
+            for lam in args.lambdas:
+                if lam == 0.0:
+                    learned = reconstruct_ancestors(
+                        leaf, n_all, 2, adjacency, k_opt,
+                        n_iterations=args.iterations,
+                    )
+                else:
+                    learned = reconstruct_ancestors_landscape_aware(
+                        leaf, n_all, 2, landscape, lam, adjacency, k_opt,
+                        n_iterations=args.iterations,
+                    )
+                cells[f"gradient_asr(lambda={lam})"].append(
+                    float(jnp.mean(learned == truth))
+                )
+        raw[k_epi] = cells
+        print(json.dumps({f"K={k_epi}": cells}), file=sys.stderr)
+
+    def _summ(vals: list[float]):
+        if reps == 1:
+            return vals[0]
+        mean = sum(vals) / len(vals)
+        var = sum((v - mean) ** 2 for v in vals) / len(vals)
+        return {"mean": mean, "std": var**0.5}
+
+    results = {
+        f"K={k}": {label: _summ(vals) for label, vals in cells.items()}
+        for k, cells in raw.items()
+    }
+    if getattr(args, "plot", None):
+        _nk_bench_plot(args.plot, raw, args.lambdas)
     print(json.dumps(results))
+
+
+def _nk_bench_plot(path: str, raw, lambdas) -> None:
+    """Errorbar figure: accuracy vs lambda per K, Sankoff dashed baseline."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for k_epi, cells in raw.items():
+        accs = np.array(
+            [cells[f"gradient_asr(lambda={lam})"] for lam in lambdas]
+        )  # (n_lambda, reps)
+        line = ax.errorbar(
+            lambdas, accs.mean(axis=1),
+            yerr=accs.std(axis=1) if accs.shape[1] > 1 else None,
+            marker="o", capsize=3, label=f"TREX K={k_epi}",
+        )
+        sank = np.array(cells["sankoff"])
+        ax.axhline(
+            sank.mean(), linestyle="--", linewidth=1,
+            color=line.lines[0].get_color(), alpha=0.6,
+        )
+    ax.set_xlabel("landscape weight λ")
+    ax.set_ylabel("ancestor reconstruction accuracy")
+    ax.set_title("NK benchmark: gradient ASR vs exact Sankoff (dashed)")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)

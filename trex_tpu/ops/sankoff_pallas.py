@@ -442,8 +442,11 @@ def batched_fitch_score_pallas(
     ~1000 (T=8 compiles at 63 ancestors, not at 127).
 
     ``unroll``: Mosaic supports only 1 (hardware loop) or the full ancestor
-    count; full unroll measured +2% on v5e at 64 taxa — not worth the
-    compile-time scaling, so the default stays 1.
+    count. On the "nodes" layout full unroll measured only +2%, but on
+    "nodes2" (carried counters) it bought +6% (2.34 -> 2.20 ms at 64 taxa,
+    B=2048) — ``ops.dispatch`` therefore forces full unroll for
+    ``n_anc <= 64`` on the default path; the raw-call default stays 1 to
+    bound compile time for large trees.
 
     ``layout`` (interleaved A/B at 64 taxa x 1024 sites, B=2048, bit-exact
     across all three): "nodes2" (default) packs both child indices into one
@@ -476,6 +479,11 @@ def batched_fitch_score_pallas(
 
     if trees_per_block is None:
         trees_per_block = max(1, min(8, 512 // max(n_anc, 1)))
+
+    if layout == "nodes2" and n_all > 0x7FFF:
+        # Packed child pairs (c1 | c2 << 16) would shift c2 into the int32
+        # sign bit and the kernel's `packed >> 16` decode would go negative.
+        layout = "nodes"
 
     if site_packing == 4:
         if n_states > 8:
