@@ -92,7 +92,7 @@ def bench_lik():
     p_shared = jc69_transition(jnp.float32(0.1), 4)
 
     variants = {}
-    for layout in ("nodes", "slots"):
+    for layout in ("nodes", "slots", "mxu"):
         for t in (1, 2, 4, 8):
             variants[f"shared-{layout}-T{t}"] = ("shared", layout, t)
             variants[f"perbranch-{layout}-T{t}"] = ("perbranch", layout, t)
@@ -114,7 +114,7 @@ def bench_lik():
     # layout, trees_per_block must not change the answer at all.
     refs = {
         layout: batched_log_likelihood_pallas(topos, bl, leaf, 4, layout=layout)
-        for layout in ("nodes", "slots")
+        for layout in ("nodes", "slots", "mxu")
     }
     results = {}
     for name, (kind, layout, t) in variants.items():

@@ -1,12 +1,13 @@
 """Bayesian MCMC throughput on the real accelerator.
 
-Measures generations/s (and the equivalent candidate-likelihood evals/s)
-for `search.mcmc.mcmc_sample` at a production-ish configuration. The
-informed proposal evaluates 2 x chains x 2(n-2) trees per generation plus
-branch-move evals, all through the fused Pallas pruning kernel on TPU.
+Measures generations/s, candidate-likelihood evals/s AND cold-chain lnL
+ESS/s for `search.mcmc.mcmc_sample` at a production-ish configuration —
+ESS/s is the metric that matters for a sampler: the informed proposal
+costs 2 x chains x 2(n-2) kernel evals per generation vs 1 for uniform,
+and only mixing-per-second says whether that price is justified.
 
 Usage:  python benchmarks/mcmc_bench.py [--leaves 32] [--sites 1024]
-        [--chains 8] [--generations 200]
+        [--chains 8] [--generations 200] [--proposal informed|uniform|both]
 
 Never run concurrently with another TPU process (single tunnel claim).
 """
@@ -30,7 +31,9 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--generations", type=int, default=200)
     ap.add_argument("--branch-moves", type=int, default=2)
-    ap.add_argument("--proposal", default="informed")
+    ap.add_argument("--proposal", default="both",
+                    choices=["informed", "uniform", "both"])
+    ap.add_argument("--sample-every", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -55,47 +58,57 @@ def main() -> None:
     )
     leaves = jnp.asarray(aln.astype(np.int32))
 
-    common = dict(
-        n_runs=args.runs, n_chains=args.chains,
-        sample_every=50, burnin_frac=0.0,
-        branch_moves_per_gen=args.branch_moves,
-        topo_proposal=args.proposal,
+    proposals = (
+        ["informed", "uniform"] if args.proposal == "both" else [args.proposal]
     )
-    # Warmup (compiles every kernel shape — one full sample block, same
-    # sample_every so block_fn's compiled shape is reused), then the timed run.
-    mcmc_sample(jax.random.PRNGKey(1), leaves, 4, n_generations=50, **common)
-    t0 = time.perf_counter()
-    res = mcmc_sample(
-        jax.random.PRNGKey(2), leaves, 4,
-        n_generations=args.generations, **common,
-    )
-    dt = time.perf_counter() - t0
-
-    n_total = args.runs * args.chains
-    n_nbr = 2 * (args.leaves - 2)
-    evals_per_gen = n_total * (
-        args.branch_moves
-        + (2 * n_nbr if args.proposal == "informed" else 1)
-    )
-    print(
-        json.dumps(
-            {
-                "backend": jax.default_backend(),
-                "leaves": args.leaves,
-                "sites": args.sites,
-                "chains_total": n_total,
-                "proposal": args.proposal,
-                "generations_per_s": round(args.generations / dt, 2),
-                "tree_evals_per_s": round(
-                    args.generations * evals_per_gen / dt
-                ),
-                "seconds": round(dt, 2),
-                "acceptance": {
-                    k: round(v, 3) for k, v in res.acceptance.items()
-                },
-            }
+    for proposal in proposals:
+        common = dict(
+            n_runs=args.runs, n_chains=args.chains,
+            sample_every=args.sample_every, burnin_frac=0.0,
+            branch_moves_per_gen=args.branch_moves,
+            topo_proposal=proposal,
         )
-    )
+        # Warmup (compiles every kernel shape — one full sample block, same
+        # sample_every so block_fn's compiled shape is reused), then the
+        # timed run.
+        mcmc_sample(
+            jax.random.PRNGKey(1), leaves, 4,
+            n_generations=args.sample_every, **common,
+        )
+        t0 = time.perf_counter()
+        res = mcmc_sample(
+            jax.random.PRNGKey(2), leaves, 4,
+            n_generations=args.generations, **common,
+        )
+        dt = time.perf_counter() - t0
+
+        n_total = args.runs * args.chains
+        n_nbr = 2 * (args.leaves - 2)
+        evals_per_gen = n_total * (
+            args.branch_moves
+            + (2 * n_nbr if proposal == "informed" else 1)
+        )
+        print(
+            json.dumps(
+                {
+                    "backend": jax.default_backend(),
+                    "leaves": args.leaves,
+                    "sites": args.sites,
+                    "chains_total": n_total,
+                    "proposal": proposal,
+                    "generations_per_s": round(args.generations / dt, 2),
+                    "tree_evals_per_s": round(
+                        args.generations * evals_per_gen / dt
+                    ),
+                    "ess_lnl": round(res.ess_lnl, 1),
+                    "ess_per_s": round(res.ess_lnl / dt, 3),
+                    "seconds": round(dt, 2),
+                    "acceptance": {
+                        k: round(v, 3) for k, v in res.acceptance.items()
+                    },
+                }
+            )
+        )
 
 
 if __name__ == "__main__":

@@ -121,3 +121,29 @@ def test_shared_transition_path_matches_per_node():
         trees_per_block=2,
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("shared", [False, True])
+@pytest.mark.parametrize("trees_per_block", [1, 2])
+def test_mxu_layout_matches_lax(shared, trees_per_block):
+    """The MXU (block-diag matmul message) layout matches the lax oracle."""
+    from trex_tpu.ops.likelihood import jc69_transition
+
+    n_leaves, q, length, batch = 8, 4, 192, 5
+    topos = random_topologies(jax.random.PRNGKey(20), n_leaves, batch)
+    leaf = jax.random.randint(jax.random.PRNGKey(21), (n_leaves, length), 0, q)
+    if shared:
+        blens = jnp.full((batch, 2 * n_leaves - 1), 0.1)
+        kwargs = {"shared_transition": jc69_transition(jnp.float32(0.1), q)}
+    else:
+        blens = jnp.asarray(
+            np.random.default_rng(22).uniform(0.05, 1.0, (batch, 2 * n_leaves - 1)),
+            jnp.float32,
+        )
+        kwargs = {}
+    want = batched_tree_log_likelihood(topos, blens, leaf, q)
+    got = batched_log_likelihood_pallas(
+        topos, blens, leaf, q, interpret=True, layout="mxu",
+        trees_per_block=trees_per_block, **kwargs,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5)

@@ -170,3 +170,56 @@ def test_project_topology_always_valid_on_random_soft():
         assert sorted(flat.tolist()) == list(range(2 * n_leaves - 2))
         for a in range(n_leaves - 1):
             assert ch[a, 0] < n_leaves + a and ch[a, 1] < n_leaves + a
+
+
+def test_project_topology_preserves_trained_structure():
+    """Projection keeps what the differentiable search learned.
+
+    Trains the joint Gumbel-softmax relaxation for real (not a random soft
+    adjacency) on data simulated from a known tree, then checks that the
+    greedy projection of the TRAINED soft adjacency scores far better than
+    both random trees and the projection of the untrained init — i.e. the
+    learned structure survives discretization (the failure mode the
+    reference's row-argmax recipe hits at scale, tree.py:31-47).
+    """
+    import numpy as np
+
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.ops.relax import project_topology, soft_topology
+    from trex_tpu.ops.sankoff import batched_sankoff_score
+    from trex_tpu.search.joint import JointConfig, init_params, joint_optimize
+    from trex_tpu.topology import random_topologies
+    from trex_tpu.types import CostModel
+
+    n, length, q = 8, 48, 4
+    n_all = 2 * n - 1
+    cost = CostModel.hamming(q).matrix
+    true_topo = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.PRNGKey(0), n, 1)
+    )
+    seqs = jnp.asarray(
+        simulate_alignment(
+            jax.random.PRNGKey(1), true_topo, np.full(n_all, 0.2),
+            n_sites=length, n_states=q,
+        )
+    )
+    leaf_tensor = jnp.zeros((n_all, length, q))
+    leaf_tensor = leaf_tensor.at[:n].set(jax.nn.one_hot(seqs, q))
+
+    params0 = init_params(jax.random.PRNGKey(2), n, length, q)
+    cfg = JointConfig(n_iterations=600)
+    trained, _ = joint_optimize(jax.random.PRNGKey(3), params0, leaf_tensor, cfg)
+
+    def projected_score(params):
+        adj = soft_topology(jax.random.PRNGKey(4), params["tree_params"], 0.01)
+        topo = project_topology(adj)
+        batch = jax.tree_util.tree_map(lambda x: x[None], topo)
+        return float(batched_sankoff_score(batch, cost, seqs)[0])
+
+    score_trained = projected_score(trained)
+    score_init = projected_score(params0)
+    rand = batched_sankoff_score(
+        random_topologies(jax.random.PRNGKey(5), n, 32), cost, seqs
+    )
+    assert score_trained < float(jnp.mean(rand)), (score_trained, rand.mean())
+    assert score_trained < score_init, (score_trained, score_init)

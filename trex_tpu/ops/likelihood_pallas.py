@@ -250,11 +250,135 @@ def _likelihood_kernel_slots(
         )
 
 
+def _likelihood_kernel_mxu(
+    slots_ref,  # SMEM (T, 1, n_all) int32 — node -> storage slot
+    prior_ref,  # SMEM (1, Q_pad) f32 — root prior (0 at padded states)
+    seq_ref,  # VMEM (n_leaves, L_BLK) int32
+    pmats_ref,  # VMEM — shared: (1, 2*Q_pad, 2*Q_pad) block-diagonal pair P;
+    #             else (T, n_anc * 2*Q_pad, 2*Q_pad), pair a holding the
+    #             block-diag of the Ps of the children stored at slots
+    #             2a and 2a+1.
+    weight_ref,  # VMEM (1, 8, L_BLK) f32 — row 0 = per-site weights
+    out_ref,  # VMEM (1, 1, T, 8, 128) f32; per-block log-lik sums at [...,t,0,0]
+    part_ref,  # VMEM scratch (T * n_all * Q_pad, L_BLK) f32 — slot-indexed
+    *,
+    n_leaves: int,
+    n_states: int,
+    q_pad: int,
+    trees: int,
+    masks: bool,
+    shared_pmats: bool,
+):
+    """Pruning recursion with the message matmuls on the MXU.
+
+    ``_likelihood_kernel_slots`` is VPU-issue-bound: per ancestor step the
+    two child messages cost 2 x Q broadcast-FMA ops on (Q_pad, L) tiles and
+    the max-rescale chain another ~1/3 of the issues, while the MXU sits
+    idle (min-plus can't use it, but the pruning recursion is literally a
+    matmul). This kernel moves both per-step reductions there:
+
+    - both children's messages come from ONE ``dot_general`` with the
+      block-diagonal pair matrix diag(P_c1, P_c2): (2Q_pad, 2Q_pad) @
+      (2Q_pad, L) -> (2Q_pad, L), top half = P_c1 @ d_c1, bottom half =
+      P_c2 @ d_c2. ``Precision.HIGHEST`` keeps f32-grade mantissas (the
+      bf16 default shifts total lnL by whole units — speed_of_light.md
+      "Matmul precision");
+    - the rescale factor derives from the per-site STATE SUM (a (1, Q_pad)
+      ones-row matmul) instead of a VPU sublane max-reduce. sum is within
+      [max, Q*max], so the extracted power-of-two exponent differs from
+      the max-based one by <= 2 bits — normalized partials live in
+      [2^-3, 2) instead of [2^-1, 2), which changes nothing downstream
+      (the exponent is recorded exactly, the upper bound stays < 4).
+
+    Numerics match ``slots`` (power-of-two rescaling, one final log);
+    scores differ from it only by f32 reduction order inside the matmul.
+    """
+    n_all = 2 * n_leaves - 1
+    n_anc = n_leaves - 1
+    l_blk = seq_ref.shape[-1]
+    stride = n_all * q_pad
+
+    state_iota = jax.lax.broadcasted_iota(jnp.int32, (q_pad, l_blk), 0)
+
+    for i in range(n_leaves):
+        observed = seq_ref[pl.ds(i, 1), :]
+        if masks:
+            onehot = jnp.where((observed >> state_iota) & 1 == 1, 1.0, 0.0)
+        else:
+            onehot = jnp.where(
+                (state_iota == observed)
+                | ((observed < 0) & (state_iota < n_states)),
+                1.0,
+                0.0,
+            )
+        for t in range(trees):
+            s = slots_ref[t, 0, i]
+            part_ref[pl.ds(t * stride + s * q_pad, q_pad), :] = onehot
+
+    if shared_pmats:
+        pbd_shared = pmats_ref[0, :, :]
+    ones_row = jnp.ones((1, q_pad), jnp.float32)
+    dims = (((1,), (0,)), ((), ()))
+
+    def visit(a, exp_sums):
+        new_sums = []
+        for t in range(trees):
+            base = t * stride
+            d12 = part_ref[pl.ds(base + 2 * a * q_pad, 2 * q_pad), :]
+            if shared_pmats:
+                pbd = pbd_shared
+            else:
+                pbd = pmats_ref[t, pl.ds(a * 2 * q_pad, 2 * q_pad), :]
+            mp = jax.lax.dot_general(
+                pbd, d12, dims,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (2*Q_pad, L): both messages
+            combined = mp[:q_pad, :] * mp[q_pad:, :]
+            s = jax.lax.dot_general(
+                ones_row, combined, dims,
+                preferred_element_type=jnp.float32,
+            )  # (1, L) state sum >= max > 0 (padded rows are exact 0)
+            bits = jax.lax.bitcast_convert_type(s, jnp.int32)
+            e = jax.lax.shift_right_logical(bits, 23)
+            inv = jax.lax.bitcast_convert_type(
+                jax.lax.shift_left(254 - e, 23), jnp.float32
+            )  # exact 2^(127 - (e - 127)); s == 0 stays 0 harmlessly
+            w = slots_ref[t, 0, n_leaves + a]
+            part_ref[pl.ds(base + w * q_pad, q_pad), :] = combined * inv
+            new_sums.append(exp_sums[t] + (e - 127))
+        return tuple(new_sums)
+
+    exp_sums = jax.lax.fori_loop(
+        0,
+        n_anc,
+        visit,
+        tuple(jnp.zeros((1, l_blk), jnp.int32) for _ in range(trees)),
+    )
+
+    ln2 = jnp.float32(0.6931471805599453)
+    weights_row = weight_ref[0][0:1, :]  # (1, L_BLK); 0 at padded sites
+    for t in range(trees):
+        root = part_ref[
+            pl.ds(t * stride + 2 * n_anc * q_pad, q_pad), :
+        ]
+        site_lik = prior_ref[0, 0] * root[0:1, :]
+        for i in range(1, n_states):
+            site_lik = site_lik + prior_ref[0, i] * root[i : i + 1, :]
+        per_site = (
+            jnp.log(jnp.maximum(site_lik, 1e-30))
+            + exp_sums[t].astype(jnp.float32) * ln2
+        )
+        out_ref[0, 0, t, :, :] = jnp.full(
+            (8, 128), jnp.sum(per_site * weights_row), dtype=jnp.float32
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_states", "site_block", "interpret", "trees_per_block",
-        "sequences_are_masks", "layout",
+        "sequences_are_masks", "layout", "vmem_budget_mb",
     ),
 )
 def batched_log_likelihood_pallas(
@@ -272,6 +396,7 @@ def batched_log_likelihood_pallas(
     trees_per_block: int = 1,
     sequences_are_masks: bool = False,
     layout: str = "slots",
+    vmem_budget_mb: int | None = None,
 ) -> jax.Array:
     """(B,) log-likelihoods of a candidate batch via the fused kernel.
 
@@ -310,12 +435,19 @@ def batched_log_likelihood_pallas(
     q_pad = _round_up(q, _SUBLANES_F32)
 
     trees = max(trees_per_block, 1)
+    if vmem_budget_mb is None:
+        # 8 MB was tuned for the FMA kernels; the mxu kernel wants bigger
+        # site blocks (fewer grid instances amortize the per-block leaf
+        # init) and v5e has 128 MB of VMEM to spend.
+        vmem_budget_mb = 48 if layout == "mxu" else 8
     if site_block is None:
         site_block = _round_up(length, _LANES) if length <= 2048 else 2048
         # Keep T partial tables within a VMEM budget; blocks must stay
         # 128-lane-aligned (Mosaic rejects e.g. 1408 -> 704 = 5.5 x 128).
-        while trees * n_all * q_pad * site_block * 4 > 8 * 1024 * 1024 and (
-            site_block > _LANES
+        while (
+            trees * n_all * q_pad * site_block * 4
+            > vmem_budget_mb * 1024 * 1024
+            and site_block > _LANES
         ):
             site_block = _round_up(site_block // 2, _LANES)
     padded_len = _round_up(length, site_block)
@@ -364,7 +496,7 @@ def batched_log_likelihood_pallas(
         )
 
     node_of_slot = None
-    if layout == "slots":
+    if layout in ("slots", "mxu"):
         from trex_tpu.ops.sankoff_pallas import _parent_slot_layout
 
         slots3 = _parent_slot_layout(children)  # (padded_B, n_all)
@@ -387,9 +519,22 @@ def batched_log_likelihood_pallas(
             )
 
     if shared:
-        # Single (Q, Q) matrix for every branch: one padded block total.
-        pmats = jnp.zeros((1, q_pad, q_pad), jnp.float32)
-        pmats = pmats.at[0, :q, :q].set(shared_transition.astype(jnp.float32))
+        if layout == "mxu":
+            # Block-diagonal pair matrix diag(P, P): one dot computes both
+            # children's messages.
+            qp2 = 2 * q_pad
+            p32 = shared_transition.astype(jnp.float32)
+            pmats = (
+                jnp.zeros((1, qp2, qp2), jnp.float32)
+                .at[0, :q, :q].set(p32)
+                .at[0, q_pad : q_pad + q, q_pad : q_pad + q].set(p32)
+            )
+        else:
+            # Single (Q, Q) matrix for every branch: one padded block total.
+            pmats = jnp.zeros((1, q_pad, q_pad), jnp.float32)
+            pmats = pmats.at[0, :q, :q].set(
+                shared_transition.astype(jnp.float32)
+            )
     else:
         if transition_matrices is None:
             # Per-branch JC69: permute the (B, n_all) LENGTHS into slot
@@ -403,11 +548,72 @@ def batched_log_likelihood_pallas(
             tm = _pad_batch(transition_matrices)
             if node_of_slot is not None:
                 tm = tm[jnp.arange(padded_batch)[:, None], node_of_slot]
-        # Pad states; padded rows stay 0 so padded parent states give 0.
-        pmats = jnp.zeros((padded_batch, n_all, q_pad, q_pad), jnp.float32)
-        pmats = pmats.at[:, :, :q, :q].set(tm.astype(jnp.float32))
-        pmats = pmats.reshape(padded_batch, n_all * q_pad, q_pad)
+        if layout == "mxu":
+            # Per-ancestor block-diag of the slot-pair children's Ps:
+            # slot 2a top-left, slot 2a+1 bottom-right. Padded rows stay 0.
+            qp2 = 2 * q_pad
+            tm32 = tm.astype(jnp.float32)
+            pbd = jnp.zeros((padded_batch, n_anc, qp2, qp2), jnp.float32)
+            pbd = pbd.at[:, :, :q, :q].set(tm32[:, 0 : 2 * n_anc : 2])
+            pbd = pbd.at[
+                :, :, q_pad : q_pad + q, q_pad : q_pad + q
+            ].set(tm32[:, 1 : 2 * n_anc : 2])
+            pmats = pbd.reshape(padded_batch, n_anc * qp2, qp2)
+        else:
+            # Pad states; padded rows stay 0 so padded parent states give 0.
+            pmats = jnp.zeros(
+                (padded_batch, n_all, q_pad, q_pad), jnp.float32
+            )
+            pmats = pmats.at[:, :, :q, :q].set(tm.astype(jnp.float32))
+            pmats = pmats.reshape(padded_batch, n_all * q_pad, q_pad)
 
+    if layout == "mxu":
+        qp2 = 2 * q_pad
+        kernel = functools.partial(
+            _likelihood_kernel_mxu,
+            n_leaves=n_leaves,
+            n_states=q,
+            q_pad=q_pad,
+            trees=trees,
+            masks=sequences_are_masks,
+            shared_pmats=shared,
+        )
+        block_ll = pl.pallas_call(
+            kernel,
+            grid=(padded_batch // trees, n_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (trees, 1, n_all), lambda b, l: (b, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, q_pad), lambda b, l: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec((n_leaves, site_block), lambda b, l: (0, l)),
+                (
+                    pl.BlockSpec((1, qp2, qp2), lambda b, l: (0, 0, 0))
+                    if shared
+                    else pl.BlockSpec(
+                        (trees, n_anc * qp2, qp2), lambda b, l: (b, 0, 0)
+                    )
+                ),
+                pl.BlockSpec((1, 8, site_block), lambda b, l: (l, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, trees, 8, 128), lambda b, l: (b, l, 0, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (padded_batch // trees, n_blocks, trees, 8, 128), jnp.float32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (trees * n_all * q_pad, site_block), jnp.float32
+                ),
+            ],
+            interpret=interpret,
+        )(slots, prior, seqs, pmats, weights_tiled)
+        scores = jnp.sum(block_ll[:, :, :, 0, 0], axis=1)  # (B//T, T)
+        return scores.reshape(padded_batch)[:batch]
     if layout == "slots":
         kernel = functools.partial(
             _likelihood_kernel_slots,
@@ -455,7 +661,9 @@ def batched_log_likelihood_pallas(
         scores = jnp.sum(block_ll[:, :, :, 0, 0], axis=1)  # (B//T, T)
         return scores.reshape(padded_batch)[:batch]
     if layout != "nodes":
-        raise ValueError(f"layout must be 'nodes' or 'slots', got {layout!r}")
+        raise ValueError(
+            f"layout must be 'nodes', 'slots' or 'mxu', got {layout!r}"
+        )
     kernel = functools.partial(
         _likelihood_kernel,
         n_leaves=n_leaves,
