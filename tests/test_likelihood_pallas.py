@@ -147,3 +147,71 @@ def test_mxu_layout_matches_lax(shared, trees_per_block):
         trees_per_block=trees_per_block, **kwargs,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5)
+
+
+@pytest.mark.parametrize("rescale_every", [1, 2, 4])
+@pytest.mark.parametrize("trees_per_block", [1, 2, 4])
+def test_lanes_layout_matches_lax(rescale_every, trees_per_block):
+    """The trees-in-lanes layout matches the lax oracle (shared-P only)."""
+    from trex_tpu.ops.likelihood import jc69_transition
+
+    n_leaves, q, length, batch = 8, 4, 192, 5
+    topos = random_topologies(jax.random.PRNGKey(30), n_leaves, batch)
+    leaf = jax.random.randint(jax.random.PRNGKey(31), (n_leaves, length), 0, q)
+    blens = jnp.full((batch, 2 * n_leaves - 1), 0.1)
+    p0 = jc69_transition(jnp.float32(0.1), q)
+    want = batched_tree_log_likelihood(topos, blens, leaf, q)
+    got = batched_log_likelihood_pallas(
+        topos, blens, leaf, q, interpret=True, layout="lanes",
+        trees_per_block=trees_per_block, rescale_every=rescale_every,
+        shared_transition=p0,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5)
+
+
+def test_lanes_layout_masks_and_weights():
+    """lanes matches slots bit-exactly with ambiguity masks + site weights."""
+    from trex_tpu.ops.likelihood import jc69_transition
+
+    n_leaves, q, length, batch = 8, 4, 160, 4
+    rng = np.random.default_rng(33)
+    topos = random_topologies(jax.random.PRNGKey(32), n_leaves, batch)
+    states = rng.integers(0, q, size=(n_leaves, length))
+    masks = np.where(
+        rng.random((n_leaves, length)) < 0.15, (1 << q) - 1, 1 << states
+    ).astype(np.int32)
+    weights = jnp.asarray(rng.integers(0, 3, size=(length,)), jnp.float32)
+    blens = jnp.full((batch, 2 * n_leaves - 1), 0.2)
+    p0 = jc69_transition(jnp.float32(0.2), q)
+    common = dict(
+        shared_transition=p0, sequences_are_masks=True, site_weights=weights,
+        interpret=True,
+    )
+    want = batched_log_likelihood_pallas(
+        topos, blens, jnp.asarray(masks), q, layout="slots", **common
+    )
+    got = batched_log_likelihood_pallas(
+        topos, blens, jnp.asarray(masks), q, layout="lanes",
+        trees_per_block=2, rescale_every=4, **common
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_lanes_layout_guards():
+    """lanes rejects per-branch P and out-of-range rescale_every."""
+    n_leaves, q, length, batch = 8, 4, 128, 2
+    topos = random_topologies(jax.random.PRNGKey(34), n_leaves, batch)
+    leaf = jax.random.randint(jax.random.PRNGKey(35), (n_leaves, length), 0, q)
+    blens = jnp.full((batch, 2 * n_leaves - 1), 0.1)
+    with pytest.raises(ValueError, match="lanes"):
+        batched_log_likelihood_pallas(
+            topos, blens, leaf, q, layout="lanes", interpret=True
+        )
+    from trex_tpu.ops.likelihood import jc69_transition
+
+    with pytest.raises(ValueError, match="rescale_every"):
+        batched_log_likelihood_pallas(
+            topos, blens, leaf, q, layout="lanes", rescale_every=8,
+            shared_transition=jc69_transition(jnp.float32(0.1), q),
+            interpret=True,
+        )

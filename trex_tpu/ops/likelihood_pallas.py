@@ -149,6 +149,7 @@ def _likelihood_kernel_slots(
     trees: int,
     masks: bool,
     shared_pmats: bool,
+    unroll: int = 1,
 ):
     """Pruning recursion, parent-slot layout + power-of-two rescaling.
 
@@ -230,6 +231,7 @@ def _likelihood_kernel_slots(
         n_anc,
         visit,
         tuple(jnp.zeros((1, l_blk), jnp.int32) for _ in range(trees)),
+        unroll=unroll,
     )
 
     ln2 = jnp.float32(0.6931471805599453)
@@ -248,6 +250,132 @@ def _likelihood_kernel_slots(
         out_ref[0, 0, t, :, :] = jnp.full(
             (8, 128), jnp.sum(per_site * weights_row), dtype=jnp.float32
         )
+
+
+def _likelihood_kernel_lanes(
+    slots_ref,  # SMEM (T, 1, n_all) int32 — node -> storage slot
+    prior_ref,  # SMEM (1, Q_pad) f32 — root prior (0 at padded states)
+    seq_ref,  # VMEM (n_leaves, L_BLK) int32
+    pmats_ref,  # VMEM (1, Q_pad, Q_pad) f32 — ONE shared P (ranking regime)
+    weight_ref,  # VMEM (1, 8, L_BLK) f32 — row 0 = per-site weights
+    out_ref,  # VMEM (1, 1, T, 8, 128) f32; per-block log-lik sums at [...,t,0,0]
+    part_ref,  # VMEM scratch (n_all * Q_pad, T * L_BLK) f32 — slot rows,
+    #            tree t in lanes [t*L_BLK, (t+1)*L_BLK)
+    *,
+    n_leaves: int,
+    n_states: int,
+    q_pad: int,
+    trees: int,
+    masks: bool,
+    unroll: int = 1,
+    rescale_every: int = 1,
+):
+    """Pruning recursion with T trees side-by-side in the LANE dimension.
+
+    The ``slots`` kernel unrolls T independent trees inside each ancestor
+    step to hide operand latency, but every per-tree body re-issues its own
+    dynamic-address read, Q-FMA message chain, rescale chain, and write —
+    the instruction count grows linearly in T while the (8,128)-register
+    lane work per instruction stays the same. The parent-slot layout makes
+    the per-ancestor READ address ``2a * q_pad`` tree-independent, so
+    storing tree t's partials in lanes ``[t*L, (t+1)*L)`` of one wide
+    buffer turns the whole step into single wide-tile ops:
+
+    - ONE contiguous (2*Q_pad, T*L) read serves every tree;
+    - the Q broadcast-FMA messages, the combine multiply, the max-rescale,
+      and the int32 exponent bookkeeping all issue once on (Q_pad, T*L)
+      tiles (the exponent sums ride ONE (1, T*L) carry);
+    - only the result write stays per-tree (T dynamic-sublane writes of
+      (Q_pad, L) lane slices — each tree's parent reads a different slot).
+
+    ``rescale_every=k`` rescales only every k-th ancestor step: partials
+    stay exact f32 between rescales and the per-site max shrinks by at
+    most ~2*log2(1/P_min) bits per step, so small k keeps far clear of the
+    f32 underflow floor while dropping most of the per-step max-reduce +
+    exponent chain (see batched_log_likelihood_pallas for the guard).
+    Shared-P only: per-branch P matrices would need per-tree matrices per
+    step, defeating the wide-op point.
+    """
+    n_all = 2 * n_leaves - 1
+    n_anc = n_leaves - 1
+    l_blk = seq_ref.shape[-1]
+    wide = trees * l_blk
+
+    state_iota = jax.lax.broadcasted_iota(jnp.int32, (q_pad, l_blk), 0)
+
+    for i in range(n_leaves):
+        observed = seq_ref[pl.ds(i, 1), :]
+        if masks:
+            onehot = jnp.where((observed >> state_iota) & 1 == 1, 1.0, 0.0)
+        else:
+            onehot = jnp.where(
+                (state_iota == observed)
+                | ((observed < 0) & (state_iota < n_states)),
+                1.0,
+                0.0,
+            )
+        for t in range(trees):
+            s = slots_ref[t, 0, i]
+            part_ref[pl.ds(s * q_pad, q_pad), t * l_blk : (t + 1) * l_blk] = (
+                onehot
+            )
+
+    p_shared = pmats_ref[0, :, :]
+    cols = [p_shared[:, j : j + 1] for j in range(n_states)]
+
+    def visit(a, exp_sum):
+        d12 = part_ref[pl.ds(2 * a * q_pad, 2 * q_pad), :]  # (2Qp, T*L)
+        acc1 = cols[0] * d12[0:1, :]
+        acc2 = cols[0] * d12[q_pad : q_pad + 1, :]
+        for j in range(1, n_states):
+            acc1 = acc1 + cols[j] * d12[j : j + 1, :]
+            acc2 = acc2 + cols[j] * d12[q_pad + j : q_pad + j + 1, :]
+        combined = acc1 * acc2  # (Q_pad, T*L)
+        if rescale_every == 1 or (a + 1) % rescale_every == 0 or (
+            a == n_anc - 1
+        ):
+            m = jnp.max(combined, axis=0, keepdims=True)  # (1, T*L)
+            e = jax.lax.shift_right_logical(
+                jax.lax.bitcast_convert_type(m, jnp.int32), 23
+            )
+            inv = jax.lax.bitcast_convert_type(
+                jax.lax.shift_left(254 - e, 23), jnp.float32
+            )
+            combined = combined * inv
+            exp_sum = exp_sum + (e - 127)
+        for t in range(trees):
+            w = slots_ref[t, 0, n_leaves + a]
+            part_ref[
+                pl.ds(w * q_pad, q_pad), t * l_blk : (t + 1) * l_blk
+            ] = combined[:, t * l_blk : (t + 1) * l_blk]
+        return exp_sum
+
+    if rescale_every == 1:
+        exp_sum = jax.lax.fori_loop(
+            0, n_anc, visit, jnp.zeros((1, wide), jnp.int32), unroll=unroll
+        )
+    else:
+        # The rescale predicate depends on the (static) step index, so the
+        # loop must be fully unrolled for it to stay compile-time.
+        exp_sum = jnp.zeros((1, wide), jnp.int32)
+        for a in range(n_anc):
+            exp_sum = visit(a, exp_sum)
+
+    ln2 = jnp.float32(0.6931471805599453)
+    weights_row = weight_ref[0][0:1, :]  # (1, L_BLK); 0 at padded sites
+    root = part_ref[pl.ds(2 * n_anc * q_pad, q_pad), :]  # (Qp, T*L)
+    site_lik = prior_ref[0, 0] * root[0:1, :]
+    for i in range(1, n_states):
+        site_lik = site_lik + prior_ref[0, i] * root[i : i + 1, :]
+    per_site = (
+        jnp.log(jnp.maximum(site_lik, 1e-30))
+        + exp_sum.astype(jnp.float32) * ln2
+    )  # (1, T*L)
+    for t in range(trees):
+        total = jnp.sum(
+            per_site[:, t * l_blk : (t + 1) * l_blk] * weights_row
+        )
+        out_ref[0, 0, t, :, :] = jnp.full((8, 128), total, dtype=jnp.float32)
 
 
 def _likelihood_kernel_mxu(
@@ -378,7 +506,8 @@ def _likelihood_kernel_mxu(
     jax.jit,
     static_argnames=(
         "n_states", "site_block", "interpret", "trees_per_block",
-        "sequences_are_masks", "layout", "vmem_budget_mb",
+        "sequences_are_masks", "layout", "vmem_budget_mb", "unroll",
+        "rescale_every",
     ),
 )
 def batched_log_likelihood_pallas(
@@ -397,6 +526,8 @@ def batched_log_likelihood_pallas(
     sequences_are_masks: bool = False,
     layout: str = "slots",
     vmem_budget_mb: int | None = None,
+    unroll: int | None = None,
+    rescale_every: int = 1,
 ) -> jax.Array:
     """(B,) log-likelihoods of a candidate batch via the fused kernel.
 
@@ -421,14 +552,34 @@ def batched_log_likelihood_pallas(
             Chosen as default for NUMERICS: one final ``log`` instead of
             n_anc approximate TPU logs makes it ~13x closer to an f64
             oracle (max err 0.058 vs 0.77 lnL at 64 taxa x 1024 sites,
-            B=64) — ranking-relevant. Speed (interleaved A/B, B=1024,
-            T=2): shared-P 126k trees/s vs 117k for "nodes"; per-branch
-            90k vs 98k. "nodes" is the original node-indexed kernel, kept
-            as the A/B and regression baseline.
+            B=64) — ranking-relevant. "lanes" packs T trees side by side
+            in the lane dimension against one shared P (the ranking
+            regime's fast path; same power-of-two numerics). "nodes" is
+            the original node-indexed kernel, kept as the A/B baseline;
+            "mxu" routes messages through block-diag matmuls (measured 4x
+            SLOWER — MXU pipeline latency on a dependent chain; kept as
+            the recorded negative result). Round-3 interleaved A/B at 64
+            taxa x 1k, B=1024, shared-P: lanes-T4-re4 196k trees/s >
+            slots-T2-unroll 173k > slots-T2 126k > nodes-T2 116k > mxu
+            44k; see benchmarks/speed_of_light.md "Pruning kernel".
+        unroll: ancestor-loop unroll factor (-1 = full). Full unroll
+            measured +37% on "slots" (the dependent chain exposes no ILP
+            without it); "lanes" with rescale_every > 1 is always fully
+            unrolled (static rescale predicate).
+        rescale_every: rescale every k-th ancestor step (lanes only;
+            1 <= k <= 4). Between rescales the combine step squares the
+            magnitude, so k=4 bounds exponents to ~2^4 extra bits — safe
+            in f32 — while dropping most of the per-step max/exponent
+            chain (measured +6% over k=1).
     """
     batch = topologies.children.shape[0]
     n_anc = topologies.children.shape[-2]
     n_leaves = n_anc + 1
+    if unroll is None:
+        # Full unroll measured +37% (slots, 64 taxa); compile time scales
+        # with T * n_anc, so follow the Fitch dispatch policy and unroll
+        # fully only for small trees.
+        unroll = -1 if n_anc <= 64 else 1
     n_all = 2 * n_leaves - 1
     length = leaf_sequences.shape[-1]
     q = n_states
@@ -439,7 +590,7 @@ def batched_log_likelihood_pallas(
         # 8 MB was tuned for the FMA kernels; the mxu kernel wants bigger
         # site blocks (fewer grid instances amortize the per-block leaf
         # init) and v5e has 128 MB of VMEM to spend.
-        vmem_budget_mb = 48 if layout == "mxu" else 8
+        vmem_budget_mb = 48 if layout in ("mxu", "lanes") else 8
     if site_block is None:
         site_block = _round_up(length, _LANES) if length <= 2048 else 2048
         # Keep T partial tables within a VMEM budget; blocks must stay
@@ -449,6 +600,16 @@ def batched_log_likelihood_pallas(
             > vmem_budget_mb * 1024 * 1024
             and site_block > _LANES
         ):
+            site_block = _round_up(site_block // 2, _LANES)
+        # The lanes kernel's wide buffers are (rows, trees * site_block);
+        # Mosaic fails to compile past 2048 lanes (measured: T4 x 1024
+        # dies in the compile helper, T4 x 512 runs), so cap the product.
+        while layout == "lanes" and trees * site_block > 2048:
+            if site_block == _LANES:
+                raise ValueError(
+                    f"layout='lanes' supports trees_per_block <= "
+                    f"{2048 // _LANES}, got {trees}"
+                )
             site_block = _round_up(site_block // 2, _LANES)
     padded_len = _round_up(length, site_block)
     seqs = leaf_sequences.astype(jnp.int32)
@@ -495,8 +656,19 @@ def batched_log_likelihood_pallas(
             [x, jnp.broadcast_to(x[-1:], (reps,) + x.shape[1:])]
         )
 
+    if layout == "lanes" and not shared:
+        raise ValueError(
+            "layout='lanes' packs trees into lanes against ONE shared P; "
+            "use 'slots' for per-branch transition matrices"
+        )
+    if not 1 <= rescale_every <= 4:
+        # Between rescales ``combined = m1 * m2`` SQUARES the magnitude, so
+        # the exponent doubles per unrescaled step: after k steps partials
+        # reach ~2^(±2^k). k=4 keeps |exponent| <= ~32 (safe in f32);
+        # k=8 overflows/underflows outright (measured: total-lnL error 5e4).
+        raise ValueError(f"rescale_every must be in [1, 4], got {rescale_every}")
     node_of_slot = None
-    if layout in ("slots", "mxu"):
+    if layout in ("slots", "mxu", "lanes"):
         from trex_tpu.ops.sankoff_pallas import _parent_slot_layout
 
         slots3 = _parent_slot_layout(children)  # (padded_B, n_all)
@@ -614,6 +786,47 @@ def batched_log_likelihood_pallas(
         )(slots, prior, seqs, pmats, weights_tiled)
         scores = jnp.sum(block_ll[:, :, :, 0, 0], axis=1)  # (B//T, T)
         return scores.reshape(padded_batch)[:batch]
+    if layout == "lanes":
+        kernel = functools.partial(
+            _likelihood_kernel_lanes,
+            n_leaves=n_leaves,
+            n_states=q,
+            q_pad=q_pad,
+            trees=trees,
+            masks=sequences_are_masks,
+            unroll=n_anc if unroll == -1 else unroll,
+            rescale_every=rescale_every,
+        )
+        block_ll = pl.pallas_call(
+            kernel,
+            grid=(padded_batch // trees, n_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (trees, 1, n_all), lambda b, l: (b, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, q_pad), lambda b, l: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec((n_leaves, site_block), lambda b, l: (0, l)),
+                pl.BlockSpec((1, q_pad, q_pad), lambda b, l: (0, 0, 0)),
+                pl.BlockSpec((1, 8, site_block), lambda b, l: (l, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, trees, 8, 128), lambda b, l: (b, l, 0, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (padded_batch // trees, n_blocks, trees, 8, 128), jnp.float32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (n_all * q_pad, trees * site_block), jnp.float32
+                ),
+            ],
+            interpret=interpret,
+        )(slots, prior, seqs, pmats, weights_tiled)
+        scores = jnp.sum(block_ll[:, :, :, 0, 0], axis=1)  # (B//T, T)
+        return scores.reshape(padded_batch)[:batch]
     if layout == "slots":
         kernel = functools.partial(
             _likelihood_kernel_slots,
@@ -623,6 +836,7 @@ def batched_log_likelihood_pallas(
             trees=trees,
             masks=sequences_are_masks,
             shared_pmats=shared,
+            unroll=n_anc if unroll == -1 else unroll,
         )
         block_ll = pl.pallas_call(
             kernel,

@@ -134,10 +134,11 @@ def ml_hill_climb(
                 batched_log_likelihood_pallas,
             )
 
-            # T=2 measured fastest on v5e at 64 taxa (interleaved: ~96k
-            # trees/s vs 78k at T=1 and 84k at T=4; T=8 fails to compile —
-            # f32 DP tables are 8x the Fitch bitsets, so the sweet spot is
-            # lower than the Fitch kernel's). All ranking branches share
+            # Ranking config measured fastest on v5e at 64 taxa x 1k sites
+            # (round-3 interleaved sweep, benchmarks/lik_sweep*.py):
+            # trees-in-lanes layout, T=4, rescale every 4th ancestor —
+            # 196k trees/s vs 126k for the round-2 slots-T2 default (the
+            # full-unroll slots path is 173k). All ranking branches share
             # one fixed length, so ONE (Q, Q) matrix feeds the kernel's
             # shared-transition fast path (skips the (B, n_all, Q, Q)
             # materialization, a ~19 ms/call fixed overhead at B=1024).
@@ -149,7 +150,8 @@ def ml_hill_climb(
                 )
             )
             return -batched_log_likelihood_pallas(
-                topos, blens, leaves, n_states, trees_per_block=2,
+                topos, blens, leaves, n_states, trees_per_block=4,
+                layout="lanes", rescale_every=4,
                 shared_transition=shared, root_prior=prior,
                 sequences_are_masks=sequences_are_masks,
                 site_weights=site_weights,
