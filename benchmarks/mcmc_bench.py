@@ -33,6 +33,7 @@ def main() -> None:
     ap.add_argument("--branch-moves", type=int, default=2)
     ap.add_argument("--proposal", default="both",
                     choices=["informed", "uniform", "both"])
+    ap.add_argument("--informed-power", type=float, default=0.5)
     ap.add_argument("--sample-every", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -67,13 +68,14 @@ def main() -> None:
             sample_every=args.sample_every, burnin_frac=0.0,
             branch_moves_per_gen=args.branch_moves,
             topo_proposal=proposal,
+            topo_informed_power=args.informed_power,
         )
-        # Warmup (compiles every kernel shape — one full sample block, same
-        # sample_every so block_fn's compiled shape is reused), then the
-        # timed run.
+        # Warmup with the FULL generation count: the superblock dispatch
+        # compiles per distinct blocks-per-dispatch size, so a short
+        # warmup would leave a fresh compile inside the timed run.
         mcmc_sample(
             jax.random.PRNGKey(1), leaves, 4,
-            n_generations=args.sample_every, **common,
+            n_generations=args.generations, **common,
         )
         t0 = time.perf_counter()
         res = mcmc_sample(
@@ -96,6 +98,9 @@ def main() -> None:
                     "sites": args.sites,
                     "chains_total": n_total,
                     "proposal": proposal,
+                    "informed_power": (
+                        args.informed_power if proposal == "informed" else None
+                    ),
                     "generations_per_s": round(args.generations / dt, 2),
                     "tree_evals_per_s": round(
                         args.generations * evals_per_gen / dt

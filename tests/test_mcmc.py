@@ -125,13 +125,17 @@ def _all_rooted_5leaf(start: Topology) -> dict[bytes, Topology]:
     return seen
 
 
-@pytest.mark.parametrize("n_chains", [1, 3])
-def test_topology_posterior_matches_enumeration(n_chains):
+@pytest.mark.parametrize(
+    "n_chains,informed_power", [(1, 0.5), (3, 0.5), (1, 0.2)]
+)
+def test_topology_posterior_matches_enumeration(n_chains, informed_power):
     """Sampled topology frequencies vs the exact 105-tree posterior.
 
     Branch lengths fixed (all equal) so the exact posterior is a softmax
     of per-tree log-likelihoods; n_chains=3 additionally exercises the
-    MC^3 swap machinery (the cold posterior must be unchanged)."""
+    MC^3 swap machinery (the cold posterior must be unchanged), and
+    informed_power=0.2 pins that a softened proposal weight still targets
+    the SAME posterior (only the Hastings factor changes)."""
     truth = _single(5, 5)
     bl = 0.2
     from trex_tpu.models.simulate import simulate_alignment
@@ -164,6 +168,7 @@ def test_topology_posterior_matches_enumeration(n_chains):
         jax.random.PRNGKey(3), leaves, 4,
         n_generations=12000, n_runs=1, n_chains=n_chains, sample_every=2,
         burnin_frac=0.15, branch_moves_per_gen=0, topo_moves=True,
+        topo_informed_power=informed_power,
         start=truth, start_lengths=np.full(9, bl, np.float32),
     )
     counts: dict[bytes, int] = {}

@@ -540,6 +540,7 @@ def mcmc_sample(
     branch_moves_per_gen: int = 1,
     topo_moves: bool = True,
     topo_proposal: str = "informed",
+    topo_informed_power: float = 0.5,
     brlen_prior_mean: float = 0.1,
     tuning: float = 1.4,
     start: Topology | None = None,
@@ -565,10 +566,14 @@ def mcmc_sample(
     One *generation* = ``branch_moves_per_gen`` single-branch multiplier
     moves, one model-simplex round (sampled-model mode), one NNI topology
     Metropolis round, and one MC^3 swap proposal per run — ALL constructed
-    and accepted on device. ``sample_every`` generations form one jitted
-    block; the host dispatches blocks asynchronously and only synchronizes
-    at checkpoint/progress boundaries, so a remote-tunnel TPU's ~20 ms RTT
-    is paid per checkpoint, not per generation.
+    and accepted on device. ``sample_every`` generations form one sample
+    block, and up to 64 blocks between host boundaries
+    (checkpoint/progress/stop) run as ONE dispatch (``superblock_fn``:
+    a device-side scan stacking the cold-chain snapshots), so a remote
+    tunnel's fixed ~0.2 s/dispatch cost is paid per superblock, not per
+    sample block — measured 21 -> 131 gen/s end-to-end on the uniform
+    sampler at 64 taxa x 2048 sites x 8 chains (2026-08-21,
+    benchmarks/mcmc_bench.py).
 
     Args:
         leaf_sequences: (n_leaves, L) int states (or bitmasks with
@@ -586,6 +591,12 @@ def mcmc_sample(
             scorers are fastest at. "nni" draws a neighbor uniformly
             (symmetric, 1 eval/chain/generation) — cheaper per generation
             but mixes far slower on peaked posteriors.
+        topo_informed_power: weight exponent p of the informed proposal
+            (neighbor weights ``posterior^(p * beta)``). p = 0.5 is the
+            locally-balanced sqrt weight; on strongly peaked posteriors
+            a smaller p softens the near-deterministic pick and raises
+            acceptance (measured ESS/s comparison in
+            benchmarks/speed_of_light.md).
         rates / freqs / gamma_shape: optional fixed substitution model
             (empirical-Bayes: fit once with ``optimize_model``); default JC69.
         sample_model: FULL Bayes over the GTR model — per-chain
@@ -795,9 +806,15 @@ def mcmc_sample(
 
         if do_topo:
             if topo_proposal == "informed":
-                # Forward: draw y ~ exp(beta/2 lnl) over N(x) (the branch
-                # prior is invariant under the carry, so it cancels); the
-                # Hastings factor is the ratio of neighborhood normalizers.
+                # Forward: draw y ~ exp(p * beta * lnl) over N(x), p =
+                # topo_informed_power (the branch prior is invariant under
+                # the carry, so it cancels). With weight exponent g = p*b:
+                # alpha = pi(y) q(x|y) / (pi(x) q(y|x))
+                #       = exp((1-p) b (lnl_y - lnl_x)) * Z_x / Z_y.
+                # p = 1/2 is the locally-balanced sqrt weight; smaller p
+                # softens the pick on peaked posteriors (at 64 taxa x 2048
+                # sites the sqrt weight is near-deterministic and the
+                # normalizer correction rejects ~97% of proposals).
                 # Neighbor lnLs come from the analytic rescoring scan when
                 # available (one up/down pass per chain instead of 2(n-2)
                 # prunings), and only the PICKED neighbor is constructed.
@@ -815,7 +832,7 @@ def mcmc_sample(
                         nbr_l.reshape(-1, n_all),
                         rep_r, rep_f,
                     ).reshape(n_total, n_nbr)
-                logw_x = 0.5 * beta[:, None] * lnl_x_nbr
+                logw_x = topo_informed_power * beta[:, None] * lnl_x_nbr
                 z_x = jax.nn.logsumexp(logw_x, axis=1)
                 k, k_pick, k_acc = jax.random.split(k, 3)
                 pick = jax.random.categorical(k_pick, logw_x, axis=1)
@@ -838,9 +855,13 @@ def mcmc_sample(
                         rep_r, rep_f,
                     ).reshape(n_total, n_nbr)
                 z_y = jax.nn.logsumexp(
-                    0.5 * beta[:, None] * lnl_y_nbr, axis=1
+                    topo_informed_power * beta[:, None] * lnl_y_nbr, axis=1
                 )
-                log_alpha = 0.5 * beta * (prop_lnl - lnl) + z_x - z_y
+                log_alpha = (
+                    (1.0 - topo_informed_power) * beta * (prop_lnl - lnl)
+                    + z_x
+                    - z_y
+                )
             else:  # plain uniform NNI (symmetric; 1 eval of C trees)
                 k, k_edge, k_var, k_acc = jax.random.split(k, 4)
                 edge = jax.random.randint(k_edge, (n_total,), 0, n_anc - 1)
@@ -878,18 +899,34 @@ def mcmc_sample(
 
         return (children, lengths, lnl, rates_v, freqs_v, k, acc)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def block_fn(state):
-        """``sample_every`` generations + one cold-chain snapshot."""
-        state = jax.lax.fori_loop(
-            0, sample_every, lambda _, s: gen_step(s), state
-        )
-        children, lengths, lnl, rates_v, freqs_v, _, _ = state
-        sample = (
-            children[cold], lengths[cold], lnl[cold],
-            rates_v[cold], freqs_v[cold],
-        )
-        return state, sample
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
+    def superblock_fn(state, n_blocks):
+        """``n_blocks`` sample blocks in ONE dispatch, samples stacked.
+
+        A single dispatch through the remote tunnel costs ~0.2 s
+        regardless of content (measured: a swap-only generation ran at
+        24.5 ms/gen with one dispatch per 10-generation block, while the
+        dating sampler's single-scan design does 16 ms/gen INCLUDING its
+        moves). Scanning blocks on device and stacking the cold-chain
+        snapshots amortizes that fixed cost across every block between
+        host boundaries (checkpoint/progress/stop), which is what makes
+        the topology sampler dispatch-light like ``mcmc_date``. The
+        per-generation graph is unchanged, so trajectories are
+        bit-identical to the one-block-per-dispatch layout (the resume
+        test pins this).
+        """
+
+        def one_block(s, _):
+            s = jax.lax.fori_loop(
+                0, sample_every, lambda _, t: gen_step(t), s
+            )
+            children, lengths, lnl, rates_v, freqs_v, _, _ = s
+            return s, (
+                children[cold], lengths[cold], lnl[cold],
+                rates_v[cold], freqs_v[cold],
+            )
+
+        return jax.lax.scan(one_block, state, None, length=n_blocks)
 
     total_blocks = n_generations // sample_every
     trailing = n_generations - total_blocks * sample_every
@@ -950,21 +987,22 @@ def mcmc_sample(
     pending: list[tuple[int, tuple]] = []
 
     def flush_pending():
-        for blk, sample in pending:
-            gen = blk * sample_every
-            if gen <= n_burnin:
-                continue
+        for first_blk, samples in pending:
             s_children, s_lengths, s_lnl, s_rates, s_freqs = (
-                np.asarray(x) for x in jax.device_get(sample)
+                np.asarray(x) for x in jax.device_get(samples)
             )
-            for r in range(n_runs):
-                samples_children.append(s_children[r])
-                samples_lengths.append(s_lengths[r])
-                samples_lnl.append(float(s_lnl[r]))
-                samples_run.append(r)
-                if sample_model:
-                    samples_rates.append(s_rates[r])
-                    samples_freqs.append(s_freqs[r])
+            for i in range(s_children.shape[0]):
+                gen = (first_blk + i) * sample_every
+                if gen <= n_burnin:
+                    continue
+                for r in range(n_runs):
+                    samples_children.append(s_children[i, r])
+                    samples_lengths.append(s_lengths[i, r])
+                    samples_lnl.append(float(s_lnl[i, r]))
+                    samples_run.append(r)
+                    if sample_model:
+                        samples_rates.append(s_rates[i, r])
+                        samples_freqs.append(s_freqs[i, r])
         pending.clear()
 
     def write_checkpoint(state, gens_now):
@@ -1018,13 +1056,23 @@ def mcmc_sample(
     )
     executed = 0
     stopped_early = False
-    for blk in range(blocks_done + 1, total_blocks + 1):
-        state, sample = block_fn(state)
-        pending.append((blk, sample))
-        executed += 1
+    blk = blocks_done
+    max_dispatch = 64  # blocks per dispatch between host boundaries
+    while blk < total_blocks:
+        g = min(max_dispatch, total_blocks - blk)
+        if ckpt_path is not None:
+            g = min(g, ck_blocks - (blk % ck_blocks))
+        if prog_blocks:
+            g = min(g, prog_blocks - (blk % prog_blocks))
+        if stop_blocks is not None:
+            g = max(1, min(g, stop_blocks - executed))
+        state, samples = superblock_fn(state, g)
+        pending.append((blk + 1, samples))
+        executed += g
+        blk += g
         gens_done = blk * sample_every
         if prog_blocks and blk % prog_blocks == 0:
-            lnl_cold = np.asarray(jax.device_get(pending[-1][1][2]))
+            lnl_cold = np.asarray(jax.device_get(pending[-1][1][2]))[-1]
             cold_str = " ".join(f"{v:.2f}" for v in lnl_cold)
             print(f"[mcmc] gen {gens_done}/{n_generations} cold lnL: {cold_str}")
         at_stop = (
