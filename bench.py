@@ -79,7 +79,7 @@ def bench_mcmc() -> None:
     from trex_tpu.models.simulate import simulate_alignment
     from trex_tpu.search.mcmc import mcmc_sample
 
-    leaves_n, sites, chains, gens = 64, 2048, 8, 60
+    leaves_n, sites, chains = 64, 2048, 8
     truth = jax.tree_util.tree_map(
         lambda x: x[0], sample_topologies(3, leaves_n, 1)
     )
@@ -91,13 +91,25 @@ def bench_mcmc() -> None:
     common = dict(
         n_runs=1, n_chains=chains, sample_every=20, burnin_frac=0.0,
         branch_moves_per_gen=2, topo_proposal="informed",
+        topo_informed_power=0.2,
     )
-    mcmc_sample(jax.random.PRNGKey(1), leaves, 4, n_generations=20, **common)
-    t0 = time.perf_counter()
-    mcmc_sample(
-        jax.random.PRNGKey(2), leaves, 4, n_generations=gens, **common
-    )
-    rate = gens / (time.perf_counter() - t0)
+    # Every mcmc_sample call re-jits its generation program (the closure
+    # is call-local), so a single timed call is compile-dominated. The
+    # MARGINAL rate between a short and a long run of equal program size
+    # cancels the per-call compile + summary overhead and reports the
+    # sampler's actual marching rate.
+    g_short, g_long = 640, 1280
+
+    def timed(gens):
+        t0 = time.perf_counter()
+        mcmc_sample(
+            jax.random.PRNGKey(2), leaves, 4, n_generations=gens, **common
+        )
+        return time.perf_counter() - t0
+
+    t_short = timed(g_short)
+    t_long = timed(g_long)
+    rate = (g_long - g_short) / max(t_long - t_short, 1e-9)
     # Baseline = round-1's 3.8 gen/s at this scale (host-side proposals).
     _emit("topology MCMC gen/s (64 taxa, 2048 sites, 8 chains)", rate,
           "gen/s", rate / 3.8)

@@ -45,6 +45,8 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3,
                     help="SPR-scan climb rounds to time (cap)")
     ap.add_argument("--branch-length", type=float, default=0.1)
+    ap.add_argument("--budget-mb", type=int, default=2048,
+                    help="SPR-scan working-set budget (MB)")
     args = ap.parse_args()
 
     from trex_tpu.models.simulate import simulate_alignment
@@ -72,7 +74,7 @@ def main() -> None:
     if args.start == "stepwise":
         start, start_score = stepwise_addition(seqs, 4)
     else:
-        start = nj_start_tree(seqs, 4)
+        start, _ = nj_start_tree(seqs, 4)
         start_score = -1.0
     emit(phase=f"start-{args.start}", taxa=n, sites=length,
          seconds=round(time.perf_counter() - t0, 1),
@@ -84,7 +86,8 @@ def main() -> None:
     cost = CostModel.hamming(4).matrix
     t0 = time.perf_counter()
     res = parsimony_hill_climb(
-        start, cost, seqs, max_rounds=args.rounds, neighborhood="spr-scan"
+        start, cost, seqs, max_rounds=args.rounds, neighborhood="spr-scan",
+        scan_budget_bytes=args.budget_mb << 20,
     )
     dt = time.perf_counter() - t0
     emit(phase="spr-scan-climb", taxa=n, sites=length,

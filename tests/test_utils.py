@@ -125,3 +125,22 @@ def test_top_level_exports():
 
     for name in trex_tpu.__all__:
         assert getattr(trex_tpu, name) is not None
+
+
+def test_auto_prune_chunk_guard():
+    """The scan-memory guard engages exactly at the budget boundary."""
+    from trex_tpu.utils.chunking import auto_prune_chunk
+
+    # Fits: 10 prunes x 1 MB << 2 GB default budget.
+    assert auto_prune_chunk(10, 1 << 20) is None
+    # Exceeds: chunk bounds the working set to <= budget.
+    chunk = auto_prune_chunk(4095, 4096 * 4096 * 8)
+    assert chunk is not None and 1 <= chunk
+    assert chunk * 4096 * 4096 * 8 <= 2 << 30
+    # The 2048-taxa x 4096-sites chip probe config (scale_probe.py).
+    assert auto_prune_chunk(4094, 4095 * 4096 * 8) == (2 << 30) // (4095 * 4096 * 8)
+    # Degenerate: per-prune bigger than budget still makes progress.
+    assert auto_prune_chunk(8, (2 << 30) + 1) == 1
+    # Custom budget: fits exactly -> no chunking; one byte less -> chunks.
+    assert auto_prune_chunk(100, 10, budget_bytes=1000) is None
+    assert auto_prune_chunk(100, 10, budget_bytes=999) == 99

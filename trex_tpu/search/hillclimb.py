@@ -150,6 +150,7 @@ def parsimony_hill_climb(
     tbr_budget: int = 16384,
     constraint_splits: list[frozenset[int]] | None = None,
     constraint_taxa: frozenset[int] | None = None,
+    scan_budget_bytes: int = 2 << 30,
 ) -> SearchResult:
     """Greedy hill climb from ``start``; stops at a local optimum.
 
@@ -220,6 +221,7 @@ def parsimony_hill_climb(
             start, leaf_sequences, max_rounds,
             site_weights=site_weights,
             sequences_are_masks=sequences_are_masks,
+            scan_budget_bytes=scan_budget_bytes,
         )
 
     if score_batch_fn is None:
@@ -327,6 +329,7 @@ def _spr_scan_climb(
     *,
     site_weights: jax.Array | None,
     sequences_are_masks: bool,
+    scan_budget_bytes: int = 2 << 30,
 ) -> SearchResult:
     """Hill climb where each round is ONE analytic all-SPR scan.
 
@@ -343,13 +346,12 @@ def _spr_scan_climb(
     from trex_tpu.ops.spr_scan import spr_scan
 
     # Bound the scan's peak (chunk x nodes x sites) set tensors to ~2 GB.
+    from trex_tpu.utils.chunking import auto_prune_chunk
+
     n_all = start.n_all
     length = leaf_sequences.shape[-1]
-    full_bytes = (n_all - 1) * n_all * length * 4 * 2
-    budget = 2 << 30
-    prune_chunk = (
-        None if full_bytes <= budget
-        else max(1, budget // (n_all * length * 8))
+    prune_chunk = auto_prune_chunk(
+        n_all - 1, n_all * length * 4 * 2, scan_budget_bytes
     )
 
     current = start

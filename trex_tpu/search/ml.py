@@ -375,11 +375,10 @@ def _ml_scan_climb(
     n_all = start.n_all
     length = leaf_sequences.shape[-1]
     # f32 (Q+1)-wide set tensors x (inside + upstream): ~2 GB working set.
-    per_prune = n_all * length * (n_states + 1) * 4 * 2
-    budget = 2 << 30
-    prune_chunk = (
-        None if (n_all - 1) * per_prune <= budget
-        else max(1, budget // per_prune)
+    from trex_tpu.utils.chunking import auto_prune_chunk
+
+    prune_chunk = auto_prune_chunk(
+        n_all - 1, n_all * length * (n_states + 1) * 4 * 2
     )
 
     current = start
@@ -460,11 +459,10 @@ def ml_partitioned_scan_climb(
             leaf = part["leaf_sequences"]
             length = leaf.shape[-1]
             q = n_states
-            per_prune = n_all * length * (q + 1) * 4 * 2
-            budget = 2 << 30
-            prune_chunk = (
-                None if (n_all - 1) * per_prune <= budget
-                else max(1, budget // per_prune)
+            from trex_tpu.utils.chunking import auto_prune_chunk
+
+            prune_chunk = auto_prune_chunk(
+                n_all - 1, n_all * length * (q + 1) * 4 * 2
             )
             mult = float(part.get("rate_multiplier", 1.0))
             scores, base = likelihood_spr_scan(
