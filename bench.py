@@ -91,25 +91,41 @@ def bench_mcmc() -> None:
     common = dict(
         n_runs=1, n_chains=chains, sample_every=20, burnin_frac=0.0,
         branch_moves_per_gen=2, topo_proposal="informed",
-        topo_informed_power=0.2,
     )
-    # Every mcmc_sample call re-jits its generation program (the closure
-    # is call-local), so a single timed call is compile-dominated. The
-    # MARGINAL rate between a short and a long run of equal program size
-    # cancels the per-call compile + summary overhead and reports the
-    # sampler's actual marching rate.
-    g_short, g_long = 640, 1280
+    # mcmc_sample re-traces its generation program per call, but the XLA
+    # executable is compile-cached across calls, so ONE warmup run with the
+    # SAME generation count leaves no fresh compile inside the timed run
+    # (the benchmarks/mcmc_bench.py pattern — the round-3 marginal-rate
+    # scheme here differenced two COLD calls of different program sizes and
+    # produced a 640e9 gen/s artifact, BENCH_r03).
+    gens = 640
 
-    def timed(gens):
+    def timed(seed):
         t0 = time.perf_counter()
         mcmc_sample(
-            jax.random.PRNGKey(2), leaves, 4, n_generations=gens, **common
+            jax.random.PRNGKey(seed), leaves, 4, n_generations=gens, **common
         )
         return time.perf_counter() - t0
 
-    t_short = timed(g_short)
-    t_long = timed(g_long)
-    rate = (g_long - g_short) / max(t_long - t_short, 1e-9)
+    timed(1)  # warmup: compiles every superblock size the run uses
+    dt = timed(2)
+    rate = gens / dt
+    # Sanity envelope: speed_of_light.md records 57-131 gen/s at this
+    # config; anything past 100x that (or a sub-100ms wall) is a
+    # measurement artifact, not a rate — refuse to report it.
+    if dt < 0.1 or rate > 100 * 131.0:
+        print(
+            json.dumps(
+                {
+                    "metric": "topology MCMC gen/s (64 taxa, 2048 sites, "
+                    "8 chains)",
+                    "error": "unstable-measurement",
+                    "wall_s": round(dt, 4),
+                }
+            ),
+            flush=True,
+        )
+        return
     # Baseline = round-1's 3.8 gen/s at this scale (host-side proposals).
     _emit("topology MCMC gen/s (64 taxa, 2048 sites, 8 chains)", rate,
           "gen/s", rate / 3.8)
@@ -196,16 +212,32 @@ def bench_fitch() -> None:
         scores.block_until_ready()
 
     # Best of 3 timed trials (steady-state throughput, robust to transient
-    # tunnel stalls).
-    best = float("inf")
+    # tunnel stalls). Emit every trial's rate on a canary line first so a
+    # round-over-round headline shift is diagnosable as session noise vs a
+    # regression (BENCH_r02 -> r03 slid 897k -> 793k with no in-artifact
+    # spread to adjudicate it).
+    trials = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(reps):
             scores = score_fn(topos, cost, leaf)
         scores.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+        trials.append(time.perf_counter() - t0)
 
-    trees_per_s = batch * reps / best
+    rates = [batch * reps / t for t in trials]
+    print(
+        json.dumps(
+            {
+                "metric": "candidate-tree evals/s trial spread",
+                "trials": [round(r, 1) for r in rates],
+                "spread_pct": round(
+                    100 * (max(rates) - min(rates)) / max(rates), 2
+                ),
+            }
+        ),
+        flush=True,
+    )
+    trees_per_s = max(rates)
     _emit("candidate-tree evals/s/chip (64 taxa, 1k sites)", trees_per_s,
           "trees/s", trees_per_s / 10000.0)
 

@@ -72,3 +72,34 @@ def test_efficiency_model_limits():
     e1 = predicted_efficiency(cs, 1e-3, 1e9)
     e2 = predicted_efficiency(cs, 1e-3, 1e10)
     assert e2 > e1
+
+
+def test_round4_driver_collectives():
+    """Rows for the mesh-native driver paths (hill-climb scan, MCMC)."""
+    from trex_tpu.parallel.comm_model import (
+        mcmc_generation_collectives,
+        spr_scan_collectives,
+    )
+
+    mesh_shape = {"tree": 4, "site": 2}
+    scan = spr_scan_collectives(mesh_shape, n_all=127)
+    assert [c.op for c in scan] == ["all_gather"]
+    assert scan[0].payload_bytes == 126 * 127 * 4
+    # 4-way ring all_gather ships 3/4 of the result per device.
+    assert scan[0].wire_bytes_per_device == (3 * 126 * 127 * 4) // 4
+
+    gen = mcmc_generation_collectives(
+        mesh_shape, n_runs=2, n_chains=4, n_anc=63, n_all=127,
+        branch_moves_per_gen=2,
+    )
+    ops = [c.op for c in gen]
+    assert ops.count("psum") == 3  # branch + topo + swap counters
+    assert ops.count("permute") == 1
+    perm = next(c for c in gen if c.op == "permute")
+    # Worst case: both runs' swapped pairs straddle shard boundaries.
+    assert perm.payload_bytes == 2 * 2 * (63 * 2 * 4 + 127 * 4 + 4)
+    # Single-chain runs have no swap.
+    solo = mcmc_generation_collectives(
+        mesh_shape, n_runs=2, n_chains=1, n_anc=63, n_all=127
+    )
+    assert all(c.op == "psum" for c in solo)

@@ -126,7 +126,7 @@ def _all_rooted_5leaf(start: Topology) -> dict[bytes, Topology]:
 
 
 @pytest.mark.parametrize(
-    "n_chains,informed_power", [(1, 0.5), (3, 0.5), (1, 0.2)]
+    "n_chains,informed_power", [(1, 0.5), (3, 0.5), (1, 0.2), (1, 0.1)]
 )
 def test_topology_posterior_matches_enumeration(n_chains, informed_power):
     """Sampled topology frequencies vs the exact 105-tree posterior.
@@ -134,8 +134,9 @@ def test_topology_posterior_matches_enumeration(n_chains, informed_power):
     Branch lengths fixed (all equal) so the exact posterior is a softmax
     of per-tree log-likelihoods; n_chains=3 additionally exercises the
     MC^3 swap machinery (the cold posterior must be unchanged), and
-    informed_power=0.2 pins that a softened proposal weight still targets
-    the SAME posterior (only the Hastings factor changes)."""
+    informed_power=0.2 / 0.1 (the production default, the measured ESS/s
+    winner) pin that a softened proposal weight still targets the SAME
+    posterior (only the Hastings factor changes)."""
     truth = _single(5, 5)
     bl = 0.2
     from trex_tpu.models.simulate import simulate_alignment

@@ -288,3 +288,111 @@ def test_dating_chains_shard_bit_identically(mesh):
     np.testing.assert_allclose(
         sharded.sample_lnl, plain.sample_lnl, rtol=1e-5
     )
+
+
+def test_hill_climb_mesh_matches_single_device(mesh):
+    """A mesh-routed hill climb is bit-identical to single-device.
+
+    Both neighborhoods: enumerating NNI (candidate batch sharded over
+    'tree', sites over 'site' — integer-valued site sums make the psum
+    reorder exact) and spr-scan (prune axis sharded). The site length 56
+    is deliberately NOT divisible by the 4-wide site axis, exercising the
+    weight-0 state-0 column padding.
+    """
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.search.hillclimb import parsimony_hill_climb
+    from trex_tpu.topology import random_topologies
+
+    n_leaves, q = 10, 4
+    truth = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.PRNGKey(40), n_leaves, 1)
+    )
+    blens = np.full((truth.n_all,), 0.25, np.float32)
+    leaves = jnp.asarray(
+        simulate_alignment(jax.random.PRNGKey(41), truth, blens, n_sites=56)
+    )
+    start = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.PRNGKey(42), n_leaves, 1)
+    )
+    cost = CostModel.hamming(q).matrix
+    for nbhd in ("nni", "spr-scan"):
+        plain = parsimony_hill_climb(
+            start, cost, leaves, neighborhood=nbhd, max_rounds=6
+        )
+        meshed = parsimony_hill_climb(
+            start, cost, leaves, neighborhood=nbhd, max_rounds=6, mesh=mesh
+        )
+        assert meshed.score == plain.score, nbhd
+        assert meshed.trace == plain.trace, nbhd
+        np.testing.assert_array_equal(
+            np.asarray(meshed.topology.children),
+            np.asarray(plain.topology.children),
+        )
+
+
+def test_ml_scan_climb_mesh_matches_single_device(mesh):
+    """ML ranking rounds (analytic likelihood scan) across the mesh."""
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.search.ml import ml_hill_climb
+    from trex_tpu.topology import random_topologies
+
+    n_leaves = 8
+    truth = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.PRNGKey(50), n_leaves, 1)
+    )
+    blens = np.full((truth.n_all,), 0.2, np.float32)
+    leaves = jnp.asarray(
+        simulate_alignment(jax.random.PRNGKey(51), truth, blens, n_sites=64)
+    )
+    start = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.PRNGKey(52), n_leaves, 1)
+    )
+    plain, plain_len, _ = ml_hill_climb(
+        start, leaves, 4, neighborhood="spr-scan", max_rounds=4
+    )
+    meshed, mesh_len, _ = ml_hill_climb(
+        start, leaves, 4, neighborhood="spr-scan", max_rounds=4, mesh=mesh
+    )
+    np.testing.assert_allclose(meshed.score, plain.score, rtol=1e-6)
+    assert len(meshed.trace) == len(plain.trace)
+    np.testing.assert_array_equal(
+        np.asarray(meshed.topology.children),
+        np.asarray(plain.topology.children),
+    )
+    np.testing.assert_allclose(
+        np.asarray(mesh_len), np.asarray(plain_len), rtol=1e-5
+    )
+
+
+def test_mcmc_mesh_bit_identical(mesh):
+    """mcmc_sample with the chain axis sharded over 'tree' reproduces the
+    single-device trajectories exactly (same key): every float op in the
+    generation step is per-chain; only the integer acceptance counters and
+    the MC^3 swap permutation cross shards."""
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.search.mcmc import mcmc_sample
+    from trex_tpu.topology import random_topologies
+
+    n_leaves = 6
+    truth = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.PRNGKey(60), n_leaves, 1)
+    )
+    blens = np.full((truth.n_all,), 0.2, np.float32)
+    leaves = jnp.asarray(
+        simulate_alignment(jax.random.PRNGKey(61), truth, blens, n_sites=64)
+    )
+    kwargs = dict(
+        n_generations=200, n_runs=1, n_chains=4, sample_every=5,
+        burnin_frac=0.1, branch_moves_per_gen=1,
+    )
+    plain = mcmc_sample(jax.random.PRNGKey(62), leaves, 4, **kwargs)
+    meshed = mcmc_sample(jax.random.PRNGKey(62), leaves, 4, mesh=mesh, **kwargs)
+    assert len(plain.sample_lnl) == len(meshed.sample_lnl) > 0
+    np.testing.assert_array_equal(
+        np.stack(meshed.sample_children), np.stack(plain.sample_children)
+    )
+    np.testing.assert_allclose(
+        np.asarray(meshed.sample_lnl), np.asarray(plain.sample_lnl),
+        rtol=1e-7,
+    )
+    assert meshed.acceptance == plain.acceptance

@@ -6,6 +6,40 @@ import argparse
 
 import jax
 
+def _make_cli_mesh(spec: str | None):
+    """Build a ('tree', 'site') mesh from a ``--mesh T,S`` CLI spec.
+
+    ``"T,S"`` = explicit axis sizes (T*S must equal the addressable device
+    count); ``"auto"`` = the ``make_mesh`` heuristic over all devices;
+    None = no mesh (single-device drivers).
+    """
+    if spec is None:
+        return None
+    from trex_tpu.parallel.mesh import make_mesh
+
+    if spec == "auto":
+        return make_mesh()
+    try:
+        t_str, s_str = spec.split(",")
+        t, s = int(t_str), int(s_str)
+    except ValueError:
+        raise SystemExit(f"--mesh wants 'T,S' or 'auto', got {spec!r}")
+    n = len(jax.devices())
+    if t * s != n:
+        raise SystemExit(
+            f"--mesh {t},{s}: {t}*{s} != {n} addressable devices"
+        )
+    return make_mesh(tree_parallelism=t)
+
+
+def _add_mesh_flag(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--mesh", type=str, default=None, metavar="T,S",
+        help="shard work over a ('tree','site') device mesh: T,S axis "
+        "sizes (product = device count) or 'auto'. Default: single device",
+    )
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--leaves", type=int, default=16)
     p.add_argument("--sites", type=int, default=128)

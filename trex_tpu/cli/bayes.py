@@ -9,6 +9,7 @@ import jax.numpy as jnp
 
 from trex_tpu.cli._common import (
     _load_alignment,
+    _make_cli_mesh,
     _outgroup_indices,
 )
 
@@ -85,6 +86,7 @@ def cmd_mcmc(args) -> None:
         sample_every=args.sample_every, burnin_frac=args.burnin,
         branch_moves_per_gen=args.branch_moves,
         topo_proposal=args.proposal,
+        topo_informed_power=args.informed_power,
         brlen_prior_mean=args.brlen_prior_mean,
         site_weights=weights, sequences_are_masks=True,
         rates=rates, freqs=freqs, gamma_shape=gamma_shape,
@@ -93,6 +95,7 @@ def cmd_mcmc(args) -> None:
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         stop_after_generations=args.stop_after,
+        mesh=_make_cli_mesh(getattr(args, "mesh", None)),
     )
     if args.full_bayes and res.sample_freqs is not None:
         out["posterior_freqs"] = [

@@ -35,6 +35,11 @@ def cmd_infer(args) -> None:
         "n_sites": int(masks.shape[1]),
         "unique_patterns": int((np.asarray(weights) > 0).sum()),
     }
+    from trex_tpu.cli._common import _make_cli_mesh
+
+    mesh = _make_cli_mesh(getattr(args, "mesh", None))
+    if mesh is not None:
+        out["mesh"] = dict(mesh.shape)
     if args.criterion == "distance":
         # Pure distance-method tree (NJ/UPGMA) with its own branch lengths:
         # no search. --start picks the agglomeration; default nj.
@@ -163,6 +168,7 @@ def cmd_infer(args) -> None:
                     neighborhood=args.neighborhood,
                     sequences_are_masks=True,
                     site_weights=weights,
+                    mesh=mesh,
                 )
                 out["ml_iterations"] = args.ratchet
             else:
@@ -176,6 +182,7 @@ def cmd_infer(args) -> None:
                     site_weights=weights,
                     constraint_splits=constraint_splits,
                     constraint_taxa=constraint_taxa,
+                    mesh=mesh,
                 )
             if best is None or float(losses[-1]) < float(best[2][-1]):
                 best = (result, lengths, losses)
@@ -283,6 +290,7 @@ def cmd_infer(args) -> None:
                     site_weights=weights,
                     rates=jnp.asarray(params["rates"]),
                     freqs=jnp.asarray(params["freqs"]),
+                    mesh=mesh,
                     **mix_kwargs,
                 )
                 params, model_losses = optimize_model(
@@ -425,6 +433,7 @@ def cmd_infer(args) -> None:
                     neighborhood=args.neighborhood,
                     site_weights=weights,
                     sequences_are_masks=True,
+                    mesh=mesh,
                 )
                 out["ratchet_iterations"] = args.ratchet
             else:
@@ -434,11 +443,17 @@ def cmd_infer(args) -> None:
                     jnp.asarray(patterns),
                     max_rounds=args.rounds,
                     neighborhood=args.neighborhood,
-                    score_batch_fn=None if scan else score_batch,
-                    site_weights=weights if scan else None,
-                    sequences_are_masks=scan,
+                    # With a mesh the climb builds its own sharded scorer
+                    # (weights/masks-aware), so the single-device wrapper
+                    # must stand aside.
+                    score_batch_fn=(
+                        None if scan or mesh is not None else score_batch
+                    ),
+                    site_weights=weights if scan or mesh is not None else None,
+                    sequences_are_masks=scan or mesh is not None,
                     constraint_splits=constraint_splits,
                     constraint_taxa=constraint_taxa,
+                    mesh=mesh,
                 )
             if result is None or attempt.score < result.score:
                 result = attempt

@@ -6,7 +6,7 @@ import argparse
 
 import trex_tpu.cli as _cli_pkg
 
-from trex_tpu.cli._common import _add_common
+from trex_tpu.cli._common import _add_common, _add_mesh_flag
 from trex_tpu.cli.bayes import cmd_bayesfactor, cmd_concord, cmd_date, cmd_mcmc
 from trex_tpu.cli.infer import cmd_infer
 from trex_tpu.cli.models import cmd_dnds, cmd_modeltest, cmd_partition
@@ -119,6 +119,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "only; 0 = none)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-tree", type=str, default=None)
+    _add_mesh_flag(p)
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("search", help="joint topology+sequence search")
@@ -455,6 +456,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="branch-length moves per generation")
     p.add_argument("--proposal", choices=["informed", "nni"],
                    default="informed")
+    p.add_argument("--informed-power", type=float, default=0.1,
+                   help="weight exponent p of the informed proposal "
+                   "(neighbor weight posterior^(p*beta)). Default 0.1 = "
+                   "the measured ESS/s winner (2.4x the literature "
+                   "p=0.5, which loses to the uniform proposal on "
+                   "peaked posteriors — speed_of_light.md)")
     p.add_argument("--full-bayes", action="store_true",
                    help="sample GTR exchangeabilities + frequencies in the "
                    "chain (flat Dirichlet priors) instead of fixing them "
@@ -476,6 +483,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stop-after", type=int, default=None,
                    help="run at most this many generations this "
                    "invocation, then checkpoint and exit")
+    _add_mesh_flag(p)
     p.set_defaults(fn=cmd_mcmc)
 
     p = sub.add_parser("nk-bench", help="NK accuracy benchmark")

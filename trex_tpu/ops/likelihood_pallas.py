@@ -570,7 +570,15 @@ def batched_log_likelihood_pallas(
             1 <= k <= 4). Between rescales the combine step squares the
             magnitude, so k=4 bounds exponents to ~2^4 extra bits — safe
             in f32 — while dropping most of the per-step max/exponent
-            chain (measured +6% over k=1).
+            chain (measured +6% over k=1). CAVEAT: the ~1-bit-per-step
+            shrink estimate assumes a moderate shared transition (all
+            entries >= ~1e-2, i.e. branch lengths >= ~0.01 under JC69).
+            A near-singular P (very short branch: off-diagonals ~t/Q)
+            shrinks conflicting sites by ~2*log2(1/P_min) bits per step
+            and the compounding can underflow partials to 0 between
+            rescales, clamping their log at -69 and silently corrupting
+            lnL. Use rescale_every=1 (or the slots layout, which tracks
+            exponents exactly) when min(shared_transition) < 1e-3.
     """
     batch = topologies.children.shape[0]
     n_anc = topologies.children.shape[-2]
@@ -611,6 +619,14 @@ def batched_log_likelihood_pallas(
                     f"{2048 // _LANES}, got {trees}"
                 )
             site_block = _round_up(site_block // 2, _LANES)
+    if layout == "lanes" and trees * site_block > 2048:
+        # Also guards caller-supplied site_block: past 2048 lanes Mosaic
+        # fails with an opaque compile error, not this ValueError.
+        raise ValueError(
+            f"layout='lanes' needs trees_per_block * site_block <= 2048 "
+            f"(Mosaic trailing-dim cap), got {trees} * {site_block} = "
+            f"{trees * site_block}"
+        )
     padded_len = _round_up(length, site_block)
     seqs = leaf_sequences.astype(jnp.int32)
     if padded_len != length:

@@ -20,7 +20,11 @@ The collectives modeled are exactly those ``parallel/sharded.py`` emits:
   per tree-shard over ``tree``;
 - the joint training steps: ``psum`` over ``site`` of the scalar losses and
   of the replicated topology-logit gradients (ancestor grads are site-local
-  by construction — no comms; ``parallel/sharded.py:232``).
+  by construction — no comms; ``parallel/sharded.py:232``);
+- ``sharded_spr_scan`` (the mesh-native hill-climb/ML-ranking round): one
+  all_gather over ``tree`` of the prune-sharded ranking matrix;
+- sharded ``mcmc_sample`` generations: scalar acceptance-counter psums over
+  ``tree`` plus the MC^3 swap's worst-case cross-shard state permute.
 """
 
 from __future__ import annotations
@@ -56,6 +60,11 @@ class Collective:
             return int(2 * (k - 1) * self.payload_bytes // k)
         if self.op == "all_gather":
             return int((k - 1) * self.payload_bytes // k)
+        if self.op == "permute":
+            # Point-to-point resharding (collective-permute): each device
+            # ships exactly the rows that change owners — the payload IS
+            # the wire volume (no ring amplification).
+            return int(self.payload_bytes)
         raise ValueError(self.op)
 
 
@@ -124,6 +133,61 @@ def joint_step_collectives(
             n_restarts * (n_all - 1) * n_anc * dtype_bytes,
         ),
     ]
+
+
+def spr_scan_collectives(
+    mesh_shape: dict[str, int], n_all: int, dtype_bytes: int = 4
+) -> list[Collective]:
+    """Collectives of one ``sharded_spr_scan`` round (round-4 driver path:
+    ``parsimony_hill_climb(mesh=...)`` / ``ml_hill_climb(mesh=...)``).
+
+    The prune axis is sharded over ``tree``; each device scans its prune
+    nodes over the FULL site axis (rows computed whole — no site
+    collective), and the (n_all-1, n_all) ranking matrix is reassembled by
+    one all_gather over ``tree`` when the host reads it for the argmin.
+    """
+    n_tree = mesh_shape.get("tree", 1)
+    payload = (n_all - 1) * n_all * dtype_bytes
+    return [Collective("all_gather", "tree", n_tree, payload)]
+
+
+def mcmc_generation_collectives(
+    mesh_shape: dict[str, int],
+    n_runs: int,
+    n_chains: int,
+    n_anc: int,
+    n_all: int,
+    branch_moves_per_gen: int = 1,
+    sample_model: bool = False,
+    dtype_bytes: int = 4,
+) -> list[Collective]:
+    """Collectives of ONE sharded ``mcmc_sample`` generation (the chain
+    axis over ``tree``; round-4 driver path ``mcmc_sample(mesh=...)``).
+
+    Everything per-chain is local. What crosses shards: the integer
+    acceptance-counter psums (one scalar per move family) and the MC^3
+    swap permutation — worst case every run's swapped pair straddles a
+    shard boundary, so 2 chain states (children int32 (n_anc, 2), lengths
+    f32 (n_all,), lnl scalar) per run move point-to-point. The per-block
+    cold-chain snapshot is one gather of ``n_runs`` chain states.
+    """
+    n_tree = mesh_shape.get("tree", 1)
+    out: list[Collective] = []
+    n_families = (
+        (1 if branch_moves_per_gen > 0 else 0)
+        + 1  # topology move
+        + (1 if n_chains > 1 else 0)  # swap
+        + (2 if sample_model else 0)
+    )
+    out += [
+        Collective("psum", "tree", n_tree, dtype_bytes)
+    ] * n_families
+    if n_chains > 1:
+        state_row = n_anc * 2 * 4 + n_all * dtype_bytes + dtype_bytes
+        out.append(
+            Collective("permute", "tree", n_tree, 2 * n_runs * state_row)
+        )
+    return out
 
 
 def predicted_efficiency(

@@ -35,6 +35,9 @@ def sharded_batch_scores(
     cost_matrix: jax.Array,
     leaf_sequences: jax.Array,
     use_fitch: bool | None = None,
+    *,
+    site_weights: jax.Array | None = None,
+    sequences_are_masks: bool = False,
 ) -> jax.Array:
     """Score a candidate-tree batch across the whole mesh.
 
@@ -47,6 +50,11 @@ def sharded_batch_scores(
         topologies: batched ``Topology`` (leading axis divisible by the tree
             axis size).
         leaf_sequences: (n_leaves, L) with L divisible by the site axis size.
+        site_weights: optional (L,) per-site multiplicities (compressed
+            patterns / bootstrap); sharded over ``site`` with the leaves.
+            Parsimony site costs and weights are integer-valued, so the
+            psum-reordered weighted sum stays exact (f32 is exact to 2^24).
+        sequences_are_masks: leaves are int32 state-set bitmasks.
 
     Returns:
         (batch,) scores, sharded over ``tree`` (replicated over ``site``).
@@ -60,6 +68,11 @@ def sharded_batch_scores(
 
         use_fitch = _is_hamming(cost_matrix) and cost_matrix.shape[-1] <= 32
     on_tpu = jax.default_backend() == "tpu"
+    weights = (
+        jnp.ones((leaf_sequences.shape[-1],), jnp.float32)
+        if site_weights is None
+        else jnp.asarray(site_weights, jnp.float32)
+    )
 
     @partial(
         shard_map,
@@ -68,28 +81,38 @@ def sharded_batch_scores(
             Topology(children=P(TREE_AXIS), parents=P(TREE_AXIS)),
             P(),
             P(None, SITE_AXIS),
+            P(SITE_AXIS),
         ),
         out_specs=P(TREE_AXIS),
         check_vma=False,
     )
-    def score_shard(topos, cost, leaf_shard):
+    def score_shard(topos, cost, leaf_shard, w_shard):
         if use_fitch and on_tpu:
             from trex_tpu.ops.sankoff_pallas import batched_fitch_score_pallas
 
             partial_scores = batched_fitch_score_pallas(
-                topos, leaf_shard
+                topos, leaf_shard, site_weights=w_shard,
+                sequences_are_masks=sequences_are_masks,
             )
         elif use_fitch:
-            from trex_tpu.ops.fitch import batched_fitch_score
+            from trex_tpu.ops.fitch import fitch_score
 
-            partial_scores = batched_fitch_score(topos, leaf_shard)
+            partial_scores = jax.vmap(
+                lambda t: fitch_score(
+                    t, leaf_shard, w_shard,
+                    sequences_are_masks=sequences_are_masks,
+                )
+            )(topos)
         else:
-            partial_scores = jax.vmap(sankoff_score, in_axes=(0, None, None))(
-                topos, cost, leaf_shard
-            )
+            partial_scores = jax.vmap(
+                lambda t: sankoff_score(
+                    t, cost, leaf_shard, w_shard,
+                    sequences_are_masks=sequences_are_masks,
+                )
+            )(topos)
         return jax.lax.psum(partial_scores, SITE_AXIS)
 
-    return score_shard(topologies, cost_matrix, leaf_sequences)
+    return score_shard(topologies, cost_matrix, leaf_sequences, weights)
 
 
 def sharded_log_likelihoods(
@@ -380,6 +403,9 @@ def sharded_spr_scan(
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
     gamma_shape: float | jax.Array | None = None,
+    category_rates: jax.Array | None = None,
+    category_weights: jax.Array | None = None,
+    scan_budget_bytes: int = 2 << 30,
 ) -> tuple[jax.Array, jax.Array]:
     """The analytic all-SPR scan with the PRUNE axis sharded over ``tree``.
 
@@ -390,10 +416,17 @@ def sharded_spr_scan(
     "parsimony" (unit-cost Fitch identity) or "ml" (fixed ranking lengths,
     optional GTR/+Gamma — the model-aware scan).
 
+    ``scan_budget_bytes`` bounds each DEVICE's peak scan working set (the
+    per-prune set tensors), exactly like the single-device climbers'
+    budget — but here the prune axis is already divided by the mesh, so a
+    given budget admits ``n_dev``-times more prune parallelism per round.
+
     Returns (scores (n_all-1, n_all), base_score), numerically identical
     to the single-device scans (verified in tests/test_sharding.py).
     """
     import numpy as np
+
+    from trex_tpu.utils.chunking import auto_prune_chunk
 
     n_all = topology.n_all
     n_dev = mesh.shape[TREE_AXIS]
@@ -402,27 +435,40 @@ def sharded_spr_scan(
     prune = np.arange(padded, dtype=np.int32)
     prune[n_prune:] = n_prune - 1  # duplicates; dropped after gather
     prune = jnp.asarray(prune)
+    local_prune = padded // n_dev
+    length = leaf_sequences.shape[-1]
 
     if criterion == "parsimony":
         from trex_tpu.ops.spr_scan import spr_scan as scan_fn
+
+        # Per-prune working set: f32 set tensors x (inside + upstream),
+        # matching search/hillclimb.py's single-device accounting.
+        prune_chunk = auto_prune_chunk(
+            local_prune, n_all * length * 4 * 2, scan_budget_bytes
+        )
 
         def run(pn, leaves, w):
             return scan_fn(
                 topology, leaves, w,
                 sequences_are_masks=sequences_are_masks,
-                prune_nodes=pn,
+                prune_nodes=pn, prune_chunk=prune_chunk,
             )
     elif criterion == "ml":
         from trex_tpu.ops.likelihood_scan import likelihood_spr_scan
 
         q = n_states or int(leaf_sequences.max()) + 1
+        prune_chunk = auto_prune_chunk(
+            local_prune, n_all * length * (q + 1) * 4 * 2, scan_budget_bytes
+        )
 
         def run(pn, leaves, w):
             return likelihood_spr_scan(
                 topology, leaves, q, ranking_branch_length, w,
                 rates=rates, freqs=freqs, gamma_shape=gamma_shape,
+                category_rates=category_rates,
+                category_weights=category_weights,
                 sequences_are_masks=sequences_are_masks,
-                prune_nodes=pn,
+                prune_nodes=pn, prune_chunk=prune_chunk,
             )
     else:
         raise ValueError(f"unknown criterion {criterion!r}")

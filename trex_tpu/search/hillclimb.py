@@ -151,6 +151,7 @@ def parsimony_hill_climb(
     constraint_splits: list[frozenset[int]] | None = None,
     constraint_taxa: frozenset[int] | None = None,
     scan_budget_bytes: int = 2 << 30,
+    mesh=None,
 ) -> SearchResult:
     """Greedy hill climb from ``start``; stops at a local optimum.
 
@@ -161,6 +162,18 @@ def parsimony_hill_climb(
             candidate batch carries a broadcast parents placeholder to halve
             host->device transfer (every built-in scorer qualifies; the DP
             consumes child index pairs only).
+        mesh: optional ``jax.sharding.Mesh`` with ('tree', 'site') axes
+            (``parallel.mesh.make_mesh``): candidate scoring runs across
+            the whole mesh instead of one device. Enumerating
+            neighborhoods shard the candidate batch over ``tree`` and the
+            site axis over ``site`` (``parallel.sharded.sharded_batch_scores``;
+            scores bit-identical — parsimony site sums are integer-valued,
+            so the psum reorder is exact); "spr-scan" shards the scan's
+            PRUNE axis over ``tree`` (``sharded_spr_scan``), dividing the
+            per-device scan working set by the tree-axis size — the memory
+            lever at large taxon counts. Ignored when a custom
+            ``score_batch_fn`` is given (the custom scorer owns its
+            devices).
         random_kicks: extra random SPR moves added to each neighborhood
             (cheap diversification; 0 = none).
         key: PRNG key, only needed when ``random_kicks > 0``.
@@ -222,8 +235,13 @@ def parsimony_hill_climb(
             site_weights=site_weights,
             sequences_are_masks=sequences_are_masks,
             scan_budget_bytes=scan_budget_bytes,
+            mesh=mesh,
         )
 
+    if score_batch_fn is None and mesh is not None:
+        score_batch_fn = _mesh_score_batch(
+            mesh, leaf_sequences, site_weights, sequences_are_masks
+        )
     if score_batch_fn is None:
         score_batch_fn = batched_scores_fastest
 
@@ -322,6 +340,56 @@ def parsimony_hill_climb(
     return SearchResult(current, current_score, max_rounds, evaluations, trace)
 
 
+def _mesh_score_batch(mesh, leaf_sequences, site_weights, sequences_are_masks):
+    """Build a ``score_batch_fn`` that spans a ('tree', 'site') mesh.
+
+    Candidates shard over ``tree`` (batch padded to a multiple of the axis
+    by repeating the last candidate; scores sliced back), sites over
+    ``site`` (alignment padded to a multiple with weight-0 columns — state
+    0 / full-set masks, zero extra cost under any zero-diagonal cost
+    matrix, and the weights kill them anyway). Scores are bit-identical to
+    the single-device dispatcher: parsimony site sums are integer-valued,
+    so the psum's reordering is exact in f32.
+    """
+    from trex_tpu.parallel.mesh import SITE_AXIS, TREE_AXIS
+    from trex_tpu.parallel.sharded import sharded_batch_scores
+
+    n_tree = mesh.shape[TREE_AXIS]
+    n_site = mesh.shape[SITE_AXIS]
+    length = leaf_sequences.shape[-1]
+    pad_l = -length % n_site
+    mesh_leaves = jnp.asarray(leaf_sequences)
+    mesh_weights = (
+        jnp.ones((length,), jnp.float32)
+        if site_weights is None
+        else jnp.asarray(site_weights, jnp.float32)
+    )
+    if pad_l:
+        mesh_leaves = jnp.pad(
+            mesh_leaves, ((0, 0), (0, pad_l)),
+            constant_values=1 if sequences_are_masks else 0,
+        )
+        mesh_weights = jnp.pad(mesh_weights, (0, pad_l))
+
+    def score(topos, cost, _leaves):
+        b = topos.children.shape[0]
+        pad_b = -b % n_tree
+        if pad_b:
+            topos = jax.tree_util.tree_map(
+                lambda x: jnp.concatenate(
+                    [x, jnp.broadcast_to(x[-1:], (pad_b,) + x.shape[1:])]
+                ),
+                topos,
+            )
+        return sharded_batch_scores(
+            mesh, topos, cost, mesh_leaves,
+            site_weights=mesh_weights,
+            sequences_are_masks=sequences_are_masks,
+        )[:b]
+
+    return score
+
+
 def _spr_scan_climb(
     start: Topology,
     leaf_sequences: jax.Array,
@@ -330,6 +398,7 @@ def _spr_scan_climb(
     site_weights: jax.Array | None,
     sequences_are_masks: bool,
     scan_budget_bytes: int = 2 << 30,
+    mesh=None,
 ) -> SearchResult:
     """Hill climb where each round is ONE analytic all-SPR scan.
 
@@ -338,7 +407,9 @@ def _spr_scan_climb(
     built or transferred), the argmin move is applied host-side with the
     native ``spr_move``, repeat until no move improves. ``evaluations``
     counts scored candidates (finite scan entries) for comparability with
-    the enumerating climber.
+    the enumerating climber. With ``mesh``, each round's scan runs with
+    its prune axis sharded over the mesh's ``tree`` axis
+    (``parallel.sharded.sharded_spr_scan``), bit-identical per row.
     """
     import numpy as np
 
@@ -354,11 +425,25 @@ def _spr_scan_climb(
         n_all - 1, n_all * length * 4 * 2, scan_budget_bytes
     )
 
+    if mesh is not None:
+        from trex_tpu.parallel.sharded import sharded_spr_scan
+
+        def run_scan(topo):
+            return sharded_spr_scan(
+                mesh, topo, leaf_sequences, site_weights,
+                sequences_are_masks=sequences_are_masks,
+                scan_budget_bytes=scan_budget_bytes,
+            )
+    else:
+        def run_scan(topo):
+            return spr_scan(
+                topo, leaf_sequences, site_weights,
+                sequences_are_masks=sequences_are_masks,
+                prune_chunk=prune_chunk,
+            )
+
     current = start
-    scores, base = spr_scan(
-        current, leaf_sequences, site_weights,
-        sequences_are_masks=sequences_are_masks, prune_chunk=prune_chunk,
-    )
+    scores, base = run_scan(current)
     current_score = float(base)
     trace = [current_score]
     evaluations = 1
@@ -379,10 +464,7 @@ def _spr_scan_climb(
             )
         current, current_score = moved, best
         trace.append(current_score)
-        scores, _ = spr_scan(
-            current, leaf_sequences, site_weights,
-            sequences_are_masks=sequences_are_masks, prune_chunk=prune_chunk,
-        )
+        scores, _ = run_scan(current)
     return SearchResult(current, current_score, max_rounds, evaluations, trace)
 
 

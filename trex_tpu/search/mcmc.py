@@ -540,7 +540,7 @@ def mcmc_sample(
     branch_moves_per_gen: int = 1,
     topo_moves: bool = True,
     topo_proposal: str = "informed",
-    topo_informed_power: float = 0.5,
+    topo_informed_power: float = 0.1,
     brlen_prior_mean: float = 0.1,
     tuning: float = 1.4,
     start: Topology | None = None,
@@ -560,6 +560,7 @@ def mcmc_sample(
     checkpoint_every: int = 1000,
     stop_after_generations: int | None = None,
     eval_chunk: int | None = None,
+    mesh=None,
 ) -> McmcResult:
     """Sample the Bayesian tree posterior with coupled MCMC chains.
 
@@ -592,11 +593,15 @@ def mcmc_sample(
             (symmetric, 1 eval/chain/generation) — cheaper per generation
             but mixes far slower on peaked posteriors.
         topo_informed_power: weight exponent p of the informed proposal
-            (neighbor weights ``posterior^(p * beta)``). p = 0.5 is the
-            locally-balanced sqrt weight; on strongly peaked posteriors
-            a smaller p softens the near-deterministic pick and raises
-            acceptance (measured ESS/s comparison in
-            benchmarks/speed_of_light.md).
+            (neighbor weights ``posterior^(p * beta)``). The default 0.1
+            is the measured ESS/s winner at 64 taxa x 2048 sites x 8
+            chains (0.220 ESS/s = 2.4x the literature-default p=0.5,
+            which at 0.093 actually LOSES to the uniform proposal's
+            0.130 there — the sqrt weight is near-deterministic on
+            peaked phylogenetic posteriors and stalls the chain; a small
+            p keeps the informed ranking while restoring acceptance).
+            Full study: benchmarks/speed_of_light.md "Informed-power
+            ESS/s sweep".
         rates / freqs / gamma_shape: optional fixed substitution model
             (empirical-Bayes: fit once with ``optimize_model``); default JC69.
         sample_model: FULL Bayes over the GTR model — per-chain
@@ -621,6 +626,15 @@ def mcmc_sample(
             device executes whole blocks per dispatch.
         eval_chunk: cap on simultaneously evaluated trees in the lax
             likelihood path (None = auto from a ~2 GB partials budget).
+        mesh: optional ``jax.sharding.Mesh`` with a 'tree' axis
+            (``parallel.mesh.make_mesh``): the runs x chains batch axis of
+            the sampler state is sharded over it (chains are data-parallel;
+            the only cross-chain traffic is the MC^3 swap permutation and
+            the integer acceptance-counter psums, which XLA partitions
+            automatically). ``n_runs * n_chains`` must divide by the tree
+            axis size. Trajectories are bit-identical to single-device
+            (every float op is per-chain; the partitioned sums are
+            integer-valued) — pinned in tests/test_sharding.py.
 
     Returns:
         ``McmcResult`` — pooled post-burn-in cold-chain samples, split
@@ -888,8 +902,17 @@ def mcmc_sample(
             post = lnl + _exp_logprior(lengths, prior_rate)
             log_alpha = (beta[i] - beta[j]) * (post[j] - post[i])
             take = jnp.log(jax.random.uniform(k_acc, (n_runs,))) < log_alpha
-            perm = rows.at[i].set(jnp.where(take, j, i))
-            perm = perm.at[j].set(jnp.where(take, i, j))
+            # Scatter-free permutation: j = i + 1, so an accepted swap is
+            # +1 at position i and -1 at position j (runs touch disjoint
+            # positions). The double `.at[].set` formulation this replaces
+            # is miscompiled by GSPMD when the chain axis is sharded over a
+            # mesh (the second scatter is dropped on some shards, turning
+            # the swap into a copy — caught by the round-4 bit-identity
+            # test; one-hot arithmetic partitions exactly).
+            oh_i = (rows[None, :] == i[:, None]).astype(jnp.int32)
+            oh_j = (rows[None, :] == j[:, None]).astype(jnp.int32)
+            shift = ((oh_i - oh_j) * take[:, None].astype(jnp.int32)).sum(0)
+            perm = rows + shift
             children = children[perm]
             lengths = lengths[perm]
             lnl = lnl[perm]
@@ -983,6 +1006,26 @@ def mcmc_sample(
         jnp.asarray(rates_host), jnp.asarray(freqs_host), key_dev,
         jnp.asarray(acc_host),
     )
+    if mesh is not None:
+        # Shard the chain axis over the mesh's 'tree' axis; jit propagates
+        # the shardings through the superblock (GSPMD inserts the swap
+        # permute / counter psums). Everything per-chain stays local.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from trex_tpu.parallel.mesh import TREE_AXIS
+
+        n_tree = mesh.shape[TREE_AXIS]
+        if n_total % n_tree != 0:
+            raise ValueError(
+                f"n_runs * n_chains = {n_total} must be divisible by the "
+                f"mesh tree axis size ({n_tree})"
+            )
+        chain_s = NamedSharding(mesh, PartitionSpec(TREE_AXIS))
+        repl = NamedSharding(mesh, PartitionSpec())
+        state = tuple(
+            jax.device_put(x, chain_s if i < 5 else repl)
+            for i, x in enumerate(state)
+        )
 
     pending: list[tuple[int, tuple]] = []
 
@@ -1057,6 +1100,7 @@ def mcmc_sample(
     executed = 0
     stopped_early = False
     blk = blocks_done
+    last_progress = blk // prog_blocks if prog_blocks else 0
     max_dispatch = 64  # blocks per dispatch between host boundaries
     while blk < total_blocks:
         g = min(max_dispatch, total_blocks - blk)
@@ -1071,7 +1115,11 @@ def mcmc_sample(
         executed += g
         blk += g
         gens_done = blk * sample_every
-        if prog_blocks and blk % prog_blocks == 0:
+        # Print whenever a progress boundary was CROSSED, not only when blk
+        # lands exactly on the grid (the stop_after clamp can knock blk off
+        # the prog_blocks multiples and silently skip lines otherwise).
+        if prog_blocks and blk // prog_blocks > last_progress:
+            last_progress = blk // prog_blocks
             lnl_cold = np.asarray(jax.device_get(pending[-1][1][2]))[-1]
             cold_str = " ".join(f"{v:.2f}" for v in lnl_cold)
             print(f"[mcmc] gen {gens_done}/{n_generations} cold lnL: {cold_str}")

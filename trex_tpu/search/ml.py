@@ -39,8 +39,17 @@ def ml_hill_climb(
     category_weights: jax.Array | None = None,
     constraint_splits: list[frozenset[int]] | None = None,
     constraint_taxa: frozenset[int] | None = None,
+    mesh=None,
 ) -> tuple[SearchResult, jax.Array, jax.Array]:
     """Greedy ML topology search + final branch-length optimization.
+
+    ``mesh``: optional ('tree', 'site') ``jax.sharding.Mesh`` — with
+    ``neighborhood="spr-scan"`` each ranking round's analytic likelihood
+    scan shards its prune axis over the mesh's ``tree`` axis
+    (``parallel.sharded.sharded_spr_scan(criterion="ml")``), dividing the
+    per-device scan working set; rows are computed whole per device, so
+    the ranking matrix is bit-identical to single-device. Enumerating
+    neighborhoods ignore it (their ranking kernel is single-device).
 
     ``gamma_shape``: +Gamma-aware candidate ranking (the per-site category
     mixture of ``tree_log_likelihood_gamma``). Supported by the analytic
@@ -90,6 +99,7 @@ def ml_hill_climb(
             category_rates=category_rates,
             category_weights=category_weights,
             sequences_are_masks=sequences_are_masks,
+            mesh=mesh,
         )
         if optimize_final_lengths:
             from trex_tpu.ops.likelihood_asr import (
@@ -142,6 +152,11 @@ def ml_hill_climb(
             # one fixed length, so ONE (Q, Q) matrix feeds the kernel's
             # shared-transition fast path (skips the (B, n_all, Q, Q)
             # materialization, a ~19 ms/call fixed overhead at B=1024).
+            # The lanes kernel with rescale_every > 1 must fully unroll
+            # its ancestor loop (static rescale predicate), so Mosaic
+            # program size grows with T * n_anc; past the full-unroll
+            # threshold (n_anc > 64, the Fitch dispatch policy) fall back
+            # to the slots layout, whose fori_loop path compiles O(1).
             shared = (
                 p0
                 if p0 is not None
@@ -149,12 +164,18 @@ def ml_hill_climb(
                     jnp.asarray(ranking_branch_length), q
                 )
             )
+            n_anc = (n_all - 1) // 2
+            if n_anc <= 64:
+                kernel_cfg = dict(
+                    trees_per_block=4, layout="lanes", rescale_every=4
+                )
+            else:
+                kernel_cfg = dict(trees_per_block=2, layout="slots")
             return -batched_log_likelihood_pallas(
-                topos, blens, leaves, n_states, trees_per_block=4,
-                layout="lanes", rescale_every=4,
+                topos, blens, leaves, n_states,
                 shared_transition=shared, root_prior=prior,
                 sequences_are_masks=sequences_are_masks,
-                site_weights=site_weights,
+                site_weights=site_weights, **kernel_cfg,
             )
         return -jax.vmap(
             lambda t, b: tree_log_likelihood(
@@ -226,6 +247,7 @@ def ml_iterated_search(
     rates: jax.Array | None = None,
     freqs: jax.Array | None = None,
     progress_dir: str | None = None,
+    mesh=None,
 ) -> tuple[SearchResult, jax.Array, jax.Array]:
     """Iterated ML search: random perturbation + reclimb, keep the best.
 
@@ -278,6 +300,7 @@ def ml_iterated_search(
         site_weights=site_weights,
         rates=rates,
         freqs=freqs,
+        mesh=mesh,
     )
     def dump_progress(iteration: int, best) -> None:
         if progress_dir is None:
@@ -365,6 +388,7 @@ def _ml_scan_climb(
     gamma_shape: float | jax.Array | None = None,
     category_rates: jax.Array | None = None,
     category_weights: jax.Array | None = None,
+    mesh=None,
 ) -> SearchResult:
     """Greedy ML climb where each round is one analytic likelihood scan."""
     import numpy as np
@@ -381,14 +405,33 @@ def _ml_scan_climb(
         n_all - 1, n_all * length * (n_states + 1) * 4 * 2
     )
 
+    if mesh is not None:
+        from trex_tpu.parallel.sharded import sharded_spr_scan
+
+        def run_scan(topo):
+            return sharded_spr_scan(
+                mesh, topo, leaf_sequences, site_weights,
+                sequences_are_masks=sequences_are_masks,
+                criterion="ml",
+                ranking_branch_length=ranking_branch_length,
+                n_states=n_states, rates=rates, freqs=freqs,
+                gamma_shape=gamma_shape, category_rates=category_rates,
+                category_weights=category_weights,
+            )
+    else:
+        def run_scan(topo):
+            return likelihood_spr_scan(
+                topo, leaf_sequences, n_states, ranking_branch_length,
+                site_weights, rates=rates, freqs=freqs,
+                gamma_shape=gamma_shape,
+                category_rates=category_rates,
+                category_weights=category_weights,
+                sequences_are_masks=sequences_are_masks,
+                prune_chunk=prune_chunk,
+            )
+
     current = start
-    scores, base = likelihood_spr_scan(
-        current, leaf_sequences, n_states, ranking_branch_length,
-        site_weights, rates=rates, freqs=freqs, gamma_shape=gamma_shape,
-        category_rates=category_rates, category_weights=category_weights,
-        sequences_are_masks=sequences_are_masks,
-        prune_chunk=prune_chunk,
-    )
+    scores, base = run_scan(current)
     current_score = float(base)
     trace = [current_score]
     evaluations = 1
@@ -409,14 +452,7 @@ def _ml_scan_climb(
             )
         current, current_score = moved, best
         trace.append(current_score)
-        scores, _ = likelihood_spr_scan(
-            current, leaf_sequences, n_states, ranking_branch_length,
-            site_weights, rates=rates, freqs=freqs, gamma_shape=gamma_shape,
-            category_rates=category_rates,
-            category_weights=category_weights,
-            sequences_are_masks=sequences_are_masks,
-            prune_chunk=prune_chunk,
-        )
+        scores, _ = run_scan(current)
     return SearchResult(current, current_score, max_rounds, evaluations, trace)
 
 

@@ -61,8 +61,13 @@ def parsimony_ratchet(
     progress_dir: str | None = None,
     site_weights: jax.Array | None = None,
     sequences_are_masks: bool = False,
+    mesh=None,
 ) -> SearchResult:
     """Run the parsimony ratchet from ``start``.
+
+    ``mesh``: optional ('tree', 'site') ``jax.sharding.Mesh``; every climb
+    (perturbed and true) scores across the whole mesh — see
+    ``parsimony_hill_climb``.
 
     Each iteration: (1) upweight a random ``perturb_fraction`` of sites by
     ``perturb_weight`` and hill climb under the distorted objective;
@@ -113,6 +118,12 @@ def parsimony_ratchet(
     def scores_with(w):
         if scan:
             return None  # spr-scan takes weights directly
+        if mesh is not None:
+            from trex_tpu.search.hillclimb import _mesh_score_batch
+
+            return _mesh_score_batch(
+                mesh, leaf_sequences, w, sequences_are_masks
+            )
 
         def fn(topos, cost, leaves):
             return batched_scores_fastest(
@@ -132,6 +143,7 @@ def parsimony_ratchet(
             neighborhood=neighborhood,
             site_weights=w if scan else None,
             sequences_are_masks=sequences_are_masks if scan else False,
+            mesh=mesh if scan else None,
         )
 
     true_scores = scores_with(base_weights)
