@@ -107,3 +107,116 @@ def test_masks_input_and_site_weights():
         )
     )
     assert score == expected
+
+
+def test_device_loop_block_invariance():
+    """The superblocked device loop is bit-identical per block size: one
+    insertion per dispatch == all insertions in one dispatch."""
+    from trex_tpu.search.stepwise import _stepwise_scan
+
+    _, seqs = _groundtruth(n_leaves=16, seed=31)
+    seqs = np.asarray(seqs)[:12]  # non-power-of-two taxon count on purpose
+    masks = (1 << seqs.astype(np.int32)).astype(np.int32)
+    ham = jnp.ones((4, 4)) - jnp.eye(4)
+    fm = np.int32(0b1111)
+    order = list(np.random.default_rng(5).permutation(12))
+    t1, s1 = _stepwise_scan(masks, 4, order, fm, None, ham, block=1)
+    t2, s2 = _stepwise_scan(masks, 4, order, fm, None, ham, block=64)
+    assert s1 == s2
+    np.testing.assert_array_equal(
+        np.asarray(t1.children), np.asarray(t2.children)
+    )
+
+
+def test_device_insertion_steps_are_optimal():
+    """Brute-force oracle for the on-device insertion scan + slot-shift
+    apply: after every step, the realized (padded) tree score equals the
+    MINIMUM over all induced-edge insertions, each evaluated from scratch
+    with the exact Fitch scorer. Validates the restricted-SPR identity
+    scores AND the shift renumbering in one property."""
+    from trex_tpu.search.stepwise import (
+        _children_to_parents,
+        _stepwise_block,
+    )
+    from trex_tpu.topology import Topology
+
+    rng = np.random.default_rng(17)
+    n, length, q = 10, 40, 4
+    seqs = rng.integers(0, q, (n, length))
+    masks = (1 << seqs.astype(np.int32)).astype(np.int32)
+    order = list(rng.permutation(n))
+    full_mask = np.int32((1 << q) - 1)
+
+    # Seed state exactly as _stepwise_scan builds it.
+    n_anc = n - 1
+    t0, t1, t2 = order[:3]
+    children = np.empty((n_anc, 2), np.int32)
+    children[0] = sorted((t0, t1))
+    children[1] = sorted((n, t2))
+    prev = n + 1
+    for j, t in enumerate(order[3:]):
+        children[2 + j] = sorted((prev, t))
+        prev = n + 2 + j
+    scored = np.full_like(masks, full_mask)
+    for t in order[:3]:
+        scored[t] = masks[t]
+    added = np.zeros((n,), bool)
+    added[order[:3]] = True
+    state = (
+        jnp.asarray(children), jnp.asarray(scored.astype(np.int32)),
+        jnp.asarray(added),
+    )
+    order_dev = jnp.asarray(order, jnp.int32)
+    masks_dev = jnp.asarray(masks.astype(np.int32))
+    weights = jnp.ones((length,), jnp.float32)
+
+    def padded_score(children_np, scored_np):
+        topo = Topology(
+            children=jnp.asarray(children_np),
+            parents=jnp.asarray(_children_to_parents(children_np, n)),
+        )
+        return float(
+            fitch_score(
+                topo, jnp.asarray(scored_np), sequences_are_masks=True
+            )
+        )
+
+    def host_insert(children_np, k, v):
+        """Apply the slot-shift insertion of taxon order[k] at edge v."""
+        t = order[k]
+        c_node, r = n + k - 1, n + k - 2
+        parents = _children_to_parents(children_np, n)
+        u = int(parents[v])
+        ch = children_np.copy()
+        ch = ch + ((ch >= u) & (ch <= r)).astype(np.int32)
+        out = ch.copy()
+        for row_node in range(u + 1, c_node + 1):
+            out[row_node - n] = ch[row_node - 1 - n]
+        if u <= 2 * n - 2:
+            out[u - n] = sorted((v, t))
+        if u <= r:
+            fix = out[u + 1 - n]
+            fix[fix == v] = u
+            out[u + 1 - n] = sorted(fix)
+        return out
+
+    for k in range(3, n):
+        ch_np = np.asarray(state[0])
+        sc_np = np.asarray(state[1]).copy()
+        t = order[k]
+        sc_np[t] = masks[t]
+        r = n + k - 2
+        candidates = [
+            v for v in range(2 * n - 1)
+            if (v < n and added[v]) or (n <= v <= r)
+        ]
+        cand_scores = [
+            padded_score(host_insert(ch_np, k, v), sc_np) for v in candidates
+        ]
+        state = _stepwise_block(
+            *state, order_dev, masks_dev, weights, jnp.int32(k),
+            n_steps=1, n_leaves=n,
+        )
+        realized = padded_score(np.asarray(state[0]), sc_np)
+        assert realized == min(cand_scores), (k, realized, min(cand_scores))
+        added[t] = True
