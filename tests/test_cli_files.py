@@ -26,7 +26,7 @@ def fasta_path(tmp_path):
     return str(path)
 
 
-@pytest.mark.parametrize("start", ["stepwise", "nj", "upgma", "random"])
+@pytest.mark.parametrize("start", ["stepwise", "nj", "upgma", "random", "diff"])
 def test_cli_infer_starts(capsys, tmp_path, fasta_path, start):
     from trex_tpu.cli import main
 

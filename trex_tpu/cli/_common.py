@@ -127,4 +127,65 @@ def _start_tree(kind: str, masks, n_states: int, seed: int, weights, orders: int
                 f"--start balanced needs a power-of-two taxon count, got {n_leaves}"
             )
         return balanced_topology(n_leaves)
+    if kind == "diff":
+        # Differentiable coarse initializer (the reference's signature
+        # capability, /root/reference/src/trex/tree.py:50-107, in its
+        # measured production role): 8 vmapped joint-relaxation restarts
+        # -> project to valid trees -> best exact score. Round-3 chip
+        # measurement: matches the NNI climb's tree quality in 1/13th the
+        # wall time at 128 taxa (benchmarks/speed_of_light.md,
+        # "Differentiable search at chip scale") — a fast basin-finder
+        # for the discrete refinement that follows.
+        import jax.numpy as jnp
+
+        from trex_tpu.ops.dispatch import batched_scores_fastest
+        from trex_tpu.ops.relax import project_topology, soft_topology
+        from trex_tpu.search.joint import (
+            JointConfig,
+            init_params,
+            joint_optimize,
+        )
+        from trex_tpu.types import CostModel
+
+        n_all = 2 * n_leaves - 1
+        length = masks.shape[1]
+        restarts = 8
+        # The relaxation wants one-hot leaves: resolve ambiguity to the
+        # lowest allowed state (same heuristic as the distance starts; the
+        # exact ranking below uses the true masks).
+        ints = np.zeros_like(masks)
+        lsb = masks & -masks
+        for b in range(n_states):
+            ints[lsb == (1 << b)] = b
+        leaf_tensor = jnp.zeros((n_all, length, n_states))
+        leaf_tensor = leaf_tensor.at[:n_leaves].set(
+            jax.nn.one_hot(jnp.asarray(ints), n_states)
+        )
+        cfg = JointConfig(n_iterations=600)
+
+        def one_restart(key):
+            k_init, k_run = jax.random.split(key)
+            params = init_params(k_init, n_leaves, length, n_states)
+            params, _ = joint_optimize(k_run, params, leaf_tensor, cfg)
+            return params
+
+        keys = jax.random.split(jax.random.key(seed), restarts)
+        params_b = jax.jit(jax.vmap(one_restart))(keys)
+        proj = jax.jit(
+            jax.vmap(
+                lambda p, k: project_topology(
+                    soft_topology(k, p["tree_params"], 0.01)
+                )
+            )
+        )
+        topos = proj(
+            params_b, jax.random.split(jax.random.key(seed + 1), restarts)
+        )
+        cost = CostModel.hamming(n_states).matrix
+        scores = batched_scores_fastest(
+            topos, cost, jnp.asarray(masks), site_weights=weights,
+            sequences_are_masks=True,
+        )
+        best = int(np.argmin(np.asarray(scores)))
+        return jax.tree_util.tree_map(lambda x: x[best], topos)
     raise SystemExit(f"unknown --start {kind!r}")
