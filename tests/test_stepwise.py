@@ -136,12 +136,15 @@ def test_device_insertion_steps_are_optimal():
     scores AND the shift renumbering in one property."""
     from trex_tpu.search.stepwise import (
         _children_to_parents,
+        _initial_up,
         _stepwise_block,
     )
     from trex_tpu.topology import Topology
 
     rng = np.random.default_rng(17)
-    n, length, q = 10, 40, 4
+    # length must be a _SITE_CHUNKS multiple when driving _stepwise_block
+    # directly (the production wrapper pads).
+    n, length, q = 10, 48, 4
     seqs = rng.integers(0, q, (n, length))
     masks = (1 << seqs.astype(np.int32)).astype(np.int32)
     order = list(rng.permutation(n))
@@ -162,9 +165,11 @@ def test_device_insertion_steps_are_optimal():
         scored[t] = masks[t]
     added = np.zeros((n,), bool)
     added[order[:3]] = True
+    children_dev = jnp.asarray(children)
+    scored_dev = jnp.asarray(scored.astype(np.int32))
     state = (
-        jnp.asarray(children), jnp.asarray(scored.astype(np.int32)),
-        jnp.asarray(added),
+        children_dev, scored_dev, jnp.asarray(added),
+        _initial_up(children_dev, scored_dev, n_leaves=n),
     )
     order_dev = jnp.asarray(order, jnp.int32)
     masks_dev = jnp.asarray(masks.astype(np.int32))
@@ -220,3 +225,57 @@ def test_device_insertion_steps_are_optimal():
         realized = padded_score(np.asarray(state[0]), sc_np)
         assert realized == min(cand_scores), (k, realized, min(cand_scores))
         added[t] = True
+
+
+def test_insertion_delta_kernel_parity():
+    """Mosaic insertion kernel (interpret mode) == the lax down+delta."""
+    from trex_tpu.ops.insertion_pallas import insertion_delta_pallas
+    from trex_tpu.ops.spr_scan import _combine0, spr_scan
+    from trex_tpu.topology import random_topologies
+
+    rng = np.random.default_rng(23)
+    n, length, q = 12, 70, 4
+    topo = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.PRNGKey(7), n, 1)
+    )
+    n_all = 2 * n - 1
+    masks = (1 << rng.integers(0, q, (n_all, length)).astype(np.int32))
+    # Build up sets for the real tree; prune an arbitrary leaf t.
+    t = 5
+    children = np.asarray(topo.children)
+    parents = np.asarray(topo.parents)
+    q_row = parents[t] - n
+    sib = int(children[q_row].sum() - t)
+    var = children.copy()
+    var[q_row] = (sib, sib)
+    up = np.zeros((n_all, length), np.int32)
+    up[:n] = masks[:n]
+    for a in range(n - 1):
+        c0, c1 = var[a]
+        inter = up[c0] & up[c1]
+        up[n + a] = np.where(inter == 0, up[c0] | up[c1], inter)
+    weights = rng.random(length).astype(np.float32)
+    got = np.asarray(
+        insertion_delta_pallas(
+            jnp.asarray(var), jnp.asarray(up), jnp.int32(t),
+            jnp.asarray(weights), n_leaves=n, site_block=128,
+            interpret=True,
+        )
+    )
+    # Oracle: spr_scan's own delta for this prune node (scores - total).
+    scores, _ = spr_scan(
+        topo, jnp.asarray(masks[:n]), jnp.asarray(weights),
+        sequences_are_masks=True,
+        prune_nodes=jnp.asarray([t], jnp.int32),
+    )
+    row = np.asarray(scores)[0]
+    finite = np.isfinite(row)
+    # scores = L(T\t)+L(t)+delta; recover the constant from any finite v.
+    base = None
+    for v in range(n_all):
+        if finite[v]:
+            if base is None:
+                base = row[v] - got[v]
+            else:
+                np.testing.assert_allclose(row[v] - got[v], base, atol=1e-4)
+    assert base is not None

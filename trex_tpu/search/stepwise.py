@@ -206,7 +206,10 @@ def stepwise_addition(
     max_candidates = 2 * n_leaves - 2
 
     if use_scan is None:
-        use_scan = True  # device loop: no native-library dependency
+        # Device loop: no native-library dependency. The event flag rides
+        # bit _FLAG_SHIFT of the up-set words, so the state mask must fit
+        # below it (always true for dna/protein).
+        use_scan = n_states <= 30
     if use_scan:
         return _stepwise_scan(
             masks, n_states, order, full_mask, site_weights, hamming
@@ -267,9 +270,61 @@ def stepwise_addition(
     return topo, final_score
 
 
-@partial(jax.jit, static_argnames=("n_steps", "n_leaves"), donate_argnums=(0, 1, 2))
+_SITE_CHUNKS = 16  # vmapped site-chunks per pass; see _stepwise_block
+_FLAG_SHIFT = 30  # event-flag bit in internal up-set rows (needs Q <= 30)
+
+
+@partial(jax.jit, static_argnames=("n_leaves",))
+def _initial_up(children, scored, n_leaves: int):
+    """(n_all, L) flagged Fitch up sets of the full padded seed tree.
+
+    Internal rows carry ``merged_set | (event << _FLAG_SHIFT)``; leaf rows
+    the raw masks. Run ONCE per construction — every later insertion
+    updates this buffer incrementally (see ``_stepwise_block``). The pass
+    is vmapped over ``_SITE_CHUNKS`` site chunks (XLA keeps the batched
+    scan carry in place; the single-chunk form pays a full-buffer copy
+    per sequential step).
+    """
+    n_all = 2 * n_leaves - 1
+    n_anc = n_leaves - 1
+    v_chunks = _SITE_CHUNKS
+    length = scored.shape[-1]
+    l_chunk = length // v_chunks
+    smask = jnp.int32((1 << _FLAG_SHIFT) - 1)
+    flag = jnp.int32(1) << _FLAG_SHIFT
+    offsets = jnp.arange(n_anc, dtype=jnp.int32)
+
+    def one(leaf_sets):  # (n_leaves, Lc)
+        sets0 = jnp.zeros((n_all, l_chunk), jnp.int32)
+        sets0 = sets0.at[:n_leaves].set(leaf_sets)
+
+        def step(sets, inputs):
+            anc_offset, pair = inputs
+            c = sets[pair] & smask
+            inter = c[0] & c[1]
+            empty = inter == 0
+            merged = jnp.where(empty, (c[0] | c[1]) | flag, inter)
+            sets = jax.lax.dynamic_update_slice(
+                sets, merged[None], (n_leaves + anc_offset, 0)
+            )
+            return sets, None
+
+        sets, _ = jax.lax.scan(step, sets0, (offsets, children))
+        return sets
+
+    chunked = jax.vmap(one, in_axes=1)(
+        scored.reshape(n_leaves, v_chunks, l_chunk)
+    )  # (V, n_all, Lc)
+    return jnp.moveaxis(chunked, 0, 1).reshape(n_all, length)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_steps", "n_leaves"),
+    donate_argnums=(0, 1, 2, 3),
+)
 def _stepwise_block(
-    children, scored, added, order_dev, masks_all, weights, k0,
+    children, scored, added, up, order_dev, masks_all, weights, k0,
     n_steps: int, n_leaves: int,
 ):
     """``n_steps`` insertion steps in ONE dispatch (device-side scan).
@@ -284,48 +339,48 @@ def _stepwise_block(
       c = n+k-1 holding (induced_root, order[k]).
 
     One step = (1) dissolve c (pass-through row, exactly ``ops.spr_scan``'s
-    single-prune variant), (2) one Fitch up+down pass scoring every
-    insertion edge via the SPR identity, (3) argmin over VALID positions
-    (added leaves + induced internals — chain placements are always score
-    ties with the induced-root edge, so restricting loses nothing), and
-    (4) the slot-shift insert: the new internal w takes its parent slot
-    u = parents[v*], internals [u, n+k-2] shift up one (node labels +1),
-    and the freed slot n+k-1 lands the (shifted) induced root exactly
-    where the next chain node already points — no chain pointer updates.
-    The shift preserves child<parent everywhere (a shifted node's parent
-    is always shifted too). Attach-above-root is the same formula with
-    u = parents[induced_root] = c (empty shift range).
+    single-prune variant), (2) score every insertion edge via the SPR
+    identity using the MAINTAINED flagged up sets (one copy-free down
+    pass; per-site event totals are the flag-bit sum), (3) argmin over
+    VALID positions (added leaves + induced internals — chain placements
+    are always score ties with the induced-root edge, so restricting
+    loses nothing), and (4) the slot-shift insert: the new internal w
+    takes its parent slot u = parents[v*], internals [u, n+k-2] shift up
+    one (node labels +1), the freed slot n+k-1 lands the shifted induced
+    root exactly where the next chain node already points, and only w's
+    ANCESTOR PATH has its up sets/flags recomputed (bounded by tree
+    depth). The shift preserves child<parent everywhere (a shifted
+    node's parent is always shifted too); attach-above-root is the same
+    formula with u = parents[induced_root] = c (empty shift range).
+
+    Why incremental: a from-scratch up pass per insertion is not just
+    O(n L) redundant work — XLA also inserts TWO full-carry copies per
+    sequential step into that read+write scan (~95 us x 2 x n_anc at
+    2048 taxa x 4096 sites, profiler-traced 2026-08-21 — 390 of 416 ms
+    per insertion). Keeping up sets as insertion-loop state eliminates
+    the up pass; the remaining down+delta pass hits the SAME copy
+    pathology in every lax formulation (nested, unrolled, barriered —
+    all traced), so on TPU it runs as a fused Mosaic kernel
+    (``ops.insertion_pallas``) whose context table is an explicit VMEM
+    scratch; the lax fallback below keeps CPU/test parity. Chain rows
+    above the frontier hold stale sets with zero flags; they are never
+    read for any valid output (their contexts only reach parked-leaf
+    positions, which the argmin masks).
     """
     n_all = 2 * n_leaves - 1
     n_anc = n_leaves - 1
     row_node = n_leaves + jnp.arange(n_anc, dtype=jnp.int32)
     node_idx = jnp.arange(n_all, dtype=jnp.int32)
+    length = scored.shape[-1]
+    smask = jnp.int32((1 << _FLAG_SHIFT) - 1)
+    flag = jnp.int32(1) << _FLAG_SHIFT
+    offsets = jnp.arange(n_anc, dtype=jnp.int32)
+    on_tpu = jax.default_backend() == "tpu"
 
-    def up_pass(ch, leaf_sets):
-        sets0 = jnp.zeros((n_all, leaf_sets.shape[-1]), jnp.int32)
-        sets0 = sets0.at[:n_leaves].set(leaf_sets)
-        events0 = jnp.zeros((leaf_sets.shape[-1],), jnp.float32)
-
-        def step(carry, inputs):
-            sets, events = carry
-            anc_offset, pair = inputs
-            c = sets[pair]
-            inter = c[0] & c[1]
-            empty = inter == 0
-            merged = jnp.where(empty, c[0] | c[1], inter)
-            sets = jax.lax.dynamic_update_slice(
-                sets, merged[None], (n_leaves + anc_offset, 0)
-            )
-            return (sets, events + empty.astype(jnp.float32)), None
-
-        offsets = jnp.arange(n_anc, dtype=jnp.int32)
-        (sets, events), _ = jax.lax.scan(step, (sets0, events0), (offsets, ch))
-        return sets, events
-
-    def down_pass(ch, up):
+    def lax_delta(var, up_states, tmask):
         from trex_tpu.ops.spr_scan import _combine0
 
-        down0 = jnp.zeros_like(up)
+        down0 = jnp.zeros_like(up_states)
 
         def step(down, inputs):
             anc_offset, pair = inputs
@@ -333,33 +388,42 @@ def _stepwise_block(
             d = down[node]
             c1, c2 = pair[0], pair[1]
             is_pass = c1 == c2
-            ctx1 = jnp.where(is_pass, d, _combine0(d, up[c2]))
-            ctx2 = _combine0(d, up[c1])
+            ctx1 = jnp.where(is_pass, d, _combine0(d, up_states[c2]))
+            ctx2 = _combine0(d, up_states[c1])
             down = down.at[c1].set(ctx1)
             down = down.at[c2].set(jnp.where(is_pass, ctx1, ctx2))
             return down, None
 
-        offsets = jnp.arange(n_anc, dtype=jnp.int32)
-        down, _ = jax.lax.scan(step, down0, (offsets, ch), reverse=True)
-        return down
+        down, _ = jax.lax.scan(step, down0, (offsets, var), reverse=True)
+        ctx = _combine0(up_states, down)
+        empty_join = (tmask[None, :] & ctx) == 0
+        return jnp.sum(
+            empty_join.astype(jnp.float32) * weights[None, :], axis=-1
+        )
 
     def body(state, k):
-        from trex_tpu.ops.spr_scan import _combine0
-
-        children, scored, added = state
+        children, scored, added, up = state
         t = order_dev[k]
-        scored = scored.at[t].set(masks_all[t])
+        tmask = masks_all[t]
+        scored = scored.at[t].set(tmask)
+        up = up.at[t].set(tmask)
         c_node = n_leaves + k - 1  # chain bottom (t's parent)
         r = c_node - 1  # induced root
         var = children.at[k - 1].set(jnp.stack([r, r]))
-        up, events = up_pass(var, scored)
-        down = down_pass(var, up)
-        total = jnp.sum(events * weights)
-        ctx = _combine0(up, down)
-        empty_join = (scored[t][None, :] & ctx) == 0
-        row = total + jnp.sum(
-            empty_join.astype(jnp.float32) * weights[None, :], axis=-1
-        )
+        up_states = up & smask
+        if on_tpu:
+            from trex_tpu.ops.insertion_pallas import insertion_delta_pallas
+
+            delta = insertion_delta_pallas(
+                var, up_states, t, weights, n_leaves=n_leaves
+            )
+        else:
+            delta = lax_delta(var, up_states, tmask)
+        # L(T minus t) = flag-bit weighted sum (chain + dissolved rows
+        # carry flag 0 by construction).
+        flags = (up[n_leaves:] >> _FLAG_SHIFT).astype(jnp.float32)
+        total = jnp.sum(flags * weights[None, :])
+        row = total + delta
         added_full = jnp.concatenate(
             [added, jnp.zeros((n_anc,), bool)]
         )
@@ -393,11 +457,50 @@ def _stepwise_block(
             fix_row[:, None] & (new_children == v), u_old, new_children
         )
         new_children = jnp.sort(new_children, axis=1)
+        # Shift the internal up rows identically and drop w's set in
+        # (v's row is below the shift range, so read it pre-shift).
+        vset = up_states[v]
+        inter = vset & tmask
+        ev = inter == 0
+        wset = jnp.where(ev, (vset | tmask) | flag, inter)
+        anc_rows = up[n_leaves:][src]
+        anc_rows = jax.lax.dynamic_update_slice(
+            anc_rows, wset[None], (u_old - n_leaves, 0)
+        )
+        up = up.at[n_leaves:].set(anc_rows)
+        # Recompute w's ancestor path (the only stale sets), bottom-up.
+        new_parents = (
+            jnp.zeros((n_all,), jnp.int32)
+            .at[new_children[:, 0]].set(row_node)
+            .at[new_children[:, 1]].set(row_node)
+            # Sentinel above every index so the path walk terminates when
+            # the LAST insertion's path reaches the absolute root (whose
+            # scatter entry would otherwise read 0 and loop forever).
+            .at[n_all - 1].set(jnp.int32(n_all))
+        )
+        new_root = c_node  # n + k - 1
+
+        def pcond(carry):
+            x, _ = carry
+            return x <= new_root
+
+        def pstep(carry):
+            x, up = carry
+            pair = new_children[x - n_leaves]
+            a = up[pair[0]] & smask
+            b = up[pair[1]] & smask
+            inter = a & b
+            evp = inter == 0
+            merged = jnp.where(evp, (a | b) | flag, inter)
+            up = jax.lax.dynamic_update_slice(up, merged[None], (x, 0))
+            return (new_parents[x], up)
+
+        _, up = jax.lax.while_loop(pcond, pstep, (new_parents[u_old], up))
         added = added.at[t].set(True)
-        return (new_children, scored, added), None
+        return (new_children, scored, added, up), None
 
     ks = k0 + jnp.arange(n_steps, dtype=jnp.int32)
-    state, _ = jax.lax.scan(body, (children, scored, added), ks)
+    state, _ = jax.lax.scan(body, (children, scored, added, up), ks)
     return state
 
 
@@ -423,11 +526,21 @@ def _stepwise_scan(
 
     n_leaves = masks.shape[0]
     n_anc = n_leaves - 1
-    weights = (
-        jnp.ones((masks.shape[-1],), jnp.float32)
+    length = masks.shape[-1]
+    weights_np = (
+        np.ones((length,), np.float32)
         if site_weights is None
-        else jnp.asarray(site_weights, jnp.float32)
+        else np.asarray(site_weights, np.float32)
     )
+    # Pad sites to a _SITE_CHUNKS multiple: full-mask columns (zero Fitch
+    # events under any tree) with weight 0 — score-transparent.
+    pad = -length % _SITE_CHUNKS
+    if pad:
+        masks = np.concatenate(
+            [masks, np.full((n_leaves, pad), full_mask, masks.dtype)], axis=1
+        )
+        weights_np = np.concatenate([weights_np, np.zeros(pad, np.float32)])
+    weights = jnp.asarray(weights_np)
     # Seed (slot-shift scheme): internal n = (t0, t1), induced root
     # n+1 = (n, t2), then the parked chain n+2..2n-2 in addition order.
     t0, t1, t2 = order[:3]
@@ -444,11 +557,10 @@ def _stepwise_scan(
     added0 = np.zeros((n_leaves,), bool)
     added0[list(order[:3])] = True
 
-    state = (
-        jnp.asarray(children0),
-        jnp.asarray(scored0.astype(np.int32)),
-        jnp.asarray(added0),
-    )
+    children_dev = jnp.asarray(children0)
+    scored_dev = jnp.asarray(scored0.astype(np.int32))
+    up0 = _initial_up(children_dev, scored_dev, n_leaves=n_leaves)
+    state = (children_dev, scored_dev, jnp.asarray(added0), up0)
     order_dev = jnp.asarray(order, jnp.int32)
     masks_all = jnp.asarray(masks.astype(np.int32))
     k = 3
