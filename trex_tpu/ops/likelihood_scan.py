@@ -361,3 +361,61 @@ def likelihood_spr_scan(
             [scores, jnp.full((1, n_all), jnp.inf, scores.dtype)]
         )
     return scores, base_score
+
+
+def likelihood_spr_scan_segmented(
+    topology: Topology,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    ranking_branch_length: float | jax.Array = 0.1,
+    site_weights: jax.Array | None = None,
+    *,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    gamma_shape: float | jax.Array | None = None,
+    n_categories: int = 4,
+    category_rates: jax.Array | None = None,
+    category_weights: jax.Array | None = None,
+    sequences_are_masks: bool = False,
+    prune_chunk: int | None = None,
+    max_cells: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Full-prune-set ML scan split into safe dispatches.
+
+    Same rationale and layout as ``ops.spr_scan.spr_scan_segmented`` (see
+    its docstring for the measured 4096-taxa single-dispatch device-kill
+    this avoids); equal-sized segments keep it at two compiled programs.
+    """
+    import numpy as np
+
+    from trex_tpu.ops.spr_scan import _MAX_SCAN_CELLS
+
+    if max_cells is None:
+        max_cells = _MAX_SCAN_CELLS
+    n_all = topology.n_all
+    n_prune = n_all - 1
+    kwargs = dict(
+        rates=rates, freqs=freqs, gamma_shape=gamma_shape,
+        n_categories=n_categories, category_rates=category_rates,
+        category_weights=category_weights,
+        sequences_are_masks=sequences_are_masks, prune_chunk=prune_chunk,
+    )
+    if n_prune * n_all <= max_cells:
+        return likelihood_spr_scan(
+            topology, leaf_sequences, n_states, ranking_branch_length,
+            site_weights, **kwargs,
+        )
+    seg = max(1, max_cells // n_all)
+    rows = []
+    base = None
+    for s0 in range(0, n_prune, seg):
+        pn = np.arange(s0, s0 + seg, dtype=np.int32)
+        pn[pn >= n_prune] = n_prune - 1
+        sc, base = likelihood_spr_scan(
+            topology, leaf_sequences, n_states, ranking_branch_length,
+            site_weights, prune_nodes=jnp.asarray(pn), **kwargs,
+        )
+        rows.append(sc)
+    scores = jnp.concatenate(rows)[:n_prune]
+    root_row = jnp.full((1, n_all), jnp.inf, scores.dtype)
+    return jnp.concatenate([scores, root_row]), base

@@ -245,6 +245,64 @@ def spr_scan(
     return scores, base_score
 
 
+"""Maximum prune-variants x nodes cells per scan DISPATCH.
+
+Measured on v5e at 4096 taxa x 4096 sites (2026-08-21 bisect): a single
+dispatch with 4096 x 8191 cells (2^25) completes; 6144 x 8191 (1.5x) kills
+the TPU runtime outright ("UNAVAILABLE: TPU device error", ~5 min
+recovery) at BOTH 2 GB and 512 MB chunk budgets — the failure scales with
+the prune-axis extent of the one-dispatch program (score table, validity
+mask, variant tensor), not the chunked working set. 2^24 leaves 2x margin.
+"""
+_MAX_SCAN_CELLS = 1 << 24
+
+
+def spr_scan_segmented(
+    topology: Topology,
+    leaf_sequences: jax.Array,
+    site_weights: jax.Array | None = None,
+    *,
+    sequences_are_masks: bool = False,
+    prune_chunk: int | None = None,
+    max_cells: int = _MAX_SCAN_CELLS,
+) -> tuple[jax.Array, jax.Array]:
+    """``spr_scan`` over the full prune set, split into SAFE dispatches.
+
+    Drop-in for the full scan: returns the same (n_all, n_all) layout
+    (all-inf root row appended). Each dispatch evaluates at most
+    ``max_cells / n_all`` prune variants — segments are equal-sized (the
+    last one padded with repeats, sliced off) so the whole climb compiles
+    TWO programs regardless of segment count. Rows are computed whole per
+    dispatch, so scores are bit-identical to the one-dispatch scan.
+    """
+    import numpy as np
+
+    n_all = topology.n_all
+    n_prune = n_all - 1
+    if n_prune * n_all <= max_cells:
+        scores, base = spr_scan(
+            topology, leaf_sequences, site_weights,
+            sequences_are_masks=sequences_are_masks,
+            prune_chunk=prune_chunk,
+        )
+        return scores, base
+    seg = max(1, max_cells // n_all)
+    rows = []
+    base = None
+    for s0 in range(0, n_prune, seg):
+        pn = np.arange(s0, s0 + seg, dtype=np.int32)
+        pn[pn >= n_prune] = n_prune - 1  # pad with repeats; sliced off
+        sc, base = spr_scan(
+            topology, leaf_sequences, site_weights,
+            sequences_are_masks=sequences_are_masks,
+            prune_nodes=jnp.asarray(pn), prune_chunk=prune_chunk,
+        )
+        rows.append(sc)
+    scores = jnp.concatenate(rows)[:n_prune]
+    root_row = jnp.full((1, n_all), jnp.inf, scores.dtype)
+    return jnp.concatenate([scores, root_row]), base
+
+
 def spr_scan_best(
     topology: Topology,
     leaf_sequences: jax.Array,
@@ -253,7 +311,7 @@ def spr_scan_best(
     sequences_are_masks: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """(best_score, prune_node, regraft_node, base_score) of the SPR scan."""
-    scores, base = spr_scan(
+    scores, base = spr_scan_segmented(
         topology, leaf_sequences, site_weights,
         sequences_are_masks=sequences_are_masks,
     )

@@ -40,13 +40,13 @@ def spr_decay_support(
     steps); the root's entry and branches with no destroying move in the
     neighborhood are NaN.
     """
-    from trex_tpu.ops.spr_scan import spr_scan
+    from trex_tpu.ops.spr_scan import spr_scan_segmented
 
     n_leaves = topology.n_leaves
     n_all = topology.n_all
     parents = np.asarray(topology.parents)
 
-    scores, base = spr_scan(
+    scores, base = spr_scan_segmented(
         topology, leaf_sequences, site_weights,
         sequences_are_masks=sequences_are_masks,
     )

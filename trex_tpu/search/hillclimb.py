@@ -414,7 +414,7 @@ def _spr_scan_climb(
     import numpy as np
 
     from trex_tpu.io import spr_move
-    from trex_tpu.ops.spr_scan import spr_scan
+    from trex_tpu.ops.spr_scan import spr_scan_segmented
 
     # Bound the scan's peak (chunk x nodes x sites) set tensors to ~2 GB.
     from trex_tpu.utils.chunking import auto_prune_chunk
@@ -436,7 +436,10 @@ def _spr_scan_climb(
             )
     else:
         def run_scan(topo):
-            return spr_scan(
+            # Segmented: the prune axis splits into safe dispatches past
+            # the measured single-dispatch device-kill ceiling
+            # (ops/spr_scan.py:_MAX_SCAN_CELLS).
+            return spr_scan_segmented(
                 topo, leaf_sequences, site_weights,
                 sequences_are_masks=sequences_are_masks,
                 prune_chunk=prune_chunk,

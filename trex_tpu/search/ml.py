@@ -419,8 +419,12 @@ def _ml_scan_climb(
                 category_weights=category_weights,
             )
     else:
+        from trex_tpu.ops.likelihood_scan import (
+            likelihood_spr_scan_segmented,
+        )
+
         def run_scan(topo):
-            return likelihood_spr_scan(
+            return likelihood_spr_scan_segmented(
                 topo, leaf_sequences, n_states, ranking_branch_length,
                 site_weights, rates=rates, freqs=freqs,
                 gamma_shape=gamma_shape,
