@@ -279,3 +279,25 @@ def test_insertion_delta_kernel_parity():
             else:
                 np.testing.assert_allclose(row[v] - got[v], base, atol=1e-4)
     assert base is not None
+
+
+def test_insertion_kernel_auto_site_block():
+    """VMEM auto-shrink: 8192 taxa shrinks 512 -> 384; small stays put;
+    past the no-fit point the error is a clear ValueError, not Mosaic OOM."""
+    import pytest
+
+    from trex_tpu.ops.insertion_pallas import (
+        _LANES,
+        _VMEM_TARGET,
+        _auto_site_block,
+    )
+
+    assert _auto_site_block(256, 512) == 512  # small trees untouched
+    # 8192 taxa (n_pad 16384): the (16384, 512) config measured 103.8 MB
+    # against the 100 MB scoped-vmem limit on chip; the model must pick a
+    # smaller lane-aligned block that fits.
+    got = _auto_site_block(16384, 512)
+    assert got == 384
+    assert 12 * 16384 * got + 4 * 16384 * _LANES <= _VMEM_TARGET
+    with pytest.raises(ValueError, match="scoped-VMEM"):
+        _auto_site_block(1 << 19, 512)  # ~262k taxa: nothing fits

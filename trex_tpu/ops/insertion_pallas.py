@@ -49,6 +49,31 @@ def _combine0(a, b):
     return jnp.where(b == 0, a, merged)
 
 
+_VMEM_TARGET = 96 * 1024 * 1024  # keep under the 100 MB scoped-vmem request
+
+
+def _auto_site_block(n_pad: int, requested: int) -> int:
+    """Largest lane-aligned site block whose kernel VMEM footprint fits.
+
+    Footprint model, matched against Mosaic's own accounting (8192 taxa,
+    (16384, 512) blocks -> "103.80M" reported): the up block is
+    double-buffered across grid steps (2 x 4 x n_pad x sb bytes), the down
+    scratch persists (4 x n_pad x sb), and the (n_pad, 128) f32 output is
+    resident once — footprint ~= 12*n_pad*sb + 4*n_pad*128. At 8192 taxa
+    this shrinks the default 512 block to 384; past ~32k taxa no 128-lane
+    block fits and the caller gets a clear error instead of a Mosaic OOM.
+    """
+    cap = (_VMEM_TARGET - 4 * n_pad * _LANES) // (12 * n_pad)
+    cap = cap // _LANES * _LANES
+    if cap < _LANES:
+        raise ValueError(
+            f"insertion kernel cannot fit VMEM at n_pad={n_pad}: even a "
+            "128-lane site block exceeds the scoped-VMEM budget "
+            f"({_VMEM_TARGET} bytes); use the lax fallback path"
+        )
+    return min(requested, cap)
+
+
 _SEG = 256  # ancestors per grid segment; bounds Mosaic's per-iteration
 # SMEM cost (measured: the rolled dynamic-store loop books ~0.5 KB of SMEM
 # per iteration, so a single 2047-long loop blows the 1 MiB budget)
@@ -147,6 +172,9 @@ def insertion_delta_pallas(
     length = up_states.shape[-1]
     n_anc = n_leaves - 1
     n_pad = _round_up(n_all, _SUBLANES)
+    # Shrink the site block when the taxon count would bust scoped VMEM
+    # (results are bit-identical across block sizes; tests pin this).
+    site_block = _auto_site_block(n_pad, site_block)
     padded_len = _round_up(length, site_block)
     n_segs = -(-n_anc // _SEG)
     anc_pad = n_segs * _SEG
