@@ -259,6 +259,48 @@ def test_sharded_spr_scan_with_weights(mesh):
     np.testing.assert_allclose(float(sh_base), float(ref_base), rtol=1e-6)
 
 
+def test_sharded_spr_scan_segments_bit_identical(mesh):
+    """A forcibly tiny per-dispatch cell cap (multi-segment mesh scan) is
+    BIT-identical to the one-dispatch mesh scan, both criteria.
+
+    Guards the runtime-kill fix through the mesh path: sharded_spr_scan must
+    cap each dispatch's per-device prune extent (ops/spr_scan.py:248-257's
+    bisect) without changing a single bit of the score table."""
+    import numpy as np
+
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.parallel.sharded import sharded_spr_scan
+    from trex_tpu.topology import random_topologies
+
+    topo = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.key(97), 9, 1)
+    )
+    blens = np.full((topo.n_all,), 0.2)
+    leaves = jnp.asarray(
+        simulate_alignment(jax.random.key(98), topo, blens, n_sites=64)
+    )
+    n_all = topo.n_all  # 17; local_prune = 8 on the 2-device tree axis
+    one, one_base = sharded_spr_scan(mesh, topo, leaves)
+    # cap -> 3 prune rows/device/dispatch -> 3 segments (3 + 3 + 2 padded)
+    seg, seg_base = sharded_spr_scan(mesh, topo, leaves, max_cells=3 * n_all)
+    np.testing.assert_array_equal(np.asarray(seg), np.asarray(one))
+    assert float(seg_base) == float(one_base)
+
+    ml_one, ml_one_base = sharded_spr_scan(
+        mesh, topo, leaves, criterion="ml", n_states=4
+    )
+    ml_seg, ml_seg_base = sharded_spr_scan(
+        mesh, topo, leaves, criterion="ml", n_states=4, max_cells=3 * n_all
+    )
+    np.testing.assert_array_equal(np.asarray(ml_seg), np.asarray(ml_one))
+    assert float(ml_seg_base) == float(ml_one_base)
+
+    # A cap of one row per dispatch (the degenerate extreme) also holds.
+    tiny, tiny_base = sharded_spr_scan(mesh, topo, leaves, max_cells=1)
+    np.testing.assert_array_equal(np.asarray(tiny), np.asarray(one))
+    assert float(tiny_base) == float(one_base)
+
+
 def test_dating_chains_shard_bit_identically(mesh):
     """mcmc_date chains are pure data parallelism over the mesh: sharded
     and unsharded runs must produce IDENTICAL traces (same key)."""

@@ -406,6 +406,7 @@ def sharded_spr_scan(
     category_rates: jax.Array | None = None,
     category_weights: jax.Array | None = None,
     scan_budget_bytes: int = 2 << 30,
+    max_cells: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """The analytic all-SPR scan with the PRUNE axis sharded over ``tree``.
 
@@ -421,22 +422,42 @@ def sharded_spr_scan(
     budget — but here the prune axis is already divided by the mesh, so a
     given budget admits ``n_dev``-times more prune parallelism per round.
 
+    ``max_cells`` caps each DISPATCH's per-device prune-axis extent
+    (prune rows x n_all cells), mirroring ``ops.spr_scan._MAX_SCAN_CELLS``:
+    past ~2^25 cells in one program the TPU runtime dies outright (v5e
+    bisect, ops/spr_scan.py:248-257), and the chunk budget does NOT guard
+    it. When a shard's local prune set exceeds the cap, the scan runs as
+    several equal-shaped shard_map dispatches (one compile), each scoring a
+    slice of every device's rows; rows are computed whole per dispatch so
+    the reassembled table is bit-identical to the one-dispatch scan.
+
     Returns (scores (n_all-1, n_all), base_score), numerically identical
     to the single-device scans (verified in tests/test_sharding.py).
     """
     import numpy as np
 
+    from trex_tpu.ops.spr_scan import _MAX_SCAN_CELLS
     from trex_tpu.utils.chunking import auto_prune_chunk
 
+    if max_cells is None:
+        max_cells = _MAX_SCAN_CELLS
     n_all = topology.n_all
     n_dev = mesh.shape[TREE_AXIS]
     n_prune = n_all - 1
     padded = ((n_prune + n_dev - 1) // n_dev) * n_dev
-    prune = np.arange(padded, dtype=np.int32)
-    prune[n_prune:] = n_prune - 1  # duplicates; dropped after gather
-    prune = jnp.asarray(prune)
     local_prune = padded // n_dev
     length = leaf_sequences.shape[-1]
+
+    # Per-device per-dispatch prune extent under the runtime-kill cap.
+    local_seg = min(local_prune, max(1, max_cells // n_all))
+    n_seg = (local_prune + local_seg - 1) // local_seg
+    # dev_rows[d]: device d's prune nodes, padded to n_seg*local_seg with
+    # repeats of its last valid node (duplicate rows dropped on reassembly).
+    dev_rows = np.minimum(
+        np.arange(n_dev, dtype=np.int32)[:, None] * local_prune
+        + np.minimum(np.arange(n_seg * local_seg, dtype=np.int32), local_prune - 1)[None, :],
+        n_prune - 1,
+    )
 
     if criterion == "parsimony":
         from trex_tpu.ops.spr_scan import spr_scan as scan_fn
@@ -444,7 +465,7 @@ def sharded_spr_scan(
         # Per-prune working set: f32 set tensors x (inside + upstream),
         # matching search/hillclimb.py's single-device accounting.
         prune_chunk = auto_prune_chunk(
-            local_prune, n_all * length * 4 * 2, scan_budget_bytes
+            local_seg, n_all * length * 4 * 2, scan_budget_bytes
         )
 
         def run(pn, leaves, w):
@@ -458,7 +479,7 @@ def sharded_spr_scan(
 
         q = n_states or int(leaf_sequences.max()) + 1
         prune_chunk = auto_prune_chunk(
-            local_prune, n_all * length * (q + 1) * 4 * 2, scan_budget_bytes
+            local_seg, n_all * length * (q + 1) * 4 * 2, scan_budget_bytes
         )
 
         def run(pn, leaves, w):
@@ -490,8 +511,27 @@ def sharded_spr_scan(
         scores, base = run(pn, leaves, w)
         return scores, base
 
-    scores, base = scan_shard(prune, jnp.asarray(leaf_sequences), weights)
+    leaves = jnp.asarray(leaf_sequences)
+    # One dispatch per segment slice; every dispatch has identical shapes,
+    # so the whole loop compiles ONE program regardless of segment count.
+    seg_scores = []
+    base = None
+    for s in range(n_seg):
+        pn = jnp.asarray(
+            dev_rows[:, s * local_seg:(s + 1) * local_seg].reshape(-1)
+        )
+        sc, base = scan_shard(pn, leaves, weights)
+        seg_scores.append(sc)
+    # seg_scores[s] rows are device-major within the dispatch; reassemble
+    # per-device row blocks back into global prune order.
+    stacked = jnp.stack(seg_scores)  # (n_seg, n_dev*local_seg, n_all)
+    scores = (
+        stacked.reshape(n_seg, n_dev, local_seg, n_all)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_dev, n_seg * local_seg, n_all)[:, :local_prune]
+        .reshape(padded, n_all)[:n_prune]
+    )
     # Match the single-device full-scan layout: one row per node incl. an
     # all-inf root row, so argmin/divmod consumers are drop-in.
     root_row = jnp.full((1, scores.shape[-1]), jnp.inf, scores.dtype)
-    return jnp.concatenate([scores[:n_prune], root_row]), base
+    return jnp.concatenate([scores, root_row]), base
