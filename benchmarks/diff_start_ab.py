@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_infer(fasta: str, start: str, seed: int) -> dict:
+def run_infer(fasta: str, start: str, seed: int, *extra: str) -> dict:
     from trex_tpu.cli.parser import main
 
     buf = io.StringIO()
@@ -36,7 +36,7 @@ def run_infer(fasta: str, start: str, seed: int) -> dict:
     with contextlib.redirect_stdout(buf):
         main([
             "infer", "--fasta", fasta, "--start", start,
-            "--seed", str(seed), "--criterion", "parsimony",
+            "--seed", str(seed), "--criterion", "parsimony", *extra,
         ])
     wall = time.perf_counter() - t0
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
@@ -54,6 +54,10 @@ def main_ab() -> None:
     ap.add_argument("--taxa", type=int, default=128)
     ap.add_argument("--sites", type=int, default=1024)
     ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
+    ap.add_argument(
+        "--starts", nargs="+", default=["random", "diff"],
+        help="start strategies to A/B (e.g. random diff stepwise)",
+    )
     args = ap.parse_args()
 
     from trex_tpu.cli.parser import main as cli_main
@@ -65,12 +69,13 @@ def main_ab() -> None:
             str(args.sites), "--seed", "7", "--output", fasta,
         ])
 
-    # Warmup: pays the SPR-scan + scoring compiles for this shape.
-    warm = run_infer(fasta, "random", 99)
+    # Warmup: a single-round run pays the SPR-scan + scoring compiles for
+    # this shape without the cost of a full climb.
+    warm = run_infer(fasta, "random", 99, "--rounds", "1")
     print(json.dumps({"warmup": warm}), flush=True)
 
     for seed in args.seeds:
-        for start in ("random", "diff"):
+        for start in args.starts:
             print(json.dumps(run_infer(fasta, start, seed)), flush=True)
 
 

@@ -299,5 +299,53 @@ def test_insertion_kernel_auto_site_block():
     got = _auto_site_block(16384, 512)
     assert got == 384
     assert 12 * 16384 * got + 4 * 16384 * _LANES <= _VMEM_TARGET
+    # Exact no-fit boundary from the footprint model: a 128-lane block
+    # stops fitting once 2048*n_pad > _VMEM_TARGET, i.e. n_pad > 49,152
+    # (~24.5k taxa).
+    assert _auto_site_block(49152, 512) == _LANES
     with pytest.raises(ValueError, match="scoped-VMEM"):
-        _auto_site_block(1 << 19, 512)  # ~262k taxa: nothing fits
+        _auto_site_block(49160, 512)
+    with pytest.raises(ValueError, match="scoped-VMEM"):
+        _auto_site_block(1 << 19, 512)
+
+
+def test_insertion_kernel_block_size_parity():
+    """Same inputs at site_block 512 vs 384 (interpret mode) give identical
+    deltas for integer weights: per-site terms are blocking-invariant and
+    integer-weight f32 sums are exact, so the accumulation regrouping
+    cannot change a bit (the _auto_site_block shrink is output-invisible)."""
+    from trex_tpu.ops.insertion_pallas import insertion_delta_pallas
+    from trex_tpu.topology import random_topologies
+
+    rng = np.random.default_rng(31)
+    n, length, q = 12, 600, 4
+    topo = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.PRNGKey(8), n, 1)
+    )
+    n_all = 2 * n - 1
+    masks = (1 << rng.integers(0, q, (n_all, length)).astype(np.int32))
+    t = 4
+    children = np.asarray(topo.children)
+    parents = np.asarray(topo.parents)
+    q_row = parents[t] - n
+    sib = int(children[q_row].sum() - t)
+    var = children.copy()
+    var[q_row] = (sib, sib)
+    up = np.zeros((n_all, length), np.int32)
+    up[:n] = masks[:n]
+    for a in range(n - 1):
+        c0, c1 = var[a]
+        inter = up[c0] & up[c1]
+        up[n + a] = np.where(inter == 0, up[c0] | up[c1], inter)
+    weights = rng.integers(1, 5, length).astype(np.float32)
+    outs = [
+        np.asarray(
+            insertion_delta_pallas(
+                jnp.asarray(var), jnp.asarray(up), jnp.int32(t),
+                jnp.asarray(weights), n_leaves=n, site_block=sb,
+                interpret=True,
+            )
+        )
+        for sb in (512, 384)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])

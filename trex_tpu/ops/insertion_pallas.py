@@ -60,8 +60,10 @@ def _auto_site_block(n_pad: int, requested: int) -> int:
     double-buffered across grid steps (2 x 4 x n_pad x sb bytes), the down
     scratch persists (4 x n_pad x sb), and the (n_pad, 128) f32 output is
     resident once — footprint ~= 12*n_pad*sb + 4*n_pad*128. At 8192 taxa
-    this shrinks the default 512 block to 384; past ~32k taxa no 128-lane
-    block fits and the caller gets a clear error instead of a Mosaic OOM.
+    this shrinks the default 512 block to 384; by the same model even a
+    128-lane block stops fitting once 2048*n_pad > _VMEM_TARGET, i.e.
+    n_pad > 49,152 (~24.5k taxa), where the caller gets a clear error
+    instead of a Mosaic OOM (boundary pinned in tests/test_stepwise.py).
     """
     cap = (_VMEM_TARGET - 4 * n_pad * _LANES) // (12 * n_pad)
     cap = cap // _LANES * _LANES
@@ -172,8 +174,11 @@ def insertion_delta_pallas(
     length = up_states.shape[-1]
     n_anc = n_leaves - 1
     n_pad = _round_up(n_all, _SUBLANES)
-    # Shrink the site block when the taxon count would bust scoped VMEM
-    # (results are bit-identical across block sizes; tests pin this).
+    # Shrink the site block when the taxon count would bust scoped VMEM.
+    # Per-site terms are computed identically in every blocking; only the
+    # f32 accumulation grouping changes, so results are bit-identical for
+    # integer site weights (exact f32 sums) and numerically equivalent
+    # otherwise — cross-block parity pinned in tests/test_stepwise.py.
     site_block = _auto_site_block(n_pad, site_block)
     padded_len = _round_up(length, site_block)
     n_segs = -(-n_anc // _SEG)
