@@ -65,7 +65,7 @@ def bench_ml() -> None:
         out = None
         for _ in range(reps):
             out = run()
-        out.block_until_ready()
+        np.asarray(out[:1])  # forced readback: tunnel-honest sync (CLAUDE.md)
         best = min(best, time.perf_counter() - t0)
     rate = batch * reps / best
     # Baseline = the round-1 fused-kernel measurement (96k trees/s).
@@ -211,28 +211,44 @@ def bench_fitch() -> None:
         scores = score_fn(topos, cost, leaf)
         scores.block_until_ready()
 
-    # Best of 3 timed trials (steady-state throughput, robust to transient
-    # tunnel stalls). Emit every trial's rate on a canary line first so a
-    # round-over-round headline shift is diagnosable as session noise vs a
-    # regression (BENCH_r02 -> r03 slid 897k -> 793k with no in-artifact
-    # spread to adjudicate it).
+    # 5 timestamped trials (steady-state throughput). Protocol notes:
+    #  - Each trial ends with a forced READBACK (np.asarray of one score):
+    #    block_until_ready does NOT synchronize through the TPU tunnel
+    #    (CLAUDE.md), so a block-only timer can stop while the device still
+    #    computes. The one ~20 ms RTT is <2% of a trial's ~1-2 s compute.
+    #  - Every trial's rate + start timestamp is emitted so a
+    #    round-over-round headline shift is diagnosable as session noise vs
+    #    a regression, and any trial >25% below the median is flagged as a
+    #    tunnel stall rather than silently absorbed into a best-of
+    #    (BENCH_r04's 47% spread was unadjudicable from the artifact).
+    #  - Headline = max rate (continuity with rounds 1-4); median also
+    #    reported.
+    reps = 25
+    bench_start = time.perf_counter()
     trials = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(reps):
             scores = score_fn(topos, cost, leaf)
-        scores.block_until_ready()
-        trials.append(time.perf_counter() - t0)
+        np.asarray(scores[:1])  # force device completion through the tunnel
+        trials.append((t0 - bench_start, time.perf_counter() - t0))
 
-    rates = [batch * reps / t for t in trials]
+    rates = [batch * reps / t for _, t in trials]
+    median = float(np.median(rates))
+    stalls = [i for i, r in enumerate(rates) if r < 0.75 * median]
     print(
         json.dumps(
             {
-                "metric": "candidate-tree evals/s trial spread",
-                "trials": [round(r, 1) for r in rates],
+                "metric": "candidate-tree evals/s trial protocol",
+                "trials": [
+                    {"t_start_s": round(ts, 2), "rate": round(r, 1)}
+                    for (ts, _), r in zip(trials, rates)
+                ],
+                "median": round(median, 1),
                 "spread_pct": round(
                     100 * (max(rates) - min(rates)) / max(rates), 2
                 ),
+                "stall_trials": stalls,
             }
         ),
         flush=True,

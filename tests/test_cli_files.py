@@ -392,3 +392,47 @@ def test_cli_treedraw(capsys, tmp_path):
     for name in ("alpha", "beta", "gamma", "delta"):
         assert name in out
     assert ":0.1" in out  # branch lengths annotated
+
+
+def test_cli_mesh_defaults_to_auto_on_multidevice(capsys, fasta_path):
+    """On the 8-virtual-device test backend, no --mesh flag must mean
+    'auto' (the sharded drivers), --mesh 1,1 must opt out, and both must
+    produce the identical tree and score (the mesh paths are bit-identical
+    by design — tests/test_sharding.py)."""
+    import jax
+
+    from trex_tpu.cli import main
+    from trex_tpu.cli._common import _make_cli_mesh
+    from trex_tpu.parallel.mesh import TREE_AXIS
+
+    assert len(jax.devices()) == 8
+    mesh = _make_cli_mesh(None)
+    assert mesh is not None  # implicit auto
+    assert _make_cli_mesh("1,1") is None  # explicit opt-out
+    # divides-aware auto: a 3-chain MCMC batch picks a compatible tree axis.
+    assert _make_cli_mesh(None, divides=3).shape[TREE_AXIS] == 1
+    assert _make_cli_mesh(None, divides=8).shape[TREE_AXIS] == 8
+
+    outs = {}
+    for flag in ([], ["--mesh", "1,1"]):
+        main([
+            "infer", "--fasta", fasta_path, "--start", "stepwise",
+            "--neighborhood", "spr-scan", *flag,
+        ])
+        outs[bool(flag)] = json.loads(capsys.readouterr().out)
+    assert outs[False]["parsimony_score"] == outs[True]["parsimony_score"]
+    assert outs[False]["tree"] == outs[True]["tree"]
+
+
+def test_cli_mcmc_default_mesh_indivisible_chains(capsys, fasta_path):
+    """The implicit mesh default must not trip mcmc_sample's divisibility
+    check for chain counts the balanced heuristic cannot shard (3 chains
+    on 8 devices -> tree axis 1)."""
+    from trex_tpu.cli import main
+
+    main([
+        "mcmc", "--fasta", fasta_path, "--generations", "8",
+        "--chains", "3", "--sample-every", "2", "--burnin", "0.0",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_samples"] > 0

@@ -103,3 +103,24 @@ def test_round4_driver_collectives():
         mesh_shape, n_runs=2, n_chains=1, n_anc=63, n_all=127
     )
     assert all(c.op == "psum" for c in solo)
+
+
+def test_round5_tooling_collectives():
+    """Round-5 replicate/support paths: RELL per-site matrix all_gather +
+    stepping-stone counter psums / trace gather."""
+    from trex_tpu.parallel.comm_model import (
+        per_site_matrix_collectives,
+        stepping_stone_collectives,
+    )
+
+    mesh_shape = {"tree": 4, "site": 2}
+    # 10 candidates pad to 12 (three rows per tree shard) x 256 sites f32.
+    ps = per_site_matrix_collectives(mesh_shape, n_candidates=10, length=256)
+    assert [c.op for c in ps] == ["all_gather"]
+    assert ps[0].payload_bytes == 12 * 256 * 4
+    assert ps[0].wire_bytes_per_device == (3 * 12 * 256 * 4) // 4
+
+    ss = stepping_stone_collectives(mesh_shape, n_rungs=8, total_steps=100)
+    ops = [c.op for c in ss]
+    assert ops.count("psum") == 100 and ops.count("all_gather") == 1
+    assert ss[-1].payload_bytes == 100 * 8 * 4

@@ -438,3 +438,95 @@ def test_mcmc_mesh_bit_identical(mesh):
         rtol=1e-7,
     )
     assert meshed.acceptance == plain.acceptance
+
+
+def test_replicate_tooling_sharded_matches_single_device(mesh):
+    """Round-5: the replicate/support tooling shards over the mesh —
+    ufboot, topotest, stepping-stone, and both bootstrap analyses must
+    reproduce their single-device results (bit-identical for the integer
+    parsimony paths, rtol-tight for float likelihood paths)."""
+    import numpy as np
+
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.topology import random_topologies
+
+    topo = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.key(101), 8, 1)
+    )
+    blens = np.full((topo.n_all,), 0.2)
+    leaves = jnp.asarray(
+        simulate_alignment(jax.random.key(102), topo, blens, n_sites=64)
+    )
+
+    # --- ufboot: candidate axis over 'tree' ---
+    from trex_tpu.search.ufboot import ultrafast_bootstrap
+
+    kw = dict(n_replicates=50, extra_tbr=8, n_sweeps=2)
+    ub1 = ultrafast_bootstrap(jax.random.key(5), topo, leaves, 4, **kw)
+    ub2 = ultrafast_bootstrap(
+        jax.random.key(5), topo, leaves, 4, mesh=mesh, **kw
+    )
+    np.testing.assert_allclose(
+        ub2.log_likelihoods, ub1.log_likelihoods, rtol=2e-6
+    )
+    np.testing.assert_array_equal(ub2.winner_counts, ub1.winner_counts)
+    np.testing.assert_array_equal(ub2.support, ub1.support)
+
+    # --- topotest: tree axis over 'tree' ---
+    from trex_tpu.search.topotest import topology_tests
+
+    cands = random_topologies(jax.random.key(103), 8, 4)
+    tt1 = topology_tests(
+        jax.random.key(6), cands, leaves, 4, n_replicates=200, n_sweeps=2,
+        au_scales=None,
+    )
+    tt2 = topology_tests(
+        jax.random.key(6), cands, leaves, 4, n_replicates=200, n_sweeps=2,
+        au_scales=None, mesh=mesh,
+    )
+    np.testing.assert_allclose(tt2.per_site, tt1.per_site, rtol=2e-6)
+    assert tt2.best_index == tt1.best_index
+    np.testing.assert_allclose(tt2.p_kh, tt1.p_kh, atol=1e-12)
+    np.testing.assert_allclose(tt2.p_sh, tt1.p_sh, atol=1e-12)
+
+    # --- stepping stone: rung batch over 'tree' ---
+    from trex_tpu.search.marginal import stepping_stone
+
+    ss_kw = dict(n_rungs=8, n_generations=60, burnin_frac=0.3)
+    ss1 = stepping_stone(jax.random.key(7), topo, leaves, 4, **ss_kw)
+    ss2 = stepping_stone(
+        jax.random.key(7), topo, leaves, 4, mesh=mesh, **ss_kw
+    )
+    np.testing.assert_allclose(
+        ss2["log_ratios"], ss1["log_ratios"], rtol=1e-6
+    )
+    assert ss2["acceptance"] == ss1["acceptance"]
+
+    # --- bootstrap analyses: per-replicate climbs score over the mesh ---
+    from trex_tpu.search.bootstrap import (
+        bootstrap_analysis,
+        ml_bootstrap_analysis,
+    )
+    from trex_tpu.types import CostModel
+
+    cost = CostModel.hamming(4).matrix
+    bs_kw = dict(n_replicates=6, search_rounds=3)
+    b1, trees1 = bootstrap_analysis(
+        jax.random.key(8), topo, cost, leaves, **bs_kw
+    )
+    b2, trees2 = bootstrap_analysis(
+        jax.random.key(8), topo, cost, leaves, mesh=mesh, **bs_kw
+    )
+    np.testing.assert_array_equal(b2, b1)
+    for t1, t2 in zip(trees1, trees2):
+        np.testing.assert_array_equal(
+            np.asarray(t2.children), np.asarray(t1.children)
+        )
+
+    m1, _ = ml_bootstrap_analysis(
+        jax.random.key(9), topo, leaves, 4, **bs_kw
+    )
+    m2, _ = ml_bootstrap_analysis(
+        jax.random.key(9), topo, leaves, 4, mesh=mesh, **bs_kw
+    )
+    np.testing.assert_array_equal(m2, m1)

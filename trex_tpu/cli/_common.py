@@ -6,18 +6,39 @@ import argparse
 
 import jax
 
-def _make_cli_mesh(spec: str | None):
+def _make_cli_mesh(spec: str | None, divides: int | None = None):
     """Build a ('tree', 'site') mesh from a ``--mesh T,S`` CLI spec.
 
     ``"T,S"`` = explicit axis sizes (T*S must equal the addressable device
     count); ``"auto"`` = the ``make_mesh`` heuristic over all devices;
-    None = no mesh (single-device drivers).
+    ``"1,1"`` = explicit single-device opt-out. None (no flag) defaults to
+    ``auto`` whenever MORE than one device is addressable — a pod user gets
+    the sharded drivers without knowing the flag (safe: the mesh paths are
+    bit-identical to single-device, tests/test_sharding.py) — and to
+    single-device otherwise.
+
+    ``divides``: when given (drivers that shard a fixed batch axis without
+    padding, e.g. the MCMC's runs x chains), 'auto' picks the LARGEST tree
+    axis dividing both the device count and ``divides`` instead of the
+    balanced heuristic, so the implicit default never trips the driver's
+    divisibility check.
     """
-    if spec is None:
+    if spec == "1,1":
         return None
+    if spec is None:
+        if len(jax.devices()) <= 1:
+            return None
+        spec = "auto"
     from trex_tpu.parallel.mesh import make_mesh
 
     if spec == "auto":
+        if divides is not None:
+            n = len(jax.devices())
+            t = max(
+                t for t in range(1, n + 1)
+                if n % t == 0 and divides % t == 0
+            )
+            return make_mesh(tree_parallelism=t)
         return make_mesh()
     try:
         t_str, s_str = spec.split(",")
@@ -36,7 +57,8 @@ def _add_mesh_flag(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--mesh", type=str, default=None, metavar="T,S",
         help="shard work over a ('tree','site') device mesh: T,S axis "
-        "sizes (product = device count) or 'auto'. Default: single device",
+        "sizes (product = device count), 'auto', or '1,1' to force single "
+        "device. Default: auto when >1 device is addressable, else single",
     )
 
 

@@ -95,7 +95,9 @@ def cmd_mcmc(args) -> None:
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         stop_after_generations=args.stop_after,
-        mesh=_make_cli_mesh(getattr(args, "mesh", None)),
+        mesh=_make_cli_mesh(
+            getattr(args, "mesh", None), divides=args.runs * args.chains
+        ),
     )
     if args.full_bayes and res.sample_freqs is not None:
         out["posterior_freqs"] = [
@@ -205,6 +207,9 @@ def cmd_bayesfactor(args) -> None:
             n_rungs=args.rungs, n_generations=args.generations,
             sample_model=base == "gtr", gamma_shape=gamma_shape,
             site_weights=weights, sequences_are_masks=True,
+            mesh=_make_cli_mesh(
+                getattr(args, "mesh", None), divides=args.rungs
+            ),
         )
         results[model] = {
             "log_marginal": round(res["log_marginal"], 4),

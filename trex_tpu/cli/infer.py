@@ -377,6 +377,7 @@ def cmd_infer(args) -> None:
                 site_weights=weights,
                 n_replicates=args.ufboot,
                 sequences_are_masks=True,
+                mesh=mesh,
             )
             out["ufboot_support"] = [
                 round(float(s), 3) for s in ub.support
@@ -404,6 +405,7 @@ def cmd_infer(args) -> None:
                 search_rounds=max(args.rounds // 4, 3),
                 site_weights=weights,
                 sequences_are_masks=True,
+                mesh=mesh,
             )
             out["bootstrap_replicates"] = args.bootstrap
             out["mean_split_support"] = float(np.mean(support))
@@ -494,6 +496,7 @@ def cmd_infer(args) -> None:
                 neighborhood="nni",
                 site_weights=weights,
                 sequences_are_masks=True,
+                mesh=mesh,
             )
             out["bootstrap_replicates"] = args.bootstrap
             out["mean_split_support"] = float(np.mean(support))

@@ -359,6 +359,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write per-tree per-site log-likelihoods here "
                         "(CONSEL/puzzle site-lnL format) for external "
                         "AU-test tools")
+    _add_mesh_flag(p)
     p.set_defaults(fn=cmd_topotest)
 
     p = sub.add_parser(
@@ -385,6 +386,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rungs", type=int, default=32)
     p.add_argument("--generations", type=int, default=3000)
     p.add_argument("--seed", type=int, default=0)
+    _add_mesh_flag(p)
     p.set_defaults(fn=cmd_bayesfactor)
 
     p = sub.add_parser(

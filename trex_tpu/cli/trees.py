@@ -131,6 +131,7 @@ def cmd_topotest(args) -> None:
     import numpy as np
 
     from trex_tpu.alignment import compress_alignment
+    from trex_tpu.cli._common import _make_cli_mesh
     from trex_tpu.io import load_newick, renumber_leaves
     from trex_tpu.search.topotest import topology_tests
     from trex_tpu.topology import Topology
@@ -188,6 +189,7 @@ def cmd_topotest(args) -> None:
         site_weights=jnp.asarray(weights, jnp.float32),
         n_replicates=args.replicates,
         sequences_are_masks=True,
+        mesh=_make_cli_mesh(getattr(args, "mesh", None)),
     )
     if args.site_lnl:
         # Expand per-pattern lnLs back to original site order and write the

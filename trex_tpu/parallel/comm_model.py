@@ -151,6 +151,54 @@ def spr_scan_collectives(
     return [Collective("all_gather", "tree", n_tree, payload)]
 
 
+def per_site_matrix_collectives(
+    mesh_shape: dict[str, int],
+    n_candidates: int,
+    length: int,
+    dtype_bytes: int = 4,
+) -> list[Collective]:
+    """Collectives of one ``sharded_per_site_matrix`` call (round-5 path:
+    ``ultrafast_bootstrap(mesh=...)`` / ``topology_tests(mesh=...)``).
+
+    The candidate axis is sharded over ``tree``; each device Newton-fits
+    and evaluates its local candidates over the FULL (replicated) site
+    axis, so the only collective is the output all_gather of the
+    (n_candidates, length) per-site-lnL matrix when the host reads it for
+    the RELL matmul.
+    """
+    n_tree = mesh_shape.get("tree", 1)
+    pad = -n_candidates % n_tree
+    payload = (n_candidates + pad) * length * dtype_bytes
+    return [Collective("all_gather", "tree", n_tree, payload)]
+
+
+def stepping_stone_collectives(
+    mesh_shape: dict[str, int],
+    n_rungs: int,
+    total_steps: int,
+    dtype_bytes: int = 4,
+) -> list[Collective]:
+    """Collectives of one sharded ``stepping_stone`` run (round-5 path:
+    the rung batch over ``tree`` via input shardings + GSPMD).
+
+    Every rung's chain is device-local; the cross-shard traffic is the
+    scalar acceptance-counter psum per step (GSPMD reduces the
+    ``take.sum()`` over the sharded rung axis) and the final trace gather
+    of (total_steps, n_rungs) f32 when the host reads it.
+    """
+    n_tree = mesh_shape.get("tree", 1)
+    out: list[Collective] = [
+        Collective("psum", "tree", n_tree, dtype_bytes)
+    ] * total_steps
+    out.append(
+        Collective(
+            "all_gather", "tree", n_tree,
+            total_steps * n_rungs * dtype_bytes,
+        )
+    )
+    return out
+
+
 def mcmc_generation_collectives(
     mesh_shape: dict[str, int],
     n_runs: int,

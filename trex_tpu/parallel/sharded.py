@@ -122,6 +122,7 @@ def sharded_log_likelihoods(
     leaf_sequences: jax.Array,
     n_states: int,
     *,
+    site_weights: jax.Array | None = None,
     sequences_are_masks: bool = False,
 ) -> jax.Array:
     """Log-likelihoods of a candidate batch across the whole mesh (JC69).
@@ -132,9 +133,18 @@ def sharded_log_likelihoods(
     totals merge with one ``psum`` over ``site`` — exactly the parsimony
     communication pattern (one f32 per tree per step).
 
+    ``site_weights``: optional (L,) per-site multiplicities (compressed
+    patterns / bootstrap replicates), sharded over ``site`` with the
+    leaves.
+
     Returns (batch,) log-likelihoods, sharded over ``tree``.
     """
     on_tpu = jax.default_backend() == "tpu"
+    weights = (
+        jnp.ones((leaf_sequences.shape[-1],), jnp.float32)
+        if site_weights is None
+        else jnp.asarray(site_weights, jnp.float32)
+    )
 
     @partial(
         shard_map,
@@ -143,11 +153,12 @@ def sharded_log_likelihoods(
             Topology(children=P(TREE_AXIS), parents=P(TREE_AXIS)),
             P(TREE_AXIS),
             P(None, SITE_AXIS),
+            P(SITE_AXIS),
         ),
         out_specs=P(TREE_AXIS),
         check_vma=False,
     )
-    def score_shard(topos, blens, leaf_shard):
+    def score_shard(topos, blens, leaf_shard, w_shard):
         if on_tpu:
             from trex_tpu.ops.likelihood_pallas import (
                 batched_log_likelihood_pallas,
@@ -155,6 +166,7 @@ def sharded_log_likelihoods(
 
             partial_lls = batched_log_likelihood_pallas(
                 topos, blens, leaf_shard, n_states, trees_per_block=2,
+                site_weights=w_shard,
                 sequences_are_masks=sequences_are_masks,
             )
         else:
@@ -162,13 +174,84 @@ def sharded_log_likelihoods(
 
             partial_lls = jax.vmap(
                 lambda t, b: tree_log_likelihood(
-                    t, b, leaf_shard, n_states,
+                    t, b, leaf_shard, n_states, site_mask=w_shard,
                     sequences_are_masks=sequences_are_masks,
                 )
             )(topos, blens)
         return jax.lax.psum(partial_lls, SITE_AXIS)
 
-    return score_shard(topologies, branch_lengths, leaf_sequences)
+    return score_shard(topologies, branch_lengths, leaf_sequences, weights)
+
+
+def sharded_per_site_matrix(
+    mesh: Mesh,
+    trees: Topology,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    *,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    weights: jax.Array | None = None,
+    n_sweeps: int = 8,
+    sequences_are_masks: bool = False,
+    batch_size: int = 64,
+) -> jax.Array:
+    """(T, P) per-site log-likelihood rows, candidate axis over ``tree``.
+
+    The RELL primitive shared by ``search.ufboot`` and ``search.topotest``:
+    per candidate, Newton-optimize branch lengths then take the per-site
+    log-likelihood vector. Each candidate is independent, so the T axis is
+    pure data parallelism: the batch pads to a multiple of the mesh's
+    ``tree`` axis (repeats of the last tree, sliced off) and each shard
+    runs its local ``lax.map``. Per-candidate results do not depend on the
+    batch grouping, so rows match the single-device map bit for bit
+    (pinned in tests/test_sharding.py). Sites stay replicated: the
+    downstream RELL matmul wants whole rows.
+    """
+    from trex_tpu.ops.likelihood import per_site_log_likelihood
+    from trex_tpu.ops.likelihood_asr import optimize_branch_lengths_newton
+
+    n_tree = mesh.shape[TREE_AXIS]
+    n_cand = int(trees.children.shape[0])
+    pad = -n_cand % n_tree
+    if pad:
+        trees = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])]
+            ),
+            trees,
+        )
+    w = (
+        jnp.ones((leaf_sequences.shape[-1],), jnp.float32)
+        if weights is None
+        else jnp.asarray(weights, jnp.float32)
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            Topology(children=P(TREE_AXIS), parents=P(TREE_AXIS)),
+            P(),
+            P(),
+        ),
+        out_specs=P(TREE_AXIS),
+        check_vma=False,
+    )
+    def run(topos, leaf, w_full):
+        def one(topo):
+            lengths, _ = optimize_branch_lengths_newton(
+                topo, leaf, n_states, rates, freqs, w_full,
+                sequences_are_masks=sequences_are_masks, n_sweeps=n_sweeps,
+            )
+            return per_site_log_likelihood(
+                topo, lengths, leaf, n_states, rates, freqs,
+                sequences_are_masks=sequences_are_masks,
+            )
+
+        return jax.lax.map(one, topos, batch_size=batch_size)
+
+    return run(trees, jnp.asarray(leaf_sequences), w)[:n_cand]
 
 
 def sharded_best_tree(

@@ -133,6 +133,7 @@ def ml_bootstrap_analysis(
     ranking_branch_length: float = 0.1,
     site_weights: jax.Array | None = None,
     sequences_are_masks: bool = False,
+    mesh=None,
 ) -> tuple[np.ndarray, list[Topology]]:
     """Bootstrap split support under the likelihood criterion.
 
@@ -140,6 +141,11 @@ def ml_bootstrap_analysis(
     candidates ranked by pruning log-likelihood at a fixed per-branch length
     (the same fast heuristic as ``search.ml.ml_hill_climb``). Support is the
     fraction of replicate optima retaining each reference split.
+
+    ``mesh``: optional ('tree', 'site') ``jax.sharding.Mesh`` — each
+    replicate climb's candidate ranking shards candidates over ``tree``
+    and sites over ``site`` (one psum of weighted per-site lnL partials,
+    ``parallel.sharded.sharded_log_likelihoods``).
     """
     from trex_tpu.search.hillclimb import parsimony_hill_climb
 
@@ -153,26 +159,33 @@ def ml_bootstrap_analysis(
     for r in range(n_replicates):
         w = weights[r].astype(jnp.float32)
 
-        def score_batch(topos, cost, leaves):
-            batch = topos.children.shape[0]
-            blens = jnp.full((batch, n_all), ranking_branch_length)
-            if on_tpu:
-                from trex_tpu.ops.likelihood_pallas import (
-                    batched_log_likelihood_pallas,
-                )
+        if mesh is not None:
+            score_batch = _mesh_ml_score_batch(
+                mesh, leaf_sequences, n_states, w, ranking_branch_length,
+                sequences_are_masks,
+            )
+        else:
+            def score_batch(topos, cost, leaves):
+                batch = topos.children.shape[0]
+                blens = jnp.full((batch, n_all), ranking_branch_length)
+                if on_tpu:
+                    from trex_tpu.ops.likelihood_pallas import (
+                        batched_log_likelihood_pallas,
+                    )
 
-                return -batched_log_likelihood_pallas(
-                    topos, blens, leaves, n_states, trees_per_block=2,
-                    site_weights=w, sequences_are_masks=sequences_are_masks,
-                )
-            from trex_tpu.ops.likelihood import tree_log_likelihood
+                    return -batched_log_likelihood_pallas(
+                        topos, blens, leaves, n_states, trees_per_block=2,
+                        site_weights=w,
+                        sequences_are_masks=sequences_are_masks,
+                    )
+                from trex_tpu.ops.likelihood import tree_log_likelihood
 
-            return -jax.vmap(
-                lambda t, b: tree_log_likelihood(
-                    t, b, leaves, n_states, site_mask=w,
-                    sequences_are_masks=sequences_are_masks,
-                )
-            )(topos, blens)
+                return -jax.vmap(
+                    lambda t, b: tree_log_likelihood(
+                        t, b, leaves, n_states, site_mask=w,
+                        sequences_are_masks=sequences_are_masks,
+                    )
+                )(topos, blens)
 
         result = parsimony_hill_climb(
             reference,
@@ -186,6 +199,53 @@ def ml_bootstrap_analysis(
     return split_support(reference, best), best
 
 
+def _mesh_ml_score_batch(
+    mesh, leaf_sequences, n_states, w, ranking_branch_length,
+    sequences_are_masks,
+):
+    """Mesh-sharded ML ranking ``score_batch_fn`` for one replicate.
+
+    Candidates pad to a multiple of the ``tree`` axis (repeat-last, sliced
+    back), sites to a multiple of the ``site`` axis with weight-0 columns
+    (fully-ambiguous mask / state-0 leaves contribute only weight-0 site
+    terms). Mirrors ``search.hillclimb._mesh_score_batch`` for likelihoods.
+    """
+    from trex_tpu.parallel.mesh import SITE_AXIS, TREE_AXIS
+    from trex_tpu.parallel.sharded import sharded_log_likelihoods
+
+    n_tree = mesh.shape[TREE_AXIS]
+    n_site = mesh.shape[SITE_AXIS]
+    length = leaf_sequences.shape[-1]
+    pad_l = -length % n_site
+    mesh_leaves = jnp.asarray(leaf_sequences)
+    mesh_w = jnp.asarray(w, jnp.float32)
+    if pad_l:
+        mesh_leaves = jnp.pad(
+            mesh_leaves, ((0, 0), (0, pad_l)),
+            constant_values=(2 ** n_states - 1) if sequences_are_masks else 0,
+        )
+        mesh_w = jnp.pad(mesh_w, (0, pad_l))
+    n_all_rows = 2 * leaf_sequences.shape[0] - 1
+
+    def score_batch(topos, cost, _leaves):
+        b = topos.children.shape[0]
+        pad_b = -b % n_tree
+        if pad_b:
+            topos = jax.tree_util.tree_map(
+                lambda x: jnp.concatenate(
+                    [x, jnp.broadcast_to(x[-1:], (pad_b,) + x.shape[1:])]
+                ),
+                topos,
+            )
+        blens = jnp.full((b + pad_b, n_all_rows), ranking_branch_length)
+        return -sharded_log_likelihoods(
+            mesh, topos, blens, mesh_leaves, n_states,
+            site_weights=mesh_w, sequences_are_masks=sequences_are_masks,
+        )[:b]
+
+    return score_batch
+
+
 def bootstrap_analysis(
     key: jax.Array,
     reference: Topology,
@@ -196,6 +256,7 @@ def bootstrap_analysis(
     neighborhood: str = "nni",
     site_weights: jax.Array | None = None,
     sequences_are_masks: bool = False,
+    mesh=None,
 ) -> tuple[np.ndarray, list[Topology]]:
     """Bootstrap split support for ``reference``.
 
@@ -209,9 +270,14 @@ def bootstrap_analysis(
     weights, total count preserved. ``sequences_are_masks``: leaves are
     int32 state-set bitmasks.
 
+    ``mesh``: optional ('tree', 'site') ``jax.sharding.Mesh`` — each
+    replicate climb scores its candidate batches across the mesh
+    (``search.hillclimb._mesh_score_batch`` with the replicate's weights),
+    bit-identical to single-device (integer parsimony site sums).
+
     Returns (support (n_ancestors,), replicate best topologies).
     """
-    from trex_tpu.search.hillclimb import parsimony_hill_climb
+    from trex_tpu.search.hillclimb import _mesh_score_batch, parsimony_hill_climb
 
     from trex_tpu.ops.dispatch import batched_scores_fastest
 
@@ -222,11 +288,16 @@ def bootstrap_analysis(
     for r in range(n_replicates):
         w = weights[r].astype(jnp.float32)
 
-        def score_batch(topos, cost, leaves):
-            return batched_scores_fastest(
-                topos, cost_matrix, leaves, w,
-                sequences_are_masks=sequences_are_masks,
+        if mesh is not None:
+            score_batch = _mesh_score_batch(
+                mesh, leaf_sequences, w, sequences_are_masks
             )
+        else:
+            def score_batch(topos, cost, leaves):
+                return batched_scores_fastest(
+                    topos, cost_matrix, leaves, w,
+                    sequences_are_masks=sequences_are_masks,
+                )
 
         result = parsimony_hill_climb(
             reference,

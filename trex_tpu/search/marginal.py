@@ -53,8 +53,17 @@ def stepping_stone(
     model_tuning: float = 200.0,
     site_weights: jax.Array | None = None,
     sequences_are_masks: bool = False,
+    mesh=None,
 ) -> dict:
     """Log marginal likelihood of (model, fixed ``topology``).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a 'tree' axis — the rung
+    batch (the power-posterior ladder, pure data parallelism: every rung's
+    chain is independent) shards over it via input shardings that jit/GSPMD
+    propagates through the whole single-scan sampler, the
+    ``search.dating`` pattern. ``n_rungs`` must divide by the tree axis
+    size. Traces are bit-identical to the unsharded run
+    (tests/test_sharding.py).
 
     With ``sample_model`` the GTR exchangeability/frequency simplices are
     INTEGRATED over their flat Dirichlet(1) priors alongside the branch
@@ -216,11 +225,26 @@ def stepping_stone(
         )
         return trace, accepted
 
+    lengths_dev = jnp.asarray(lengths0)
+    rates_dev = jnp.asarray(rates0)
+    freqs_dev = jnp.asarray(freqs0)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from trex_tpu.parallel.mesh import TREE_AXIS
+
+        n_tree = mesh.shape[TREE_AXIS]
+        if n_rungs % n_tree != 0:
+            raise ValueError(
+                f"n_rungs = {n_rungs} must be divisible by the mesh tree "
+                f"axis size ({n_tree})"
+            )
+        rung_s = NamedSharding(mesh, PartitionSpec(TREE_AXIS))
+        lengths_dev = jax.device_put(lengths_dev, rung_s)
+        rates_dev = jax.device_put(rates_dev, rung_s)
+        freqs_dev = jax.device_put(freqs_dev, rung_s)
     trace, accepted = jax.device_get(
-        run(
-            key, jnp.asarray(lengths0), jnp.asarray(rates0),
-            jnp.asarray(freqs0),
-        )
+        run(key, lengths_dev, rates_dev, freqs_dev)
     )
     trace = np.asarray(trace)  # (total_steps, n_rungs)
     n_burn = int(burnin_frac * total_steps)

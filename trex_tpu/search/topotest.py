@@ -73,11 +73,17 @@ def topology_tests(
     au_scales: tuple[float, ...] | None = (
         0.5, 0.6, 0.7, 0.8, 0.9, 1.0, 1.1, 1.2, 1.3, 1.4,
     ),
+    mesh=None,
 ) -> TopologyTestResult:
     """Run KH / SH / BP / ELW over a batched Topology of candidate trees.
 
     ``site_weights`` makes compressed site patterns exact (the resampler
     draws sites by their multiplicities, as everywhere else).
+
+    ``mesh``: optional ('tree', 'site') ``jax.sharding.Mesh`` — the
+    per-tree Newton + per-site-lnL pass (the dominant cost) shards its
+    candidate axis over the mesh's ``tree`` axis, bit-identical to the
+    single-device map (``parallel.sharded.sharded_per_site_matrix``).
     """
     n_trees = int(trees.children.shape[0])
     if n_trees < 2:
@@ -89,17 +95,28 @@ def topology_tests(
     )
     leaf = jnp.asarray(leaf_sequences)
 
-    def newton_and_persite(topo):
-        lengths, _ = optimize_branch_lengths_newton(
-            topo, leaf, n_states, rates, freqs, weights,
-            sequences_are_masks=sequences_are_masks, n_sweeps=n_sweeps,
-        )
-        return per_site_log_likelihood(
-            topo, lengths, leaf, n_states, rates, freqs,
-            sequences_are_masks=sequences_are_masks,
-        )
+    if mesh is not None:
+        from trex_tpu.parallel.sharded import sharded_per_site_matrix
 
-    per_site = jax.lax.map(newton_and_persite, trees, batch_size=64)  # (T,P)
+        per_site = sharded_per_site_matrix(
+            mesh, trees, leaf, n_states, rates=rates, freqs=freqs,
+            weights=weights, n_sweeps=n_sweeps,
+            sequences_are_masks=sequences_are_masks,
+        )  # (T, P)
+    else:
+        def newton_and_persite(topo):
+            lengths, _ = optimize_branch_lengths_newton(
+                topo, leaf, n_states, rates, freqs, weights,
+                sequences_are_masks=sequences_are_masks, n_sweeps=n_sweeps,
+            )
+            return per_site_log_likelihood(
+                topo, lengths, leaf, n_states, rates, freqs,
+                sequences_are_masks=sequences_are_masks,
+            )
+
+        per_site = jax.lax.map(
+            newton_and_persite, trees, batch_size=64
+        )  # (T,P)
     obs = np.asarray(per_site @ weights, np.float64)  # (T,)
     best = int(obs.argmax())
     delta = obs[best] - obs

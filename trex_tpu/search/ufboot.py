@@ -119,6 +119,7 @@ def ultrafast_bootstrap(
     n_sweeps: int = 8,
     extra_tbr: int = 64,
     sequences_are_masks: bool = False,
+    mesh=None,
 ) -> UFBootResult:
     """RELL ultrafast bootstrap supports for ``topology``'s internal branches.
 
@@ -129,6 +130,11 @@ def ultrafast_bootstrap(
         site_weights: per-site multiplicities (compressed patterns); the
             replicate resampler draws sites with these weights, so pattern
             compression is exact here too.
+        mesh: optional ('tree', 'site') ``jax.sharding.Mesh`` — the
+            per-candidate Newton + per-site-lnL pass (the expensive part)
+            shards its candidate axis over the mesh's ``tree`` axis
+            (``parallel.sharded.sharded_per_site_matrix``), bit-identical
+            to the single-device map (tests/test_sharding.py).
 
     Returns:
         ``UFBootResult``; ``support[i]`` is the fraction of replicates whose
@@ -169,19 +175,28 @@ def ultrafast_bootstrap(
         ref_idx = 0
     n_cand = cand_children.shape[0]
 
-    def newton_and_persite(topo):
-        lengths, _ = optimize_branch_lengths_newton(
-            topo, leaf, n_states, rates, freqs, weights,
-            sequences_are_masks=sequences_are_masks, n_sweeps=n_sweeps,
-        )
-        return per_site_log_likelihood(
-            topo, lengths, leaf, n_states, rates, freqs,
-            sequences_are_masks=sequences_are_masks,
-        )
+    if mesh is not None:
+        from trex_tpu.parallel.sharded import sharded_per_site_matrix
 
-    per_site = jax.lax.map(
-        newton_and_persite, candidates, batch_size=64
-    )  # (M, P)
+        per_site = sharded_per_site_matrix(
+            mesh, candidates, leaf, n_states, rates=rates, freqs=freqs,
+            weights=weights, n_sweeps=n_sweeps,
+            sequences_are_masks=sequences_are_masks,
+        )  # (M, P)
+    else:
+        def newton_and_persite(topo):
+            lengths, _ = optimize_branch_lengths_newton(
+                topo, leaf, n_states, rates, freqs, weights,
+                sequences_are_masks=sequences_are_masks, n_sweeps=n_sweeps,
+            )
+            return per_site_log_likelihood(
+                topo, lengths, leaf, n_states, rates, freqs,
+                sequences_are_masks=sequences_are_masks,
+            )
+
+        per_site = jax.lax.map(
+            newton_and_persite, candidates, batch_size=64
+        )  # (M, P)
     obs_ll = np.asarray(per_site @ weights, np.float64)  # (M,)
 
     rep_w = _replicate_weights(
