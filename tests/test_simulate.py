@@ -257,3 +257,77 @@ def test_cli_simulate_explicit_gtr_rates(capsys, tmp_path):
     # Long branches push composition toward the requested frequencies.
     assert comp[0] > 0.3 and comp[2] > 0.3
     assert comp[1] < 0.2 and comp[3] < 0.2
+
+
+def test_device_path_statistics():
+    """The device scan generator (round-5: the 8192-taxa harness's
+    bottleneck fix) satisfies the same closed-form oracles as the host
+    walk: JC expected identity, stationarity on long branches, exactly
+    invariant zero-rate sites, determinism, and GTR frequency bias."""
+    # Determinism + shapes.
+    topo = balanced_topology(8)
+    blens = np.full((topo.n_all,), 0.1)
+    a = simulate_alignment(jax.random.key(0), topo, blens, n_sites=64, device=True)
+    b = simulate_alignment(jax.random.key(0), topo, blens, n_sites=64, device=True)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (8, 64) and (a >= 0).all() and (a < 4).all()
+
+    # Zero branch lengths copy the root exactly (expm(0) = I).
+    leaves, anc = simulate_alignment(
+        jax.random.key(1), topo, np.zeros((topo.n_all,)), n_sites=50,
+        return_ancestors=True, device=True,
+    )
+    assert (leaves == anc[-1][None, :]).all()
+
+    # JC expected identity on one branch.
+    cherry = balanced_topology(2)
+    t = 0.3
+    leaves, anc = simulate_alignment(
+        jax.random.key(3), cherry, np.array([t, 0.0, 0.0]), n_sites=20000,
+        return_ancestors=True, device=True,
+    )
+    np.testing.assert_array_equal(leaves[1], anc[-1])
+    expected = 0.25 + 0.75 * np.exp(-4.0 * t / 3.0)
+    assert abs(float((leaves[0] == leaves[1]).mean()) - expected) < 0.02
+
+    # Long branches reach the requested stationary distribution.
+    big = balanced_topology(64)
+    freqs = np.array([0.5, 0.3, 0.15, 0.05])
+    leaves = simulate_alignment(
+        jax.random.key(2), big, np.full((big.n_all,), 50.0), n_sites=400,
+        freqs=freqs, device=True,
+    )
+    observed = np.bincount(leaves.ravel(), minlength=4) / leaves.size
+    np.testing.assert_allclose(observed, freqs, atol=0.02)
+
+    # Invariant-category sites are EXACTLY constant (rate 0 -> identity).
+    mid = balanced_topology(16)
+    leaves = simulate_alignment(
+        jax.random.key(4), mid, np.full((mid.n_all,), 0.5), n_sites=2000,
+        p_invariant=0.5, device=True,
+    )
+    constant = (leaves == leaves[0:1]).all(axis=0).mean()
+    # The constant fraction ~ Binomial(2000, 0.5)/2000 (variable sites at
+    # blen 0.5 over 16 taxa are never chance-constant — measured 0.0
+    # without p_inv), so bound it by +/-4 sd of 0.5, not strictly 0.5.
+    assert 0.455 < constant < 0.545
+    no_inv = simulate_alignment(
+        jax.random.key(4), mid, np.full((mid.n_all,), 0.5), n_sites=2000,
+        p_invariant=0.0, device=True,
+    )
+    assert (no_inv == no_inv[0:1]).all(axis=0).mean() < constant - 0.2
+
+
+def test_device_path_auto_threshold():
+    """Auto-dispatch: small shapes stay on the host path (byte-identical
+    fixtures), huge shapes take the device scan."""
+    from trex_tpu.models.simulate import _DEVICE_CELLS
+
+    topo = balanced_topology(8)
+    blens = np.full((topo.n_all,), 0.1)
+    host = simulate_alignment(jax.random.key(7), topo, blens, n_sites=64)
+    forced = simulate_alignment(
+        jax.random.key(7), topo, blens, n_sites=64, device=False
+    )
+    np.testing.assert_array_equal(host, forced)  # auto == host at this size
+    assert topo.n_all * 64 < _DEVICE_CELLS

@@ -7,12 +7,23 @@ and an invariant-sites category, matching the mixing conventions of
 ``ops.likelihood`` exactly (p_inv · invariant + (1-p_inv) · mean-1 Gamma
 categories; branch lengths in expected substitutions per site).
 
-Host-side data generation (numpy + scipy.expm), like the reference's
-generators (`/root/reference/src/trex/ground_truth.py:112-197`,
-`/root/reference/src/trex/nk_model.py:116-278`) — this is fixture/example
-data production, not a compute path, so it stays off-device by design. The
-per-branch transition matrices are computed once per (branch, rate
-category) and all sites in a category are sampled vectorized.
+Two implementations behind one API:
+
+- Host-side (numpy + scipy.expm), like the reference's generators
+  (`/root/reference/src/trex/ground_truth.py:112-197`,
+  `/root/reference/src/trex/nk_model.py:116-278`) — the default at small
+  sizes so test fixtures stay byte-identical across rounds.
+- Device-side: ONE ``lax.scan`` over ancestors (root first — the
+  ``models/mutation_tree.py`` single-scan pattern: children have smaller
+  indices than their parent, so every parent row is written before its
+  children read it), with all (node, rate-category) transition matrices
+  built in one vmapped ``expm`` up front and every site sampled in
+  parallel per step. Auto-selected above ``_DEVICE_CELLS`` cells: at
+  8192 taxa x 1024 sites the host walk cost 100.8 s (round-4 measurement,
+  the scale harness's own bottleneck); the scan replaces ~32k sequential
+  scipy.expm + per-category numpy passes with one compiled program.
+  Same model, same statistics (validated by the same closed-form tests),
+  different RNG stream than the host path.
 """
 
 from __future__ import annotations
@@ -36,6 +47,83 @@ def _sample_markov(
     return (u > cum).sum(axis=1).astype(np.int64)
 
 
+# Above this many n_all x n_sites cells the device scan path is
+# auto-selected (host walk cost grows with ~2 scipy.expm calls per
+# ancestor per category; 100.8 s at 8192 x 1024, round 4). Small
+# fixtures stay on the host path so their bytes never change.
+_DEVICE_CELLS = 1 << 22
+
+
+def _simulate_ctmc_device(
+    key: jax.Array,
+    topology: Topology,
+    blens: np.ndarray,
+    gen: np.ndarray,
+    freqs: np.ndarray,
+    n_sites: int,
+    site_rates: np.ndarray,
+    rate_probs: np.ndarray,
+) -> np.ndarray:
+    """(n_all, n_sites) int32 states, all sampling in one jitted program."""
+    q = gen.shape[0]
+    n_all = topology.n_all
+    n_leaves = topology.n_leaves
+    n_anc = topology.n_ancestors
+    n_cat = site_rates.size
+
+    k_cat, k_root, k_anc = jax.random.split(key, 3)
+    site_cat = jax.random.choice(
+        k_cat, n_cat, (n_sites,), p=jnp.asarray(rate_probs, jnp.float32)
+    )
+    root_states = jax.random.choice(
+        k_root, q, (n_sites,), p=jnp.asarray(freqs, jnp.float32)
+    ).astype(jnp.int32)
+
+    # All (node, category) transition CDFs in one vmapped expm. f64 would
+    # match the host path's precision but f32 row-normalized CDFs are
+    # statistically equivalent (and expm(0) = I exactly either way, so
+    # invariant sites stay exactly invariant).
+    ts = (
+        jnp.asarray(blens, jnp.float32)[:, None]
+        * jnp.asarray(site_rates, jnp.float32)[None, :]
+    ).reshape(-1)
+    mats = jax.vmap(
+        lambda t: jax.scipy.linalg.expm(jnp.asarray(gen, jnp.float32) * t)
+    )(ts)
+    mats = jnp.clip(mats, 0.0, None)
+    mats = mats / mats.sum(axis=-1, keepdims=True)
+    cum = jnp.cumsum(mats, axis=-1).reshape(n_all, n_cat, q, q)
+
+    states0 = jnp.zeros((n_all, n_sites), jnp.int32).at[-1].set(root_states)
+    tiny = jnp.float32(np.finfo(np.float32).tiny)
+
+    def sample_child(k, child, parent_seq):
+        rows = cum[child, site_cat, parent_seq]  # (L, Q)
+        u = jax.random.uniform(k, (n_sites, 1), minval=tiny)
+        return jnp.minimum((u > rows).sum(axis=-1), q - 1).astype(jnp.int32)
+
+    def fill_children(states, inputs):
+        anc_offset, child_pair, anc_key = inputs
+        parent_seq = states[n_leaves + anc_offset]
+        k1, k2 = jax.random.split(anc_key)
+        states = states.at[child_pair[0]].set(
+            sample_child(k1, child_pair[0], parent_seq)
+        )
+        states = states.at[child_pair[1]].set(
+            sample_child(k2, child_pair[1], parent_seq)
+        )
+        return states, None
+
+    offsets = jnp.arange(n_anc, dtype=jnp.int32)
+    states, _ = jax.lax.scan(
+        fill_children,
+        states0,
+        (offsets, topology.children, jax.random.split(k_anc, n_anc)),
+        reverse=True,
+    )
+    return states
+
+
 def simulate_ctmc(
     key: jax.Array,
     topology: Topology,
@@ -48,6 +136,7 @@ def simulate_ctmc(
     rate_probs: np.ndarray | None = None,
     p_invariant: float = 0.0,
     return_ancestors: bool = False,
+    device: bool | None = None,
 ) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Simulate an alignment down ``topology`` under a CTMC.
 
@@ -66,6 +155,10 @@ def simulate_ctmc(
             invariant`` convention.
         return_ancestors: also return the (n_ancestors, n_sites) true
             ancestral states (index order: node n_leaves + i at row i).
+        device: force the device scan path (True), the host walk (False),
+            or auto-select by size (None — device above ``_DEVICE_CELLS``
+            total cells). The two paths draw from different RNG streams:
+            same model and statistics, different bytes for the same key.
 
     Returns:
         (n_leaves, n_sites) int32 leaf states, plus the ancestor states when
@@ -93,6 +186,27 @@ def simulate_ctmc(
         rate_probs = np.concatenate(
             [rate_probs * (1.0 - p_invariant), [p_invariant]]
         )
+
+    if device is None:
+        # Auto-select only on accelerators: the CPU backend runs the scan
+        # SLOWER than the numpy walk (measured 2.3 s host vs 3.0 s warm
+        # scan at 2048 x 512), and CPU-forced tests keep byte-stable
+        # host-path fixtures at every size.
+        device = (
+            topology.n_all * n_sites >= _DEVICE_CELLS
+            and jax.default_backend() != "cpu"
+        )
+    if device:
+        states = np.asarray(
+            _simulate_ctmc_device(
+                key, topology, blens, gen, freqs, n_sites,
+                site_rates, rate_probs,
+            )
+        ).astype(np.int64)
+        leaves = states[: topology.n_leaves].astype(np.int32)
+        if return_ancestors:
+            return leaves, states[topology.n_leaves :].astype(np.int32)
+        return leaves
 
     seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
     rng = np.random.default_rng(seed)
@@ -138,6 +252,7 @@ def simulate_alignment(
     n_categories: int = 4,
     p_invariant: float = 0.0,
     return_ancestors: bool = False,
+    device: bool | None = None,
 ) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Model-level wrapper over ``simulate_ctmc``.
 
@@ -172,6 +287,7 @@ def simulate_alignment(
         rate_probs=rate_probs,
         p_invariant=p_invariant,
         return_ancestors=return_ancestors,
+        device=device,
     )
 
 
