@@ -210,6 +210,10 @@ def bench_fitch() -> None:
     while time.perf_counter() - t_warm < 3.0:
         scores = score_fn(topos, cost, leaf)
         scores.block_until_ready()
+    # Drain the queue before the first timed trial: block_until_ready does
+    # not sync through the tunnel, so without this readback the warmup
+    # backlog lands on trial 0 (measured: 135k vs 915k median).
+    np.asarray(scores[:1])
 
     # 5 timestamped trials (steady-state throughput). Protocol notes:
     #  - Each trial ends with a forced READBACK (np.asarray of one score):

@@ -47,6 +47,13 @@ def main() -> None:
     ap.add_argument("--branch-length", type=float, default=0.1)
     ap.add_argument("--budget-mb", type=int, default=2048,
                     help="SPR-scan working-set budget (MB)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="route the climb through the mesh drivers over a "
+                         "1x1 mesh on this chip (exercises the segmented "
+                         "sharded_spr_scan path at scale)")
+    ap.add_argument("--sim-device", default="auto",
+                    choices=["auto", "host", "device"],
+                    help="CTMC simulator path (device = the round-5 scan)")
     args = ap.parse_args()
 
     from trex_tpu.models.simulate import simulate_alignment
@@ -62,12 +69,14 @@ def main() -> None:
     truth = jax.tree_util.tree_map(
         lambda x: x[0], random_topologies(jax.random.PRNGKey(0), n, 1)
     )
+    sim_device = {"auto": None, "host": False, "device": True}[args.sim_device]
     aln = simulate_alignment(
         jax.random.PRNGKey(1), truth,
         np.full(n_all, args.branch_length, np.float32), n_sites=length,
+        device=sim_device,
     )
     seqs = jnp.asarray(aln.astype(np.int32))
-    emit(phase="simulate", taxa=n, sites=length,
+    emit(phase="simulate", taxa=n, sites=length, sim_path=args.sim_device,
          seconds=round(time.perf_counter() - t0, 1))
 
     t0 = time.perf_counter()
@@ -84,13 +93,19 @@ def main() -> None:
     from trex_tpu.types import CostModel
 
     cost = CostModel.hamming(4).matrix
+    mesh = None
+    if args.mesh:
+        from trex_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[:1], tree_parallelism=1)
     t0 = time.perf_counter()
     res = parsimony_hill_climb(
         start, cost, seqs, max_rounds=args.rounds, neighborhood="spr-scan",
-        scan_budget_bytes=args.budget_mb << 20,
+        scan_budget_bytes=args.budget_mb << 20, mesh=mesh,
     )
     dt = time.perf_counter() - t0
     emit(phase="spr-scan-climb", taxa=n, sites=length,
+         mesh=bool(args.mesh),
          seconds=round(dt, 1), rounds=int(res.rounds),
          evals=int(res.evaluations),
          evals_per_s=round(res.evaluations / dt),
