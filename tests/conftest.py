@@ -42,7 +42,11 @@ jax.config.update("jax_platforms", "cpu")
 # ---------------------------------------------------------------------------
 import json  # noqa: E402
 
-_SMOKE_BUDGET_PER_MODULE = 6.0  # seconds of recorded call time per module
+# Re-cut round 5 (6.0 -> 4.5) against the fresh 578-test duration table:
+# predicted smoke call time 170 s + ~95 s fixed overhead lands ~265 s,
+# restoring >=20% margin under the 330 s CI budget (the 6.0 cut measured
+# 333 s in round 4 — at/past the edge).
+_SMOKE_BUDGET_PER_MODULE = 4.5  # seconds of recorded call time per module
 _ASSUMED_UNKNOWN_DURATION = 2.0  # budget charge for tests not in the table
 
 

@@ -200,3 +200,59 @@ def test_scan_best_returns_applicable_move():
     assert moved is not None
     rescored = float(fitch_score(moved, leaf))
     assert rescored == float(best)
+
+
+def test_best_segmented_matches_full_table():
+    """Device-reduced segmented best (tiny forced cap) == the full-table
+    np.argmin (same move, same score, same finite-candidate count) — the
+    round-5 path that never reads the O(n^2) table back to the host."""
+    from trex_tpu.ops.spr_scan import (
+        spr_scan_best_segmented,
+        spr_scan_segmented,
+    )
+    from trex_tpu.topology import random_topologies
+
+    rng = np.random.default_rng(17)
+    for n in (8, 11):
+        topo = jax.tree_util.tree_map(
+            lambda x: x[0], random_topologies(jax.random.PRNGKey(n), n, 1)
+        )
+        leaf = jnp.asarray(rng.integers(0, 4, (n, 40)).astype(np.int32))
+        table, base_t = spr_scan_segmented(topo, leaf, None)
+        table = np.asarray(table)
+        flat = int(np.argmin(table))
+        p_ref, v_ref = divmod(flat, table.shape[-1])
+        for cap in (3 * topo.n_all, 1):
+            best, p, v, base, cnt = spr_scan_best_segmented(
+                topo, leaf, None, max_cells=cap
+            )
+            assert (p, v) == (p_ref, v_ref)
+            assert best == table[p_ref, v_ref]
+            assert base == float(base_t)
+            assert cnt == int(np.isfinite(table).sum())
+
+
+def test_ml_best_segmented_matches_full_table():
+    from trex_tpu.ops.likelihood_scan import (
+        likelihood_spr_scan_best_segmented,
+        likelihood_spr_scan_segmented,
+    )
+    from trex_tpu.topology import random_topologies
+
+    rng = np.random.default_rng(19)
+    n = 9
+    topo = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.PRNGKey(3), n, 1)
+    )
+    leaf = jnp.asarray(rng.integers(0, 4, (n, 32)).astype(np.int32))
+    table, base_t = likelihood_spr_scan_segmented(topo, leaf, 4, 0.1)
+    table = np.asarray(table)
+    flat = int(np.argmin(table))
+    p_ref, v_ref = divmod(flat, table.shape[-1])
+    best, p, v, base, cnt = likelihood_spr_scan_best_segmented(
+        topo, leaf, 4, 0.1, max_cells=2 * topo.n_all
+    )
+    assert (p, v) == (p_ref, v_ref)
+    assert best == table[p_ref, v_ref]
+    assert base == float(base_t)
+    assert cnt == int(np.isfinite(table).sum())

@@ -197,15 +197,17 @@ def simulate_ctmc(
             and jax.default_backend() != "cpu"
         )
     if device:
-        states = np.asarray(
-            _simulate_ctmc_device(
-                key, topology, blens, gen, freqs, n_sites,
-                site_rates, rate_probs,
-            )
-        ).astype(np.int64)
-        leaves = states[: topology.n_leaves].astype(np.int32)
+        states = _simulate_ctmc_device(
+            key, topology, blens, gen, freqs, n_sites,
+            site_rates, rate_probs,
+        )
+        # Slice on device BEFORE the host transfer: the tunnel readback of
+        # the full (n_all, L) table is the dominant cost at 16k+ taxa.
+        leaves = np.asarray(states[: topology.n_leaves], dtype=np.int32)
         if return_ancestors:
-            return leaves, states[topology.n_leaves :].astype(np.int32)
+            return leaves, np.asarray(
+                states[topology.n_leaves :], dtype=np.int32
+            )
         return leaves
 
     seed = int(jax.random.randint(key, (), 0, 2**31 - 1))

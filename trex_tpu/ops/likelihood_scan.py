@@ -419,3 +419,66 @@ def likelihood_spr_scan_segmented(
     scores = jnp.concatenate(rows)[:n_prune]
     root_row = jnp.full((1, n_all), jnp.inf, scores.dtype)
     return jnp.concatenate([scores, root_row]), base
+
+
+def likelihood_spr_scan_best_segmented(
+    topology: Topology,
+    leaf_sequences: jax.Array,
+    n_states: int,
+    ranking_branch_length: float | jax.Array = 0.1,
+    site_weights: jax.Array | None = None,
+    *,
+    rates: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    gamma_shape: float | jax.Array | None = None,
+    n_categories: int = 4,
+    category_rates: jax.Array | None = None,
+    category_weights: jax.Array | None = None,
+    sequences_are_masks: bool = False,
+    prune_chunk: int | None = None,
+    max_cells: int | None = None,
+) -> tuple[float, int, int, float, int]:
+    """Best ML move via segmented scans with DEVICE-SIDE argmin reduction.
+
+    ML twin of ``ops.spr_scan.spr_scan_best_segmented``: each segment
+    reduces to (min, argmin, finite_count) on device and only scalars
+    cross to the host — the full (n_all, n_all) ranking table (4.3 GB at
+    16384 taxa) is never materialized host-side. Picks the identical move
+    to a full-table ``np.argmin``. Returns
+    (best_score, prune_node, regraft_node, base_score, n_finite).
+    """
+    import numpy as np
+
+    from trex_tpu.ops.spr_scan import _MAX_SCAN_CELLS, _segment_best
+
+    if max_cells is None:
+        max_cells = _MAX_SCAN_CELLS
+    n_all = topology.n_all
+    n_prune = n_all - 1
+    kwargs = dict(
+        rates=rates, freqs=freqs, gamma_shape=gamma_shape,
+        n_categories=n_categories, category_rates=category_rates,
+        category_weights=category_weights,
+        sequences_are_masks=sequences_are_masks, prune_chunk=prune_chunk,
+    )
+    seg = max(1, min(n_prune, max_cells // n_all))
+    best = np.inf
+    best_p = best_v = 0
+    base = None
+    n_finite = 0
+    for s0 in range(0, n_prune, seg):
+        valid = min(seg, n_prune - s0)
+        pn = np.arange(s0, s0 + seg, dtype=np.int32)
+        pn[pn >= n_prune] = n_prune - 1
+        sc, base = likelihood_spr_scan(
+            topology, leaf_sequences, n_states, ranking_branch_length,
+            site_weights, prune_nodes=jnp.asarray(pn), **kwargs,
+        )
+        m, idx, cnt = _segment_best(sc, jnp.int32(valid))
+        m = float(m)
+        n_finite += int(cnt)
+        if m < best:
+            best = m
+            row, best_v = divmod(int(idx), n_all)
+            best_p = s0 + row
+    return best, best_p, best_v, float(base), n_finite

@@ -414,7 +414,7 @@ def _spr_scan_climb(
     import numpy as np
 
     from trex_tpu.io import spr_move
-    from trex_tpu.ops.spr_scan import spr_scan_segmented
+    from trex_tpu.ops.spr_scan import spr_scan_best_segmented
 
     # Bound the scan's peak (chunk x nodes x sites) set tensors to ~2 GB.
     from trex_tpu.utils.chunking import auto_prune_chunk
@@ -429,33 +429,38 @@ def _spr_scan_climb(
         from trex_tpu.parallel.sharded import sharded_spr_scan
 
         def run_scan(topo):
-            return sharded_spr_scan(
+            scores, base = sharded_spr_scan(
                 mesh, topo, leaf_sequences, site_weights,
                 sequences_are_masks=sequences_are_masks,
                 scan_budget_bytes=scan_budget_bytes,
             )
+            scores_np = np.asarray(scores)
+            flat = int(np.argmin(scores_np))
+            p, v = divmod(flat, scores_np.shape[-1])
+            return (
+                float(scores_np[p, v]), p, v, float(base),
+                int(np.isfinite(scores_np).sum()),
+            )
     else:
         def run_scan(topo):
-            # Segmented: the prune axis splits into safe dispatches past
-            # the measured single-dispatch device-kill ceiling
-            # (ops/spr_scan.py:_MAX_SCAN_CELLS).
-            return spr_scan_segmented(
+            # Segmented dispatches under the device-kill cap
+            # (ops/spr_scan.py:_MAX_SCAN_CELLS) AND device-side argmin
+            # reduction — only scalars cross back per round (the full
+            # table is 4.3 GB at 16384 taxa; round 5 measured the
+            # full-table readback wedging the tunnel at that scale).
+            return spr_scan_best_segmented(
                 topo, leaf_sequences, site_weights,
                 sequences_are_masks=sequences_are_masks,
                 prune_chunk=prune_chunk,
             )
 
     current = start
-    scores, base = run_scan(current)
+    best, p, v, base, n_finite = run_scan(current)
     current_score = float(base)
     trace = [current_score]
     evaluations = 1
     for round_idx in range(max_rounds):
-        scores_np = np.asarray(scores)
-        evaluations += int(np.isfinite(scores_np).sum())
-        flat = int(np.argmin(scores_np))
-        p, v = divmod(flat, scores_np.shape[-1])
-        best = float(scores_np[p, v])
+        evaluations += n_finite
         if best >= current_score:
             return SearchResult(
                 current, current_score, round_idx, evaluations, trace
@@ -467,7 +472,7 @@ def _spr_scan_climb(
             )
         current, current_score = moved, best
         trace.append(current_score)
-        scores, _ = run_scan(current)
+        best, p, v, _, n_finite = run_scan(current)
     return SearchResult(current, current_score, max_rounds, evaluations, trace)
 
 

@@ -409,7 +409,7 @@ def _ml_scan_climb(
         from trex_tpu.parallel.sharded import sharded_spr_scan
 
         def run_scan(topo):
-            return sharded_spr_scan(
+            scores, base = sharded_spr_scan(
                 mesh, topo, leaf_sequences, site_weights,
                 sequences_are_masks=sequences_are_masks,
                 criterion="ml",
@@ -418,13 +418,22 @@ def _ml_scan_climb(
                 gamma_shape=gamma_shape, category_rates=category_rates,
                 category_weights=category_weights,
             )
+            scores_np = np.asarray(scores)
+            flat = int(np.argmin(scores_np))
+            p, v = divmod(flat, scores_np.shape[-1])
+            return (
+                float(scores_np[p, v]), p, v, float(base),
+                int(np.isfinite(scores_np).sum()),
+            )
     else:
         from trex_tpu.ops.likelihood_scan import (
-            likelihood_spr_scan_segmented,
+            likelihood_spr_scan_best_segmented,
         )
 
         def run_scan(topo):
-            return likelihood_spr_scan_segmented(
+            # Segmented dispatches + device-side argmin reduction: only
+            # scalars cross back per round (ops/spr_scan.py's rationale).
+            return likelihood_spr_scan_best_segmented(
                 topo, leaf_sequences, n_states, ranking_branch_length,
                 site_weights, rates=rates, freqs=freqs,
                 gamma_shape=gamma_shape,
@@ -435,16 +444,12 @@ def _ml_scan_climb(
             )
 
     current = start
-    scores, base = run_scan(current)
+    best, p, v, base, n_finite = run_scan(current)
     current_score = float(base)
     trace = [current_score]
     evaluations = 1
     for round_idx in range(max_rounds):
-        scores_np = np.asarray(scores)
-        evaluations += int(np.isfinite(scores_np).sum())
-        flat = int(np.argmin(scores_np))
-        p, v = divmod(flat, scores_np.shape[-1])
-        best = float(scores_np[p, v])
+        evaluations += n_finite
         if best >= current_score:
             return SearchResult(
                 current, current_score, round_idx, evaluations, trace
@@ -456,7 +461,7 @@ def _ml_scan_climb(
             )
         current, current_score = moved, best
         trace.append(current_score)
-        scores, _ = run_scan(current)
+        best, p, v, _, n_finite = run_scan(current)
     return SearchResult(current, current_score, max_rounds, evaluations, trace)
 
 
