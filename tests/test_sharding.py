@@ -530,3 +530,38 @@ def test_replicate_tooling_sharded_matches_single_device(mesh):
         jax.random.key(9), topo, leaves, 4, mesh=mesh, **bs_kw
     )
     np.testing.assert_array_equal(m2, m1)
+
+
+def test_alrt_and_bremer_sharded_match_single_device(mesh):
+    """Round-5 follow-up: aLRT branch supports and SPR-decay also shard
+    over the mesh (candidate axis / prune axis) with identical results."""
+    import numpy as np
+
+    from trex_tpu.models.simulate import simulate_alignment
+    from trex_tpu.search.alrt import branch_supports
+    from trex_tpu.search.bremer import spr_decay_support
+    from trex_tpu.topology import random_topologies
+
+    topo = jax.tree_util.tree_map(
+        lambda x: x[0], random_topologies(jax.random.key(111), 9, 1)
+    )
+    blens = np.full((topo.n_all,), 0.2)
+    leaves = jnp.asarray(
+        simulate_alignment(jax.random.key(112), topo, blens, n_sites=64)
+    )
+
+    s1 = branch_supports(
+        jax.random.key(5), topo, leaves, 4, n_replicates=100, n_sweeps=2
+    )
+    s2 = branch_supports(
+        jax.random.key(5), topo, leaves, 4, n_replicates=100, n_sweeps=2,
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(s2.alrt, s1.alrt, rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(s2.sh_alrt, s1.sh_alrt)
+    np.testing.assert_array_equal(s2.rell, s1.rell)
+
+    d1, b1 = spr_decay_support(topo, leaves)
+    d2, b2 = spr_decay_support(topo, leaves, mesh=mesh)
+    np.testing.assert_array_equal(d2, d1)
+    assert b2 == b1

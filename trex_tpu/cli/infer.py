@@ -355,6 +355,7 @@ def cmd_infer(args) -> None:
                 site_weights=weights,
                 n_replicates=args.alrt,
                 sequences_are_masks=True,
+                mesh=mesh,
             )
             alrt_support = sup.sh_alrt
             out["alrt"] = [
@@ -478,6 +479,7 @@ def cmd_infer(args) -> None:
             decay, _ = spr_decay_support(
                 result.topology, jnp.asarray(patterns),
                 site_weights=weights, sequences_are_masks=True,
+                mesh=mesh,
             )
             out["decay"] = [
                 None if np.isnan(d) else round(float(d), 1) for d in decay

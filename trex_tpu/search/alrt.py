@@ -163,6 +163,7 @@ def branch_supports(
     n_replicates: int = 1000,
     n_sweeps: int = 8,
     sequences_are_masks: bool = False,
+    mesh=None,
 ) -> BranchSupports:
     """aLRT / SH-aLRT / RELL supports for every internal branch.
 
@@ -170,6 +171,11 @@ def branch_supports(
         leaf_sequences: (n_leaves, L) states (or masks) — compressed site
             patterns with ``site_weights`` are exact, as everywhere else.
         n_replicates: RELL resamples for the SH correction and win fractions.
+        mesh: optional ('tree', 'site') ``jax.sharding.Mesh`` — the
+            per-alternative Newton + per-site-lnL pass (the dominant cost)
+            shards its candidate axis over ``tree``
+            (``parallel.sharded.sharded_per_site_matrix``), bit-identical
+            to the single-device map.
 
     Returns:
         ``BranchSupports`` with arrays indexed like ``topology.children``.
@@ -213,9 +219,18 @@ def branch_supports(
     if n_neigh == 0:
         return BranchSupports(alrt, sh, rell, ref_ll)
 
-    neigh_per_site = jax.lax.map(
-        newton_and_persite, neighbors, batch_size=64
-    )  # (M, P)
+    if mesh is not None:
+        from trex_tpu.parallel.sharded import sharded_per_site_matrix
+
+        neigh_per_site = sharded_per_site_matrix(
+            mesh, neighbors, leaf, n_states, rates=rates, freqs=freqs,
+            weights=weights, n_sweeps=n_sweeps,
+            sequences_are_masks=sequences_are_masks,
+        )  # (M, P)
+    else:
+        neigh_per_site = jax.lax.map(
+            newton_and_persite, neighbors, batch_size=64
+        )  # (M, P)
 
     # RELL resamples, shared across branches: (R, P) counts.
     rep_w = _replicate_weights(

@@ -33,12 +33,17 @@ def spr_decay_support(
     site_weights: jax.Array | None = None,
     *,
     sequences_are_masks: bool = False,
+    mesh=None,
 ) -> tuple[np.ndarray, float]:
     """(n_ancestors,) SPR-decay values for each internal branch + base score.
 
     Entries are upper bounds on the true Bremer support (in parsimony
     steps); the root's entry and branches with no destroying move in the
-    neighborhood are NaN.
+    neighborhood are NaN. ``mesh``: optional ('tree', 'site') mesh — the
+    scan's prune axis shards over it (``parallel.sharded.sharded_spr_scan``,
+    bit-identical rows); the decay analysis genuinely needs the full
+    table, so this path keeps the table readback (fine at support-tool
+    scales; the scalar-readback climbs are for 10k+ taxa).
     """
     from trex_tpu.ops.spr_scan import spr_scan_segmented
 
@@ -46,10 +51,18 @@ def spr_decay_support(
     n_all = topology.n_all
     parents = np.asarray(topology.parents)
 
-    scores, base = spr_scan_segmented(
-        topology, leaf_sequences, site_weights,
-        sequences_are_masks=sequences_are_masks,
-    )
+    if mesh is not None:
+        from trex_tpu.parallel.sharded import sharded_spr_scan
+
+        scores, base = sharded_spr_scan(
+            mesh, topology, leaf_sequences, site_weights,
+            sequences_are_masks=sequences_are_masks,
+        )
+    else:
+        scores, base = spr_scan_segmented(
+            topology, leaf_sequences, site_weights,
+            sequences_are_masks=sequences_are_masks,
+        )
     scores = np.asarray(scores, np.float64)
     base = float(base)
 
