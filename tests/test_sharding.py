@@ -565,3 +565,51 @@ def test_alrt_and_bremer_sharded_match_single_device(mesh):
     d2, b2 = spr_decay_support(topo, leaves, mesh=mesh)
     np.testing.assert_array_equal(d2, d1)
     assert b2 == b1
+
+
+def test_joint_restarts_shard_identically(mesh):
+    """joint_search / fit_topology restart batches shard over 'tree' via
+    input shardings with results identical to the unsharded vmap."""
+    import numpy as np
+
+    from trex_tpu.models.mutation_tree import generate_groundtruth
+    from trex_tpu.search.joint import JointConfig, fit_topology, joint_search
+    from trex_tpu.types import CostModel
+
+    n_leaves, q, length = 4, 4, 32
+    n_all = 2 * n_leaves - 1
+    gt = generate_groundtruth(n_leaves, q, 2, length, seed=1)
+    leaf_tensor = jnp.zeros((n_all, length, q))
+    leaf_tensor = leaf_tensor.at[:n_leaves].set(
+        jax.nn.one_hot(gt.all_sequences[:n_leaves].astype(jnp.int32), q)
+    )
+    cost = CostModel.hamming(q).matrix
+    cfg = JointConfig(n_iterations=40)
+    _, losses1, score1 = joint_search(
+        jax.random.key(2), leaf_tensor, cost, cfg, n_restarts=4
+    )
+    _, losses2, score2 = joint_search(
+        jax.random.key(2), leaf_tensor, cost, cfg, n_restarts=4, mesh=mesh
+    )
+    assert float(score2) == float(score1)
+    np.testing.assert_allclose(
+        np.asarray(losses2), np.asarray(losses1), rtol=1e-6
+    )
+
+    seqs = jax.nn.one_hot(gt.all_sequences.astype(jnp.int32), q)
+    p1, l1 = fit_topology(jax.random.key(3), seqs, n_iterations=40,
+                          n_restarts=4)
+    p2, l2 = fit_topology(jax.random.key(3), seqs, n_iterations=40,
+                          n_restarts=4, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(p2["tree_params"]), np.asarray(p1["tree_params"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        joint_search(
+            jax.random.key(2), leaf_tensor, cost, cfg, n_restarts=3,
+            mesh=mesh,
+        )

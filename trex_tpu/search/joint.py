@@ -185,11 +185,17 @@ def joint_search(
     cost_matrix: jax.Array,
     cfg: JointConfig = JointConfig(),
     n_restarts: int = 8,
+    mesh=None,
 ):
     """Multi-restart joint search; restarts are a vmapped batch axis.
 
     Returns (params, losses, score) of the restart whose discretized solution
     has the lowest exact parsimony cost.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a 'tree' axis — restarts
+    are pure data parallelism, so sharding the restart-key batch over it
+    lets jit/GSPMD shard every descent (``n_restarts`` must divide by the
+    tree axis size); results are identical to the unsharded vmap.
     """
     n_all = leaf_tensor.shape[0]
     n_leaves = (n_all + 1) // 2
@@ -202,12 +208,28 @@ def joint_search(
         score = evaluate_solution(k_eval, params, leaf_tensor, cost_matrix)
         return params, losses, score
 
-    params_b, losses_b, scores = jax.vmap(one_restart)(
-        jax.random.split(key, n_restarts)
-    )
+    keys = jax.random.split(key, n_restarts)
+    if mesh is not None:
+        keys = _shard_restart_keys(mesh, keys, n_restarts)
+    params_b, losses_b, scores = jax.jit(jax.vmap(one_restart))(keys)
     best = jnp.argmin(scores)
     params = jax.tree_util.tree_map(lambda x: x[best], params_b)
     return params, losses_b[best], scores[best]
+
+
+def _shard_restart_keys(mesh, keys, n_restarts):
+    """Shard a restart-key batch over the mesh's 'tree' axis (data parallel)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from trex_tpu.parallel.mesh import TREE_AXIS
+
+    n_tree = mesh.shape[TREE_AXIS]
+    if n_restarts % n_tree != 0:
+        raise ValueError(
+            f"n_restarts = {n_restarts} must be divisible by the mesh tree "
+            f"axis size ({n_tree})"
+        )
+    return jax.device_put(keys, NamedSharding(mesh, PartitionSpec(TREE_AXIS)))
 
 
 def fit_topology(
@@ -217,6 +239,7 @@ def fit_topology(
     learning_rate: float = 0.05,
     constraint_scale: float = 10.0,
     n_restarts: int = 8,
+    mesh=None,
 ):
     """Learn only the topology for known (hard) sequences.
 
@@ -263,6 +286,8 @@ def fit_topology(
         return params, losses, score
 
     restart_keys = jax.random.split(key, n_restarts)
+    if mesh is not None:
+        restart_keys = _shard_restart_keys(mesh, restart_keys, n_restarts)
     params_b, losses_b, scores = jax.jit(jax.vmap(one_restart))(restart_keys)
     best = jnp.argmin(scores)
     params = jax.tree_util.tree_map(lambda x: x[best], params_b)
