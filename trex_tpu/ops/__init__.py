@@ -43,8 +43,15 @@ from trex_tpu.ops.clock import (
     increments_to_ages,
     optimize_clock,
 )
-from trex_tpu.ops.likelihood_scan import likelihood_spr_scan
-from trex_tpu.ops.spr_scan import spr_scan, spr_scan_best
+from trex_tpu.ops.likelihood_scan import (
+    likelihood_spr_scan,
+    likelihood_spr_scan_best_segmented,
+)
+from trex_tpu.ops.spr_scan import (
+    spr_scan,
+    spr_scan_best,
+    spr_scan_best_segmented,
+)
 from trex_tpu.ops.soft_dp import (
     soft_sankoff_score,
     soft_sankoff_score_from_sequences,
@@ -96,7 +103,9 @@ __all__ = [
     "optimize_branch_lengths_newton",
     "spr_scan",
     "spr_scan_best",
+    "spr_scan_best_segmented",
     "likelihood_spr_scan",
+    "likelihood_spr_scan_best_segmented",
     "soft_sankoff_score",
     "soft_sankoff_score_from_sequences",
     "batched_soft_sankoff_score",

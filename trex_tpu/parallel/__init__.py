@@ -6,6 +6,8 @@ from trex_tpu.parallel.sharded import (
     sharded_best_tree,
     sharded_joint_step,
     sharded_log_likelihoods,
+    sharded_per_site_matrix,
+    sharded_spr_scan,
     make_sharded_joint_step,
     make_sharded_restart_joint_step,
 )
@@ -19,6 +21,8 @@ __all__ = [
     "sharded_best_tree",
     "sharded_joint_step",
     "sharded_log_likelihoods",
+    "sharded_per_site_matrix",
+    "sharded_spr_scan",
     "make_sharded_joint_step",
     "make_sharded_restart_joint_step",
     "initialize_distributed",
