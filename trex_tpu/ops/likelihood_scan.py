@@ -462,10 +462,10 @@ def likelihood_spr_scan_best_segmented(
         sequences_are_masks=sequences_are_masks, prune_chunk=prune_chunk,
     )
     seg = max(1, min(n_prune, max_cells // n_all))
-    best = np.inf
-    best_p = best_v = 0
+    # Dispatch all segments before any readback (see spr_scan_best_
+    # segmented: a per-segment blocking readback serializes the device).
+    pending = []
     base = None
-    n_finite = 0
     for s0 in range(0, n_prune, seg):
         valid = min(seg, n_prune - s0)
         pn = np.arange(s0, s0 + seg, dtype=np.int32)
@@ -474,7 +474,11 @@ def likelihood_spr_scan_best_segmented(
             topology, leaf_sequences, n_states, ranking_branch_length,
             site_weights, prune_nodes=jnp.asarray(pn), **kwargs,
         )
-        m, idx, cnt = _segment_best(sc, jnp.int32(valid))
+        pending.append((s0, _segment_best(sc, jnp.int32(valid))))
+    best = np.inf
+    best_p = best_v = 0
+    n_finite = 0
+    for s0, (m, idx, cnt) in pending:
         m = float(m)
         n_finite += int(cnt)
         if m < best:

@@ -346,10 +346,13 @@ def spr_scan_best_segmented(
     n_all = topology.n_all
     n_prune = n_all - 1
     seg = max(1, min(n_prune, max_cells // n_all))
-    best = np.inf
-    best_p = best_v = 0
+    # Dispatch EVERY segment (scan + device reduction) before reading any
+    # scalar back: a per-segment blocking readback serializes the device
+    # (measured 34% slower at 8192 taxa, 323 vs 242 s/round). Each
+    # segment's score table is a temporary freed once its reduction runs,
+    # so the queue holds only 3 scalars per segment.
+    pending = []
     base = None
-    n_finite = 0
     for s0 in range(0, n_prune, seg):
         valid = min(seg, n_prune - s0)
         pn = np.arange(s0, s0 + seg, dtype=np.int32)
@@ -359,7 +362,11 @@ def spr_scan_best_segmented(
             sequences_are_masks=sequences_are_masks,
             prune_nodes=jnp.asarray(pn), prune_chunk=prune_chunk,
         )
-        m, idx, cnt = _segment_best(sc, jnp.int32(valid))
+        pending.append((s0, _segment_best(sc, jnp.int32(valid))))
+    best = np.inf
+    best_p = best_v = 0
+    n_finite = 0
+    for s0, (m, idx, cnt) in pending:
         m = float(m)
         n_finite += int(cnt)
         if m < best:
